@@ -1,0 +1,438 @@
+"""Relational operator surface — scans, filters, joins, aggregations,
+windows, sorts, set ops, rollups — expressed as idiomatic DataFrame
+plans with ANSI-SQL oracles.
+
+The reference exposes this surface by passing through to the Dask
+DataFrame API (reference README.md:159-233: ``assign``/``query``/
+``compute``/``to_parquet``); here it is first-class Catalyst.  Each
+query doubles as a declared operator from SURVEY.md §2 (P4/P5 filters
+and computed columns, J* joins, A* aggregations, W1 windows, O* sorts,
+U* set ops).
+
+**Float determinism**: SUM over doubles is accumulation-order-dependent
+and would never hash-match an external oracle.  Every floating
+aggregate therefore casts the (deterministic, per-row) double expression
+to DECIMAL(28,6), sums exactly, and casts the final value back to
+double — both engines then produce bit-identical results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lsd2_spark.queries import load_table, register
+
+DEC = "decimal(28,6)"
+
+
+def dsum(c: Column) -> Column:
+    """Exact decimal sum of a double expression, returned as double."""
+    return F.sum(c.cast(DEC)).cast("double")
+
+
+def _dsum(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# Q01 — pricing summary: selective scan → wide grouped aggregation
+# (TPC-H Q1 shape; exercises P4 predicate, P5 computed cols, A1/A5 aggs)
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            (dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
+            (dsum(F.col("l_extendedprice")) / F.count(F.lit(1))).alias("avg_price"),
+            (dsum(F.col("l_discount")) / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+register(
+    "q01_pricing_summary",
+    q01_pricing_summary,
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum('l_quantity')} AS sum_qty,
+           {_dsum('l_extendedprice')} AS sum_base_price,
+           {_dsum('l_extendedprice*(1-l_discount)')} AS sum_disc_price,
+           {_dsum('l_extendedprice*(1-l_discount)*(1+l_tax)')} AS sum_charge,
+           {_dsum('l_quantity')}/COUNT(*) AS avg_qty,
+           {_dsum('l_extendedprice')}/COUNT(*) AS avg_price,
+           {_dsum('l_discount')}/COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q03 — shipping priority: 3-way join → agg → deterministic top-10
+# ---------------------------------------------------------------------------
+
+
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+register(
+    "q03_shipping_priority",
+    q03_shipping_priority,
+    f"""
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           {_dsum('l_extendedprice*(1-l_discount)')} AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate  > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q05 — local supplier volume: 6-way join (broadcast dims) → agg
+# ---------------------------------------------------------------------------
+
+
+def q05_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(nation),
+            (cust.c_nationkey == nation.n_nationkey)
+            & (supp.s_nationkey == nation.n_nationkey),
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+register(
+    "q05_supplier_volume",
+    q05_supplier_volume,
+    f"""
+    SELECT n_name, r_name, {_dsum('l_extendedprice*(1-l_discount)')} AS revenue
+    FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation   ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+                  JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY n_name, r_name
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q06 — revenue forecast: tight range predicates → single scalar agg
+# ---------------------------------------------------------------------------
+
+
+def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+register(
+    "q06_revenue_forecast",
+    q06_revenue_forecast,
+    f"""
+    SELECT {_dsum('l_extendedprice*l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q07 — top-3 orders per priority: ranking window (W1 analogue)
+# ---------------------------------------------------------------------------
+
+
+def q07_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+register(
+    "q07_window_topk",
+    q07_window_topk,
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rnk
+      FROM orders) t
+    WHERE rnk <= 3
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q08 — rollup: hierarchical aggregate (A3's relational cousin)
+# ---------------------------------------------------------------------------
+
+
+def q08_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum(F.col("o_totalprice")).alias("total"))
+    )
+
+
+register(
+    "q08_rollup",
+    q08_rollup,
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders, {_dsum('o_totalprice')} AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q09 — anti join: customers with no orders
+# ---------------------------------------------------------------------------
+
+
+def q09_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no open ('O') orders — anti join with a
+    non-trivial result at every scale factor."""
+    cust = load_table(spark, sf_dir, "customer")
+    open_orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        cust.join(open_orders, cust.c_custkey == open_orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+register(
+    "q09_anti_join",
+    q09_anti_join,
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q10 — semi join + date arithmetic: customers with a late shipment
+# ---------------------------------------------------------------------------
+
+
+def q10_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(li, orders.o_orderkey == li.l_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        cust.join(late, cust.c_custkey == late.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+register(
+    "q10_semi_join",
+    q10_semi_join,
+    """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_custkey = c_custkey
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q11 — event-time tumbling window aggregate (batch form; streaming twin
+# lives in lsd2_spark.streaming)
+# ---------------------------------------------------------------------------
+
+
+def q11_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("long").alias("hour_epoch"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("total_value"))
+    )
+
+
+register(
+    "q11_events_hourly",
+    q11_events_hourly,
+    f"""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+           COUNT(*) AS n, {_dsum('value')} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q12 — sessionization: gap-based sessions via lag + running sum window
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MIN = 30
+
+
+def q12_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0)
+    sess_id = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("sess", sess_id)
+        .groupBy("user_id")
+        .agg(
+            F.max("sess").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+register(
+    "q12_sessionize",
+    q12_sessionize,
+    f"""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(LAG(ts) OVER w) > {SESSION_GAP_MIN * 60}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+      FROM g
+    )
+    SELECT user_id, CAST(MAX(sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+    FROM s GROUP BY user_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q13 — exact distinct + min/max profile per event type
+# ---------------------------------------------------------------------------
+
+
+def q13_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+register(
+    "q13_distinct_stats",
+    q13_distinct_stats,
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+           MIN(value) AS min_value, MAX(value) AS max_value, COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q14 — conditional aggregation (pivot expressed portably)
+# ---------------------------------------------------------------------------
+
+
+def q14_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_linestatus").agg(
+        dsum(F.when(F.col("l_returnflag") == "R", rev).otherwise(0.0)).alias("rev_returned"),
+        dsum(F.when(F.col("l_returnflag") == "A", rev).otherwise(0.0)).alias("rev_ack"),
+        dsum(F.when(F.col("l_returnflag") == "N", rev).otherwise(0.0)).alias("rev_none"),
+    )
+
+
+register(
+    "q14_conditional_agg",
+    q14_conditional_agg,
+    f"""
+    SELECT l_linestatus,
+      {_dsum("CASE WHEN l_returnflag='R' THEN l_extendedprice*(1-l_discount) ELSE 0.0 END")} AS rev_returned,
+      {_dsum("CASE WHEN l_returnflag='A' THEN l_extendedprice*(1-l_discount) ELSE 0.0 END")} AS rev_ack,
+      {_dsum("CASE WHEN l_returnflag='N' THEN l_extendedprice*(1-l_discount) ELSE 0.0 END")} AS rev_none
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)

@@ -52,6 +52,8 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # driver testdata stores TIMESTAMP(NANOS) parquet; read as long + convert
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("LSD2_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
