@@ -1,0 +1,301 @@
+"""Catalog — the core abstraction: a named, adaptively HEALPix-
+partitioned table of sky positions materialized as hive-style Parquet.
+
+Reference semantics: hipscat/catalog.py (query API), hipscat/
+partitioner.py (ingest), hipscat/lsd2_io.py:110-125 (layout).  The
+layout is byte-compatible with the reference:
+
+    {path}/catalog/Norder={k}/Dir={pix//10000*10000}/Npix={pix}/...parquet
+    {path}/neighbor/Norder=...   (margin halo rows, written by margins.py)
+    {path}/{name}_meta.json
+
+Spark-first differences (SURVEY.md §3 EP3):
+- ingest is ONE shuffle (`repartition(Norder,Npix)` + partitionBy write)
+  instead of the reference's write-fragments-then-compact two-pass
+  (dask_utils.py:208-318);
+- `Dir` is the *correct* integer ``pix//10000*10000`` both as column
+  and directory (the reference's data column had a float bug,
+  dask_utils.py:99 — documented in SURVEY §4);
+- the spatial index `_ID` is a **signed-safe** long:
+  ``pix19 * 2^21 + rank`` (order 19, 21 rank bits) — order-preserving
+  under LongType, unlike the reference's uint64 order-20 index whose
+  faces 8-11 overflow bit 63 (hipscat/util.py:14-69; SURVEY §7 hard
+  part 1).  Rank is row_number within the order-19 pixel ordered by
+  (ra, dec), matching the reference's lexsort (util.py:32).
+
+At 100 TB: the histogram is one partial-aggregated groupBy whose result
+(≤ 12·4^order_k cells, default order 8 → ≤ 786k rows) collects to the
+driver for planning; the pixel→leaf map broadcasts back; the write
+shuffles once on (Norder, Npix) so each task produces exactly one
+bounded cell file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+from pyspark.sql.window import Window
+
+from lsd2_spark import healpix as hpx
+from lsd2_spark.functions.healpix_cols import ang2pix_udf
+from lsd2_spark.functions.spherical import gc_dist
+from lsd2_spark.plans.partition_map import PartitionMap, compute_partition_map
+
+SPATIAL_INDEX_ORDER = 19
+RANK_BITS = 21
+DEFAULT_ORDER_K = 8
+DEFAULT_THRESHOLD = 1_000_000  # reference default, partitioner.py:27
+DEFAULT_MARGIN_DEG = 0.1  # reference default, partitioner.py:54
+
+
+def _dir_of(pix: Column) -> Column:
+    return (pix / 10_000).cast("long") * 10_000
+
+
+@dataclass
+class CatalogMetadata:
+    cat_name: str
+    ra_kw: str
+    dec_kw: str
+    id_kw: str
+    n_sources: int
+    pix_threshold: int
+    order_k: int
+    margin_threshold: float
+    hips: dict[int, list[int]]
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "cat_name": self.cat_name,
+                "ra_kw": self.ra_kw,
+                "dec_kw": self.dec_kw,
+                "id_kw": self.id_kw,
+                "n_sources": self.n_sources,
+                "pix_threshold": self.pix_threshold,
+                "order_k": self.order_k,
+                "margin_threshold": self.margin_threshold,
+                "hips": {str(k): sorted(v) for k, v in self.hips.items()},
+            },
+            indent=2,
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "CatalogMetadata":
+        d = json.loads(s)
+        return CatalogMetadata(
+            cat_name=d["cat_name"],
+            ra_kw=d["ra_kw"],
+            dec_kw=d["dec_kw"],
+            id_kw=d["id_kw"],
+            n_sources=d["n_sources"],
+            pix_threshold=d["pix_threshold"],
+            order_k=d["order_k"],
+            margin_threshold=d.get("margin_threshold", DEFAULT_MARGIN_DEG),
+            hips={int(k): list(v) for k, v in d["hips"].items()},
+        )
+
+
+def spatial_index_col(order: int, ra: Column, dec: Column) -> Column:
+    """Signed-safe spatial index: pix@19 << RANK_BITS + rank-within-pixel.
+
+    Reference analogue: hipscat/util.py:14-69 (``compute_index``).
+    """
+    pix = ang2pix_udf(SPATIAL_INDEX_ORDER, ra, dec)
+    w = Window.partitionBy(pix).orderBy(ra.asc(), dec.asc())
+    rank = F.row_number().over(w).cast("long") - 1
+    return (pix * (1 << RANK_BITS) + rank).cast(LongType())
+
+
+def partition_catalog(
+    df: DataFrame,
+    path: str,
+    cat_name: str,
+    ra_col: str = "ra",
+    dec_col: str = "dec",
+    id_col: str = "id",
+    threshold: int = DEFAULT_THRESHOLD,
+    order_k: int = DEFAULT_ORDER_K,
+    margin_threshold: float = DEFAULT_MARGIN_DEG,
+    write_margins: bool = True,
+) -> "Catalog":
+    """Ingest: adaptively partition ``df`` by source density and write
+    the hive-layout catalog (+ margin ``neighbor/`` dataset + JSON
+    metadata).  One histogram pass + one shuffled write
+    (vs the reference's cache/write/compact pipeline, EP3 in SURVEY §3).
+    """
+    spark = df.sparkSession
+    ra, dec = F.col(ra_col), F.col(dec_col)
+
+    # Stage 1 — sky histogram (reference partitioner.py:94-133):
+    # partial+final agg; ≤ 12·4^order_k groups; collected for planning.
+    hist = (
+        df.select(ang2pix_udf(order_k, ra, dec).alias("kpix"))
+        .groupBy("kpix")
+        .count()
+        .collect()
+    )
+    kpix = np.array([r["kpix"] for r in hist], dtype=np.int64)
+    counts = np.array([r["count"] for r in hist], dtype=np.int64)
+    n_sources = int(counts.sum())
+
+    # Stage 2 — adaptive partition map (driver planning)
+    pm = compute_partition_map(kpix, counts, order_k, threshold)
+
+    # Stage 3 — per-row leaf assignment via broadcast map + ONE shuffled
+    # partitioned write (replaces reference EP3 stages 3-4)
+    map_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(k), int(o), int(p)) for k, (o, p) in pm.leaf_of_kpix.items()],
+            "kpix long, Norder int, Npix long",
+        )
+    )
+    assigned = (
+        df.withColumn("kpix", ang2pix_udf(order_k, ra, dec))
+        .join(map_df, "kpix")
+        .drop("kpix")
+        .withColumn("Dir", _dir_of(F.col("Npix")))
+        .withColumn("_ID", spatial_index_col(SPATIAL_INDEX_ORDER, ra, dec))
+    )
+    (
+        assigned.repartition("Norder", "Npix")
+        .sortWithinPartitions("_ID")
+        .write.mode("overwrite")
+        .partitionBy("Norder", "Dir", "Npix")
+        .parquet(f"{path}/catalog")
+    )
+
+    meta = CatalogMetadata(
+        cat_name=cat_name,
+        ra_kw=ra_col,
+        dec_kw=dec_col,
+        id_kw=id_col,
+        n_sources=n_sources,
+        pix_threshold=threshold,
+        order_k=order_k,
+        margin_threshold=margin_threshold,
+        hips=pm.hips,
+    )
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/{cat_name}_meta.json", "w") as f:
+        f.write(meta.to_json())
+
+    cat = Catalog(spark, path, meta)
+    if write_margins:
+        from lsd2_spark.operators.margins import write_margin_dataset
+
+        write_margin_dataset(df, cat, ra_col=ra_col, dec_col=dec_col)
+    return cat
+
+
+class Catalog:
+    """Query API over a partitioned catalog (reference hipscat/catalog.py)."""
+
+    def __init__(self, spark: SparkSession, path: str, meta: CatalogMetadata):
+        self.spark = spark
+        self.path = path
+        self.meta = meta
+
+    # -- loading ------------------------------------------------------------
+
+    @staticmethod
+    def load(spark: SparkSession, path: str, cat_name: str | None = None) -> "Catalog":
+        if cat_name is None:
+            metas = [f for f in os.listdir(path) if f.endswith("_meta.json")]
+            assert len(metas) == 1, f"ambiguous catalog dir {path}: {metas}"
+            meta_file = metas[0]
+        else:
+            meta_file = f"{cat_name}_meta.json"
+        with open(f"{path}/{meta_file}") as f:
+            meta = CatalogMetadata.from_json(f.read())
+        return Catalog(spark, path, meta)
+
+    def df(self, columns: list[str] | None = None) -> DataFrame:
+        """The catalog as a lazy DataFrame; Norder/Dir/Npix are hive
+        partition columns so filters on them prune at the file level."""
+        df = self.spark.read.parquet(f"{self.path}/catalog")
+        if columns is not None:
+            cols = self._with_required(columns)
+            df = df.select(*cols)
+        return df
+
+    def margin_df(self) -> DataFrame | None:
+        p = f"{self.path}/neighbor"
+        if not os.path.exists(p):
+            return None
+        return self.spark.read.parquet(p)
+
+    def _with_required(self, columns: list[str]) -> list[str]:
+        """Reference util.py:276-296: ra/dec/id always included."""
+        need = [self.meta.ra_kw, self.meta.dec_kw, self.meta.id_kw]
+        out = list(columns)
+        for c in need + ["Norder", "Dir", "Npix", "_ID"]:
+            if c not in out:
+                out.append(c)
+        return out
+
+    # -- cone search (reference catalog.py:65-141, EP1) ----------------------
+
+    def cone_pruning_predicate(self, ra: float, dec: float, radius: float) -> Column | None:
+        """Pixel-IN-list predicate on the (Norder, Npix) partition
+        columns — Catalyst turns it into static partition pruning.
+        Returns None when the cone misses the catalog entirely."""
+        clauses = []
+        for order, pixels in self.meta.hips.items():
+            cover = hpx.cone_cover(order, ra, dec, radius)
+            hit = np.intersect1d(cover, np.array(pixels, dtype=np.int64))
+            if hit.size:
+                clauses.append(
+                    (F.col("Norder") == order) & F.col("Npix").isin([int(p) for p in hit])
+                )
+        if not clauses:
+            return None
+        pred = clauses[0]
+        for c in clauses[1:]:
+            pred = pred | c
+        return pred
+
+    def cone_search(
+        self,
+        ra: float,
+        dec: float,
+        radius: float,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        """All rows within ``radius`` deg of (ra, dec), with ``_DIST``
+        appended.  Driver computes the pixel cover; Catalyst prunes
+        partitions; the exact distance filter runs as a Column
+        expression in whole-stage codegen."""
+        base = self.df(columns)
+        pred = self.cone_pruning_predicate(ra, dec, radius)
+        if pred is None:
+            empty = base.withColumn("_DIST", F.lit(0.0)).filter(F.lit(False))
+            return empty
+        dist = gc_dist(F.col(self.meta.ra_kw), F.col(self.meta.dec_kw), ra, dec)
+        return base.filter(pred).withColumn("_DIST", dist).filter(F.col("_DIST") < radius)
+
+    # -- cross-match --------------------------------------------------------
+
+    def cross_match(
+        self,
+        other: "Catalog",
+        n_neighbors: int = 1,
+        dthresh: float = 0.01,
+        columns: list[str] | None = None,
+        other_columns: list[str] | None = None,
+        evaluate_margins: bool = True,
+    ) -> DataFrame:
+        from lsd2_spark.operators.crossmatch import crossmatch_catalogs
+
+        assert self.path != other.path, "cannot cross-match a catalog with itself"
+        return crossmatch_catalogs(
+            self, other, n_neighbors=n_neighbors, dthresh=dthresh,
+            columns=columns, other_columns=other_columns,
+            evaluate_margins=evaluate_margins,
+        )

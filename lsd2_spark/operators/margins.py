@@ -1,0 +1,142 @@
+"""Margin ("neighbor") dataset — boundary halos for each partition.
+
+For every partition P the halo holds rows from *other* partitions that
+lie within ``margin_threshold`` of P's boundary, so per-cell spatial
+joins are correct at partition edges (reference: hipscat/
+dask_utils.py:246-318, hipscat/margin_utils.py).
+
+Spark-first construction (no per-file task farm):
+
+1. **Driver plan**: for each partition P at order ``o`` pick a ring
+   order ``kf = max(o+1, KA)`` where KA is the coarsest order whose
+   pixels are at least ``margin`` wide.  The candidate set is the ring
+   of order-``kf`` pixels just outside P (border children's neighbors
+   minus P's own children).  For partitions coarser than KA the ring
+   covers the full margin width; for partitions near/below the margin
+   scale the ring is one child-pixel wide — the same resolution limit
+   the reference warns about (partitioner.py:259-261), surfaced here as
+   a warning too.
+2. **Broadcast join**: rows compute their pixel at each distinct ``kf``
+   and join the candidate table → (row, owner partition P) pairs.
+3. **Containment drop**: rows already inside P are excluded with pure
+   bit-shift arithmetic on the ring pixel (no second UDF pass).
+4. One ``partitionBy`` write under ``{path}/neighbor/`` mirroring the
+   catalog layout.
+
+The halo is a conservative **superset** of the exact 0.1°-boundary set
+(ring pixels are kept whole rather than polygon-clipped as in
+margin_utils.py:209-305); supersets preserve join correctness and the
+exact ``dthresh`` filter in the kNN kernel keeps results exact.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lsd2_spark import healpix as hpx
+from lsd2_spark.functions.healpix_cols import ang2pix_udf
+
+__all__ = ["margin_candidate_entries", "write_margin_dataset", "margin_ring_order"]
+
+
+def margin_ring_order(margin_deg: float) -> int:
+    """Coarsest order whose min pixel width still exceeds the margin."""
+    ka = 0
+    while ka < hpx.MAX_ORDER and hpx.min_pixwidth(ka + 1) >= margin_deg:
+        ka += 1
+    return ka
+
+
+def _border_children(pix: int, depth: int) -> np.ndarray:
+    """Order-(o+depth) children of ``pix`` on the pixel's border."""
+    n = 1 << depth
+    ix = np.arange(n)
+    edge = np.unique(
+        np.concatenate(
+            [
+                np.stack([ix, np.zeros_like(ix)], 1),
+                np.stack([ix, np.full_like(ix, n - 1)], 1),
+                np.stack([np.zeros_like(ix), ix], 1),
+                np.stack([np.full_like(ix, n - 1), ix], 1),
+            ]
+        ),
+        axis=0,
+    )
+    local = (hpx._spread_bits(edge[:, 0]) | (hpx._spread_bits(edge[:, 1]) << np.uint64(1))).astype(
+        np.int64
+    )
+    return (np.int64(pix) << np.int64(2 * depth)) + local
+
+
+def margin_candidate_entries(
+    hips: dict[int, list[int]], margin_deg: float
+) -> dict[int, "np.ndarray"]:
+    """Candidate ring table: {ring_order: array[(ring_pix, Norder, Npix)]}."""
+    ka = margin_ring_order(margin_deg)
+    out: dict[int, list[tuple[int, int, int]]] = {}
+    under_covered = False
+    for o, pixels in sorted(hips.items()):
+        kf = max(o + 1, ka)
+        if hpx.min_pixwidth(kf) < margin_deg:
+            under_covered = True
+        for p in pixels:
+            border = _border_children(p, kf - o)
+            ring = np.unique(np.concatenate(hpx.neighbors(kf, border)))
+            # drop P's own children: ancestor at o equals p
+            ring = ring[(ring >> (2 * (kf - o))) != p]
+            out.setdefault(kf, []).extend((int(r), o, p) for r in ring)
+    if under_covered:
+        warnings.warn(
+            "margin_threshold exceeds the pixel size of the deepest "
+            "partitions; halos there cover one child-pixel ring "
+            "(the reference has the same resolution limit, "
+            "partitioner.py:259-261)"
+        )
+    return {
+        kf: np.array(sorted(set(map(tuple, rows))), dtype=np.int64)
+        for kf, rows in out.items()
+    }
+
+
+def margin_rows(df: DataFrame, cat, ra_col: str, dec_col: str) -> DataFrame | None:
+    """(row ∪ owner-partition) pairs for every halo membership."""
+    spark = df.sparkSession
+    entries = margin_candidate_entries(cat.meta.hips, cat.meta.margin_threshold)
+    if not entries:
+        return None
+    parts = []
+    for kf, arr in entries.items():
+        tbl = F.broadcast(
+            spark.createDataFrame(
+                [(int(a), int(b), int(c)) for a, b, c in arr],
+                "ring_pix long, Norder int, Npix long",
+            )
+        )
+        with_pix = df.withColumn("ring_pix", ang2pix_udf(kf, F.col(ra_col), F.col(dec_col)))
+        joined = with_pix.join(tbl, "ring_pix")
+        # containment drop is implicit: ring pixels exclude P's children,
+        # so any row whose ring_pix matched is outside P by construction.
+        parts.append(joined.drop("ring_pix"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def write_margin_dataset(df: DataFrame, cat, ra_col: str, dec_col: str) -> None:
+    """Materialize {path}/neighbor/ with the catalog's hive layout
+    (reference sink S8, dask_utils.py:246-318)."""
+    rows = margin_rows(df, cat, ra_col=ra_col, dec_col=dec_col)
+    if rows is None:
+        return
+    out = rows.withColumn("Dir", (F.col("Npix") / 10_000).cast("long") * 10_000)
+    (
+        out.repartition("Norder", "Npix")
+        .write.mode("overwrite")
+        .partitionBy("Norder", "Dir", "Npix")
+        .parquet(f"{cat.path}/neighbor")
+    )

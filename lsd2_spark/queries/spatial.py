@@ -77,3 +77,83 @@ register(
     WHERE _dist < {CONE["radius"]}
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Cross-match kNN through the real cogroup kernel, oracle-checked.
+# Left = customers, right = parts, both at derived positions.
+# ---------------------------------------------------------------------------
+
+XMATCH_K = 3
+XMATCH_DTHRESH = 2.0
+_XMATCH_ORDER = 2  # coverage-map order for the ad-hoc catalogs
+
+
+def q21_crossmatch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lsd2_spark import healpix as hpx
+    from lsd2_spark.operators.crossmatch import crossmatch_dataframes
+
+    left = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("left_id"),
+        derive_ra(F.col("c_custkey")).alias("ra"),
+        derive_dec(F.col("c_custkey")).alias("dec"),
+    )
+    right = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("right_id"),
+        derive_ra(F.col("p_partkey")).alias("ra"),
+        derive_dec(F.col("p_partkey")).alias("dec"),
+    )
+
+    # ad-hoc coverage maps: occupied order-2 pixels (plan-sized collect)
+    def occupied(df: DataFrame) -> dict[int, list[int]]:
+        import numpy as np
+
+        pdf = df.select("ra", "dec").toPandas()
+        pix = np.unique(hpx.ang2pix(_XMATCH_ORDER, pdf["ra"].to_numpy(), pdf["dec"].to_numpy()))
+        return {_XMATCH_ORDER: [int(p) for p in pix]}
+
+    out = crossmatch_dataframes(
+        left,
+        right,
+        occupied(left),
+        occupied(right),
+        l_ra="ra",
+        l_dec="dec",
+        l_id="left_id",
+        r_ra="ra",
+        r_dec="dec",
+        r_id="right_id",
+        n_neighbors=XMATCH_K,
+        dthresh=XMATCH_DTHRESH,
+        left_name="l",
+        right_name="r",
+    )
+    return out.select(
+        F.col("l_left_id").alias("left_id"),
+        F.col("r_right_id").alias("right_id"),
+        F.round(F.col("_DIST"), 6).alias("_dist"),
+    )
+
+
+_lra, _ldec = derive_sql("c_custkey")
+_rra, _rdec = derive_sql("p_partkey")
+register(
+    "q21_crossmatch_knn",
+    q21_crossmatch_knn,
+    f"""
+    WITH l AS (SELECT c_custkey AS left_id, {_lra} AS ra, {_ldec} AS dec FROM customer),
+         r AS (SELECT p_partkey AS right_id, {_rra} AS ra, {_rdec} AS dec FROM part),
+         pairs AS (
+           SELECT l.left_id, r.right_id,
+                  {gc_dist_sql("l.ra", "l.dec", "r.ra", "r.dec")} AS d
+           FROM l CROSS JOIN r
+         ),
+         ranked AS (
+           SELECT left_id, right_id, d,
+                  ROW_NUMBER() OVER (PARTITION BY left_id ORDER BY d, right_id) AS rn
+           FROM pairs WHERE d < {XMATCH_DTHRESH}
+         )
+    SELECT left_id, right_id, ROUND(d, 6) AS _dist
+    FROM ranked WHERE rn <= {XMATCH_K}
+    """,
+)
