@@ -1,0 +1,209 @@
+"""Deduplication operators for large-scale document corpora.
+
+Beyond the reference's surface (it has no text operators) — these are
+the training-data-pipeline components, designed Spark-first:
+
+- **exact**: md5-hash groupBy; one shuffle on the hash.
+- **minhash + LSH**: distinct-token shingles → k affine permutations of
+  a portable 60-bit hash → banded signatures → candidate pairs via a
+  self-equi-join on (band, band-hash).  All expressed with built-in
+  higher-order array functions (``transform``/``aggregate``) — no
+  Python in the hot path.
+- **simhash**: 64-bit sign-aggregated token-hash fingerprint, via a
+  single explode + groupBy with 64 conditional sums.
+- **n-gram jaccard**: exact character-shingle overlap for candidate
+  pairs (bounded by a grouping key to avoid the quadratic blowup).
+
+At 100 TB: every operator is shuffle-bounded by its key (hash, band
+bucket, group key); none collects rows to the driver.  LSH bands
+replace the O(n²) pair space with bucket-local joins; AQE handles
+bucket skew (a hot band bucket = near-duplicate cluster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lsd2_spark.functions.portable_hash import MINHASH_PERMS, MOD, hash64
+
+__all__ = [
+    "exact_dedup",
+    "tokens_col",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "simhash",
+    "ngram_jaccard_pairs",
+]
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-row exact-duplicate annotation: content hash, the canonical
+    (minimum) id holding that content, and whether this row is it.
+    ``filter(is_canonical)`` is the deduplicated corpus."""
+    h = F.md5(F.col(text_col).cast("string")).alias("text_hash")
+    w = Window.partitionBy("text_hash")
+    return (
+        df.select(F.col(id_col), h)
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("is_canonical", (F.col(id_col) == F.col("canonical_id")).cast("int"))
+    )
+
+
+def tokens_col(text: Column) -> Column:
+    """Distinct whitespace tokens (shingle set for minhash/simhash)."""
+    return F.array_distinct(F.split(text, r"\s+"))
+
+
+def _token_hashes(text: Column) -> Column:
+    # portable per-token 60-bit hash, then reduce mod MOD once
+    return F.transform(
+        tokens_col(text),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % MOD,
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """k-permutation minhash signature per document (k = len(MINHASH_PERMS)).
+
+    sig_i = min over distinct tokens of (a_i * h(token) + b_i) mod MOD.
+    """
+    th = _token_hashes(F.col(text_col)).alias("_th")
+    out = df.select(F.col(id_col), th)
+
+    def perm(a: int, b: int):
+        return lambda h: (h * a + b) % MOD
+
+    for i, (a, b) in enumerate(MINHASH_PERMS):
+        out = out.withColumn(
+            f"mh{i}", F.array_min(F.transform(F.col("_th"), perm(a, b)))
+        )
+    return out.drop("_th")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, text_col: str, id_col: str, bands: int = 4
+) -> DataFrame:
+    """Near-duplicate candidate pairs: documents sharing any minhash
+    band bucket, with the estimated jaccard (signature agreement rate).
+
+    Band buckets turn the O(n²) pair space into per-bucket equi-joins.
+    """
+    k = len(MINHASH_PERMS)
+    rows_per_band = k // bands
+    sig = minhash_signatures(df, text_col, id_col)
+    mh = [F.col(f"mh{i}") for i in range(k)]
+
+    band_cols = []
+    for b in range(bands):
+        parts = mh[b * rows_per_band:(b + 1) * rows_per_band]
+        expr = parts[0]
+        for p in parts[1:]:
+            expr = expr * MOD + p  # fits: MOD² < 2^40
+        band_cols.append(F.struct(F.lit(b).alias("band"), expr.alias("bucket")))
+    tagged = sig.withColumn("_band", F.explode(F.array(*band_cols))).select(
+        F.col(id_col), *[f"mh{i}" for i in range(k)], "_band.band", "_band.bucket"
+    )
+
+    l = tagged.alias("l")
+    r = tagged.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id1"),
+            F.col(f"r.{id_col}").alias("id2"),
+            *[F.col(f"l.mh{i}").alias(f"lmh{i}") for i in range(k)],
+            *[F.col(f"r.mh{i}").alias(f"rmh{i}") for i in range(k)],
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    agree = sum(
+        F.when(F.col(f"lmh{i}") == F.col(f"rmh{i}"), 1).otherwise(0) for i in range(k)
+    )
+    return pairs.select(
+        "id1", "id2", (agree.cast("double") / F.lit(float(k))).alias("jaccard_est")
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFrame:
+    """SimHash fingerprint: bit b is the sign of Σ_tokens (±1 by token-
+    hash bit b).  Hamming-close simhashes ⇒ similar token sets.
+    ``bits`` ≤ 62 so the packed value stays in signed-64 range."""
+    assert 1 <= bits <= 62
+    exploded = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("_tok")
+    ).withColumn("_h", hash64(F.col("_tok")))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_s{b}")
+        for b in range(bits)
+    ]
+    summed = exploded.groupBy(id_col).agg(*aggs)
+    sh = F.lit(0).cast("long")
+    for b in range(bits):
+        sh = sh + F.when(F.col(f"_s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(0)
+    return summed.select(F.col(id_col), sh.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_cols: list[str],
+    n: int = 3,
+) -> DataFrame:
+    """Exact character-n-gram jaccard for all pairs within each group.
+
+    ``group_cols`` bounds the pair space (LSH buckets, source, length
+    band, ...) — never call this on an unbounded corpus.
+    """
+    grams = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in group_cols],
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)),"
+                    f" i -> substr({text_col}, i, {n}))"
+                )
+            )
+        ).alias("ng"),
+    )
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+
+    g1 = grams.alias("g1")
+    g2 = grams.alias("g2")
+    cond = (F.col("g1.ng") == F.col("g2.ng")) & (
+        F.col(f"g1.{id_col}") < F.col(f"g2.{id_col}")
+    )
+    for c in group_cols:
+        cond = cond & (F.col(f"g1.{c}") == F.col(f"g2.{c}"))
+    shared = (
+        g1.join(g2, cond)
+        .groupBy(
+            F.col(f"g1.{id_col}").alias("id1"), F.col(f"g2.{id_col}").alias("id2")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("id1"), F.col("n_grams").alias("n1"))
+    s2 = sizes.select(F.col(id_col).alias("id2"), F.col("n_grams").alias("n2"))
+    return (
+        shared.join(s1, "id1")
+        .join(s2, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

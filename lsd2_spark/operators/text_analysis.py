@@ -1,0 +1,140 @@
+"""Text-analysis operators: token stats, quality scoring, language ID,
+document fingerprinting.
+
+All hot paths are built-in Column expressions (JVM-side, codegen);
+the only Python is the winnowing fingerprint, which is an Arrow-batched
+pandas UDF over NumPy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+__all__ = [
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "content_fingerprint",
+    "winnow_fingerprint",
+    "LANG_MARKERS",
+]
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+# tiny marker lexicons for the n-gram/stopword language heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "es": ["el", "la", "de", "que", "es"],
+    "fr": ["le", "la", "de", "et", "est"],
+    "de": ["der", "die", "das", "und", "ist"],
+}
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(text, r"\s+")
+
+
+def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document token accounting: counts, distinct counts, average
+    token length, longest token."""
+    t = _tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars_obs"),
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_uniq_tokens"),
+        F.round(
+            F.length(F.regexp_replace(F.col(text_col), r"\s+", "")).cast("double")
+            / F.size(t),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic document quality: length band, stopword share, lexical
+    diversity; combined into a deterministic 0-100 score + bucket."""
+    t = _tokens(F.col(text_col))
+    n_tok = F.size(t)
+    n_uniq = F.size(F.array_distinct(t))
+    stop_share = F.size(
+        F.filter(t, lambda x: x.isin(STOPWORDS))
+    ).cast("double") / n_tok
+    diversity = n_uniq.cast("double") / n_tok
+    length_ok = F.when((n_tok >= 10) & (n_tok <= 100_000), 1.0).otherwise(0.0)
+    score = F.round(40.0 * diversity + 30.0 * stop_share + 30.0 * length_ok, 6)
+    return df.select(
+        F.col(id_col),
+        F.round(stop_share, 6).alias("stopword_share"),
+        F.round(diversity, 6).alias("lexical_diversity"),
+        score.alias("quality"),
+        F.when(score >= 60, "good").when(score >= 30, "ok").otherwise("spam").alias("bucket"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Marker-token language heuristic: count marker hits per language,
+    argmax with a fixed preference order for ties."""
+    t = _tokens(F.lower(F.col(text_col)))
+
+    def contains(markers: list[str]):
+        return lambda x: x.isin(markers)
+
+    hits = {
+        lang: F.size(F.filter(t, contains(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    out = df.select(F.col(id_col), *[h.alias(f"hits_{l}") for l, h in hits.items()])
+    best = F.greatest(*[F.col(f"hits_{l}") for l in LANG_MARKERS])
+    label = F.lit("und")
+    # reverse order so earlier languages win ties
+    for lang in reversed(list(LANG_MARKERS)):
+        label = F.when(
+            (F.col(f"hits_{lang}") == best) & (best > 0), lang
+        ).otherwise(label)
+    return out.withColumn("lang_pred", label)
+
+
+def content_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Normalization-invariant content fingerprint: md5 of the
+    lowercased text with whitespace stripped."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", "")
+    return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+_WINNOW_B = 257
+_WINNOW_P = 2_147_483_647  # 2^31-1: keeps b·B^i mod P products in int64
+
+
+@F.pandas_udf(LongType())
+def _winnow_kernel(text: pd.Series) -> pd.Series:
+    """Winnowing (Schleimer et al. 2003): min rolling k-gram hash over a
+    sliding window — a robust near-duplicate document sketch.  The
+    k-gram hashes are computed as a vectorized matrix product mod P."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    k, w = 8, 16
+    powvec = np.array(
+        [pow(_WINNOW_B, k - 1 - i, _WINNOW_P) for i in range(k)], dtype=np.int64
+    )
+    out = np.zeros(len(text), dtype=np.int64)
+    for i, s in enumerate(text):
+        if s is None or len(s) < k:
+            out[i] = 0
+            continue
+        b = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8).astype(np.int64)
+        grams = sliding_window_view(b, k)  # (n, k), values < 256
+        h = (grams * powvec[None, :] % _WINNOW_P).sum(axis=1) % _WINNOW_P
+        if len(h) <= w:
+            out[i] = int(h.min())
+        else:
+            out[i] = int(sliding_window_view(h, w).min(axis=1).min())
+    return pd.Series(out)
+
+
+def winnow_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(F.col(id_col), _winnow_kernel(F.col(text_col)).alias("winnow_min"))

@@ -1,6 +1,323 @@
-"""Text-analysis and dedup operators over the ``documents`` table.
-
-Filled in alongside lsd2_spark.operators.dedup / text_analysis.
+"""Text-analysis and dedup queries over the ``documents`` table — each
+drives a lsd2_spark operator and carries a DuckDB oracle built from the
+same portable-hash primitives (functions/portable_hash.py).
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lsd2_spark.functions.portable_hash import MINHASH_PERMS, MOD, hash64_sql, minhash_term_sql
+from lsd2_spark.operators import dedup, multimodal, text_analysis
+from lsd2_spark.queries import load_table, register
+
+_K = len(MINHASH_PERMS)
+
+_TOKS_SQL = "list_distinct(regexp_split_to_array(text, '\\s+'))"
+_TOKH_SQL = f"{hash64_sql('tok')} % {MOD}"
+
+
+# ---------------------------------------------------------------------------
+# Q30 — exact dedup annotation
+# ---------------------------------------------------------------------------
+
+
+def q30_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+register(
+    "q30_dedup_exact",
+    q30_dedup_exact,
+    """
+    SELECT doc_id, md5(text) AS text_hash,
+           MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+           CAST(doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS INTEGER) AS is_canonical
+    FROM documents
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q31 — minhash signatures
+# ---------------------------------------------------------------------------
+
+
+def q31_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_mh_aggs = ",\n           ".join(
+    f"MIN({minhash_term_sql('h', a, b)}) AS mh{i}" for i, (a, b) in enumerate(MINHASH_PERMS)
+)
+register(
+    "q31_minhash_signatures",
+    q31_minhash_signatures,
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), hashes AS (
+      SELECT doc_id, {_TOKH_SQL} AS h FROM toks
+    )
+    SELECT doc_id, {_mh_aggs}
+    FROM hashes GROUP BY doc_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q32 — LSH candidate pairs with estimated jaccard
+# ---------------------------------------------------------------------------
+
+
+def q32_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_candidate_pairs(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_bucket_exprs = ", ".join(
+    f"mh{2*b} * {MOD} + mh{2*b+1} AS bucket{b}" for b in range(_K // 2)
+)
+_band_union = " UNION ALL ".join(
+    f"SELECT doc_id, {', '.join(f'mh{i}' for i in range(_K))}, {b} AS band, bucket{b} AS bucket FROM sig"
+    for b in range(_K // 2)
+)
+_agree = " + ".join(f"CASE WHEN l.mh{i} = r.mh{i} THEN 1 ELSE 0 END" for i in range(_K))
+register(
+    "q32_lsh_pairs",
+    q32_lsh_pairs,
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), hashes AS (
+      SELECT doc_id, {_TOKH_SQL} AS h FROM toks
+    ), sig0 AS (
+      SELECT doc_id, {_mh_aggs} FROM hashes GROUP BY doc_id
+    ), sig AS (
+      SELECT *, {_bucket_exprs} FROM sig0
+    ), banded AS ({_band_union}),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+             ({_agree}) AS agree
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    )
+    SELECT id1, id2, CAST(agree AS DOUBLE) / {float(_K)} AS jaccard_est FROM pairs
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q33 — exact n-gram jaccard within (lang, source) groups
+# ---------------------------------------------------------------------------
+
+
+def q33_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", ["lang", "source"], n=3
+    )
+
+
+register(
+    "q33_ngram_jaccard",
+    q33_ngram_jaccard,
+    """
+    WITH grams AS (
+      SELECT DISTINCT doc_id, lang, source, substr(text, CAST(i AS INTEGER), 3) AS ng
+      FROM documents, UNNEST(range(1, greatest(length(text) - 2, 1) + 1)) AS t(i)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
+    ), shared AS (
+      SELECT g1.doc_id AS id1, g2.doc_id AS id2, COUNT(*) AS shared
+      FROM grams g1 JOIN grams g2
+        ON g1.ng = g2.ng AND g1.lang = g2.lang AND g1.source = g2.source
+       AND g1.doc_id < g2.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           ROUND(CAST(shared AS DOUBLE) / (s1.n_grams + s2.n_grams - shared), 6) AS jaccard
+    FROM shared JOIN sizes s1 ON s1.doc_id = id1
+                JOIN sizes s2 ON s2.doc_id = id2
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q34 — simhash (16-bit packed for the oracle; 60-bit in the operator API)
+# ---------------------------------------------------------------------------
+
+_SH_BITS = 16
+
+
+def q34_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", bits=_SH_BITS
+    )
+
+
+_sh_sums = ",\n           ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(_SH_BITS)
+)
+_sh_pack = " + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(_SH_BITS))
+register(
+    "q34_simhash",
+    q34_simhash,
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), hashes AS (
+      SELECT doc_id, {hash64_sql('tok')} AS h FROM toks
+    ), sums AS (
+      SELECT doc_id, {_sh_sums} FROM hashes GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({_sh_pack} AS BIGINT) AS simhash FROM sums
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q35 — token stats; Q36 — quality score; Q37 — language ID
+# ---------------------------------------------------------------------------
+
+
+def q35_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.token_stats(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+register(
+    "q35_token_stats",
+    q35_token_stats,
+    """
+    SELECT doc_id,
+           length(text) AS n_chars_obs,
+           len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+           len(list_distinct(regexp_split_to_array(text, '\\s+'))) AS n_uniq_tokens,
+           ROUND(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                 / len(regexp_split_to_array(text, '\\s+')), 6) AS avg_token_len
+    FROM documents
+    """,
+)
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in text_analysis.STOPWORDS)
+
+
+def q36_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.quality_score(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+register(
+    "q36_quality_score",
+    q36_quality_score,
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(text, '\\s+') AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE) / len(toks) AS stop_share,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS diversity,
+             CASE WHEN len(toks) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END AS length_ok
+      FROM t
+    )
+    SELECT doc_id,
+           ROUND(stop_share, 6) AS stopword_share,
+           ROUND(diversity, 6) AS lexical_diversity,
+           ROUND(40.0 * diversity + 30.0 * stop_share + 30.0 * length_ok, 6) AS quality,
+           CASE WHEN ROUND(40.0 * diversity + 30.0 * stop_share + 30.0 * length_ok, 6) >= 60 THEN 'good'
+                WHEN ROUND(40.0 * diversity + 30.0 * stop_share + 30.0 * length_ok, 6) >= 30 THEN 'ok'
+                ELSE 'spam' END AS bucket
+    FROM m
+    """,
+)
+
+
+def q37_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.lang_id(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_hit_cols = ",\n           ".join(
+    f"len(list_filter(toks, x -> x IN ({', '.join(repr(m) for m in ms)}))) AS hits_{l}"
+    for l, ms in text_analysis.LANG_MARKERS.items()
+)
+_langs = list(text_analysis.LANG_MARKERS)
+_best = f"greatest({', '.join('hits_' + l for l in _langs)})"
+_label = "'und'"
+for _l in reversed(_langs):
+    _label = f"CASE WHEN hits_{_l} = {_best} AND {_best} > 0 THEN '{_l}' ELSE {_label} END"
+register(
+    "q37_lang_id",
+    q37_lang_id,
+    f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents
+    ), h AS (
+      SELECT doc_id, {_hit_cols} FROM t
+    )
+    SELECT doc_id, {', '.join('hits_' + l for l in _langs)}, {_label} AS lang_pred FROM h
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q38 — content fingerprint; Q39 — winnowing sketch (non-SQL, rows-only)
+# ---------------------------------------------------------------------------
+
+
+def q38_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.content_fingerprint(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+register(
+    "q38_fingerprint",
+    q38_fingerprint,
+    """
+    SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', '', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+
+
+def q39_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.winnow_fingerprint(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+register("q39_winnow_fingerprint", q39_winnow_fingerprint, oracle=None)
+
+
+# ---------------------------------------------------------------------------
+# Q42 — multimodal blob table (binary payload plumbing, oracle-checked
+# metadata); Q43 — feature extraction via mapInPandas (rows-only)
+# ---------------------------------------------------------------------------
+
+
+def _blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.to_blob_table(docs, "text", "doc_id", "text/fake")
+
+
+def q42_multimodal_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _blobs(spark, sf_dir).select("media_id", "media_type", "n_bytes", "payload_md5")
+
+
+register(
+    "q42_multimodal_blobs",
+    q42_multimodal_blobs,
+    """
+    SELECT doc_id AS media_id, 'text/fake' AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+
+
+def q43_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.extract_features(_blobs(spark, sf_dir))
+
+
+register("q43_media_features", q43_media_features, oracle=None)

@@ -1,0 +1,107 @@
+"""Behavioral tests for LLM-pipeline operators that have no SQL oracle:
+IVF approximate search (recall vs exact), winnowing fingerprints
+(duplicate detection), multimodal feature plumbing, and LSH recall on
+planted near-duplicates."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lsd2_spark.operators import dedup, multimodal, similarity, text_analysis
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = similarity.cosine_topk(emb, queries, "embedding", "vec_id", k=5).toPandas()
+    approx = similarity.ivf_topk(
+        emb, queries, "embedding", "vec_id", k=5, n_lists=8, nprobe=4
+    ).toPandas()
+    e = set(zip(exact.query_id, exact.cand_id))
+    a = set(zip(approx.query_id, approx.cand_id))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low (nprobe=4/8 lists)"
+    # approx similarities are genuine (subset of exact values for shared pairs)
+    merged = exact.merge(approx, on=["query_id", "cand_id"], suffixes=("_e", "_a"))
+    assert np.allclose(merged.sim_e, merged.sim_a)
+
+
+def test_winnow_fingerprint_detects_duplicates(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the quick brown fox jumps over the lazy dog many times today",
+                "the quick brown fox jumps over the lazy dog many times today",  # dup
+                "completely different content with other words entirely here",
+            ],
+        }
+    )
+    out = (
+        text_analysis.winnow_fingerprint(spark.createDataFrame(pdf), "text", "doc_id")
+        .toPandas()
+        .set_index("doc_id")["winnow_min"]
+    )
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_winnow_empty_and_short_text(spark):
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": ["abc", ""]})
+    out = text_analysis.winnow_fingerprint(
+        spark.createDataFrame(pdf), "text", "doc_id"
+    ).toPandas()
+    assert (out["winnow_min"] == 0).all()  # shorter than k-gram → sentinel
+
+
+def test_multimodal_feature_plumbing(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    blobs = multimodal.to_blob_table(docs, "text", "doc_id", "text/fake")
+    feats = multimodal.extract_features(blobs).toPandas()
+    assert len(feats) == docs.count()
+    assert (feats["n_bytes"] > 0).all()
+    assert ((feats["feat_entropy"] >= 0) & (feats["feat_entropy"] <= 8)).all()
+    assert feats["sketch"].str.len().eq(16).all()
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_stub(b"\x89PNG")
+
+
+def test_lsh_finds_planted_near_duplicates(spark):
+    base = "spark catalyst shuffle partition broadcast join aggregate window sort merge scan filter"
+    docs = []
+    for i in range(50):
+        docs.append((i, f"doc {i} " + " ".join(f"tok{i}_{j}" for j in range(30))))
+    # two planted near-duplicate pairs (share most tokens)
+    docs.append((100, base + " extra1"))
+    docs.append((101, base + " extra2"))
+    pdf = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    pairs = dedup.lsh_candidate_pairs(pdf, "text", "doc_id").toPandas()
+    assert ((pairs.id1 == 100) & (pairs.id2 == 101)).any()
+    est = pairs.loc[(pairs.id1 == 100) & (pairs.id2 == 101), "jaccard_est"].iloc[0]
+    assert est >= 0.5
+
+
+def test_simhash_hamming_reflects_similarity(spark):
+    base = " ".join(f"w{j}" for j in range(60))
+    pdf = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [base, base + " extra", " ".join(f"z{j}" for j in range(60))],
+            }
+        )
+    )
+    out = dedup.simhash(pdf, "text", "doc_id", bits=60).toPandas().set_index("doc_id")["simhash"]
+
+    def ham(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+
+    assert ham(out[1], out[2]) < ham(out[1], out[3])
