@@ -106,11 +106,47 @@ def spatial_index_col(order: int, ra: Column, dec: Column) -> Column:
     """Signed-safe spatial index: pix@19 << RANK_BITS + rank-within-pixel.
 
     Reference analogue: hipscat/util.py:14-69 (``compute_index``).
+    Standalone Column form (window shuffle); the ingest path instead
+    computes the index inside the write shuffle (see
+    ``_index_and_sort_kernel``) to avoid a second exchange.
     """
     pix = ang2pix_udf(SPATIAL_INDEX_ORDER, ra, dec)
     w = Window.partitionBy(pix).orderBy(ra.asc(), dec.asc())
     rank = F.row_number().over(w).cast("long") - 1
     return (pix * (1 << RANK_BITS) + rank).cast(LongType())
+
+
+def _index_and_sort_kernel(ra_col: str, dec_col: str):
+    """Per-cell kernel: compute _ID (pix@19 ‖ rank ordered by ra, dec —
+    the reference's lexsort, util.py:32) and return rows sorted by it.
+    pix@19 never spans two cells (leaves are ≤ order ``order_k`` < 19),
+    so per-cell ranking is globally correct."""
+    import numpy as np
+    import pandas as pd
+
+    from lsd2_spark import healpix as hpx
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pix = hpx.ang2pix(
+            SPATIAL_INDEX_ORDER, pdf[ra_col].to_numpy(), pdf[dec_col].to_numpy()
+        )
+        order = np.lexsort((pdf[dec_col].to_numpy(), pdf[ra_col].to_numpy(), pix))
+        pix_sorted = pix[order]
+        first = np.zeros(len(pix_sorted), dtype=bool)
+        if len(first):
+            first[0] = True
+            first[1:] = pix_sorted[1:] != pix_sorted[:-1]
+        group_start = np.maximum.accumulate(
+            np.where(first, np.arange(len(pix_sorted)), 0)
+        )
+        rank = np.arange(len(pix_sorted)) - group_start
+        if len(rank) and rank.max() >= (1 << RANK_BITS):
+            raise ValueError("rank overflow in spatial index: cell too dense")
+        out = pdf.iloc[order].copy()
+        out["_ID"] = pix_sorted * (1 << RANK_BITS) + rank
+        return out
+
+    return kernel
 
 
 def partition_catalog(
@@ -161,12 +197,17 @@ def partition_catalog(
         .join(map_df, "kpix")
         .drop("kpix")
         .withColumn("Dir", _dir_of(F.col("Npix")))
-        .withColumn("_ID", spatial_index_col(SPATIAL_INDEX_ORDER, ra, dec))
+    )
+    from pyspark.sql.types import StructField, StructType
+
+    out_schema = StructType(
+        list(assigned.schema.fields) + [StructField("_ID", LongType(), False)]
+    )
+    indexed = assigned.groupBy("Norder", "Npix").applyInPandas(
+        _index_and_sort_kernel(ra_col, dec_col), out_schema
     )
     (
-        assigned.repartition("Norder", "Npix")
-        .sortWithinPartitions("_ID")
-        .write.mode("overwrite")
+        indexed.write.mode("overwrite")
         .partitionBy("Norder", "Dir", "Npix")
         .parquet(f"{path}/catalog")
     )

@@ -275,8 +275,15 @@ def pix_area_sr(order: int) -> float:
 # ---------------------------------------------------------------------------
 
 _EXACT_BOUND_ORDER = 5
-_maxrad_cache: dict[int, float] = {}
-_minwidth_cache: dict[int, float] = {}
+# Precomputed exact bounds (regenerate with _exact_maxrad(o)*1.01 /
+# _exact_minwidth(o) — deterministic geometry; embedding them avoids a
+# multi-second lazy computation in every Python worker process).
+_maxrad_cache: dict[int, float] = {
+    0: 48.671582, 1: 27.86151, 2: 14.717953, 3: 7.547555, 4: 3.820191, 5: 1.921628,
+}
+_minwidth_cache: dict[int, float] = {
+    0: 43.370717, 1: 19.459957, 2: 9.399031, 3: 4.601729,
+}
 
 
 def gc_dist_deg(ra1, dec1, ra2, dec2) -> np.ndarray:

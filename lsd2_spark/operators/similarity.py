@@ -61,14 +61,21 @@ def cosine_topk(
     desc, candidate id).
     """
     qid = query_id or id_col
+    # norms precomputed once per vector (not once per pair)
     q = F.broadcast(
-        queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("_qv"))
+        queries.select(
+            F.col(qid).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            _norm(F.col(vec_col)).alias("_qn"),
+        )
     )
-    joined = candidates.select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("_cv")
-    ).crossJoin(q)
-    joined = joined.filter(F.col("cand_id") != F.col("query_id"))
-    sim = F.round(cosine_sim_col(F.col("_qv"), F.col("_cv")), 6)
+    cand = candidates.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("_cv"),
+        _norm(F.col(vec_col)).alias("_cn"),
+    )
+    joined = cand.crossJoin(q).filter(F.col("cand_id") != F.col("query_id"))
+    sim = F.round(_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
     return (
         joined.withColumn("sim", sim)

@@ -104,19 +104,16 @@ def q21_crossmatch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         derive_dec(F.col("p_partkey")).alias("dec"),
     )
 
-    # ad-hoc coverage maps: occupied order-2 pixels (plan-sized collect)
-    def occupied(df: DataFrame) -> dict[int, list[int]]:
-        import numpy as np
-
-        pdf = df.select("ra", "dec").toPandas()
-        pix = np.unique(hpx.ang2pix(_XMATCH_ORDER, pdf["ra"].to_numpy(), pdf["dec"].to_numpy()))
-        return {_XMATCH_ORDER: [int(p) for p in pix]}
+    # ad-hoc coverage map: full sky at the cell order — costs nothing
+    # extra (empty cells produce no kernel work) and avoids two
+    # pre-jobs just to discover occupancy
+    full_sky = {_XMATCH_ORDER: list(range(hpx.npix(_XMATCH_ORDER)))}
 
     out = crossmatch_dataframes(
         left,
         right,
-        occupied(left),
-        occupied(right),
+        full_sky,
+        full_sky,
         l_ra="ra",
         l_dec="dec",
         l_id="left_id",
