@@ -1,0 +1,100 @@
+"""Structured Streaming surface (beyond the reference, which has no
+streaming — SURVEY §2.9; grep-verified none).  Provided as the
+incremental path for the ``events`` table and for streaming catalog
+ingest at scale.
+
+Patterns:
+- file-source stream → watermark → tumbling event-time window → counts
+  (late data handled by the watermark);
+- streaming spatial tagger: the same HEALPix pixelization UDF applied
+  per micro-batch, demonstrating incremental catalog ingest
+  (``foreachBatch`` + the catalog writer's leaf assignment).
+
+Tests drive these with the parquet events table and a memory sink via
+``processAllAvailable`` (synchronous, deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", LongType(), True),  # TIMESTAMP(NANOS) read as long
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, directory: str, glob: str = "events.parquet"
+) -> DataFrame:
+    """File-source stream over events parquet (the source monitors a
+    directory; ``glob`` selects the files).  Nanosecond timestamps are
+    converted exactly as the batch loader does."""
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", glob)
+        .load(directory)
+    )
+    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation — the streaming twin of
+    q11_events_hourly."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def streaming_pixel_tagger(events: DataFrame, order: int = 8) -> DataFrame:
+    """Tag a position-bearing stream with HEALPix pixels per micro-batch
+    (incremental catalog ingest building block): derive positions from
+    the event id (as the spatial queries do) and pixelize."""
+    from lsd2_spark.functions.healpix_cols import ang2pix_udf
+    from lsd2_spark.queries.spatial import derive_dec, derive_ra
+
+    with_pos = events.withColumn("ra", derive_ra(F.col("event_id"))).withColumn(
+        "dec", derive_dec(F.col("event_id"))
+    )
+    return with_pos.withColumn("pix", ang2pix_udf(order, F.col("ra"), F.col("dec")))
+
+
+def run_to_memory_sink(stream_df: DataFrame, name: str, mode: str = "complete") -> None:
+    """Drive a streaming query to completion synchronously (local test
+    harness: memory sink + processAllAvailable).  ``mode='complete'``
+    for aggregations, ``'append'`` for row-wise streams."""
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()

@@ -1,0 +1,190 @@
+"""Sources (CSV positional keys, FITS codec, URL listing, metadata
+sidecars, sky maps), histogram operators, and the streaming surface."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import lsd2_spark.healpix as hpx
+from lsd2_spark.operators.histogram import rollup_histogram, rollup_histogram_np, sky_histogram
+from lsd2_spark.sources import fits, readers, sinks
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# -- CSV ---------------------------------------------------------------------
+
+
+def test_csv_headerless_positional_keys(spark, tmp_path):
+    """Reference PS1 path: headerless CSV with integer column keys
+    (hipscat_tests.py:48-55)."""
+    p = tmp_path / "ps1.csv"
+    rows = ["%d,%f,%f,%f,%f,%f,%f" % (i, 1.0, 2.0, 3.0, 4.0, i * 0.1, i * 0.05 - 10)
+            for i in range(100)]
+    p.write_text("\n".join(rows))
+    df = readers.read_csv(
+        spark, str(p), header=False, column_keys={"id": 0, "ra": 5, "dec": 6}
+    )
+    assert {"id", "ra", "dec"} <= set(df.columns)
+    got = df.orderBy("id").limit(3).toPandas()
+    assert got["ra"].tolist() == pytest.approx([0.0, 0.1, 0.2])
+
+
+def test_csv_gz_and_skiprows(spark, tmp_path):
+    import gzip
+
+    p = tmp_path / "cat.csv.gz"
+    body = "# meta line\nid,ra,dec\n" + "\n".join(
+        f"{i},{i*1.0},{i*0.5}" for i in range(10)
+    )
+    with gzip.open(p, "wt") as f:
+        f.write(body)
+    # skiprows removes the metadata preamble before the header line is
+    # unusable → read headerless and skip 2 rows
+    df = readers.read_csv(spark, str(p), header=False, skiprows=2,
+                          column_keys={"id": 0, "ra": 1, "dec": 2})
+    assert df.count() == 10
+
+
+# -- FITS --------------------------------------------------------------------
+
+
+def test_fits_roundtrip(tmp_path):
+    pdf = pd.DataFrame(
+        {
+            "ID": np.arange(50, dtype=np.int64),
+            "RA": np.linspace(0, 359, 50),
+            "DEC": np.linspace(-80, 80, 50).astype(np.float32),
+            "NAME": [f"obj{i}" for i in range(50)],
+        }
+    )
+    path = str(tmp_path / "t.fits")
+    fits.write_fits_table(pdf, path)
+    with open(path, "rb") as f:
+        buf = f.read()
+    assert len(buf) % fits.BLOCK == 0
+    back = fits.fits_table_to_pandas(buf)
+    assert back["ID"].tolist() == pdf["ID"].tolist()
+    assert np.allclose(back["RA"], pdf["RA"])
+    assert np.allclose(back["DEC"], pdf["DEC"])
+    assert back["NAME"].tolist() == pdf["NAME"].tolist()
+
+
+def test_fits_distributed_scan(spark, tmp_path):
+    for j in range(3):
+        pdf = pd.DataFrame(
+            {
+                "ID": np.arange(20, dtype=np.int64) + j * 100,
+                "RA": np.linspace(0, 350, 20),
+                "DEC": np.linspace(-80, 80, 20),
+            }
+        )
+        fits.write_fits_table(pdf, str(tmp_path / f"part{j}.fits"))
+    df = readers.read_fits_tables(spark, str(tmp_path / "*.fits"))
+    assert df.count() == 60
+    assert set(df.columns) == {"ID", "RA", "DEC"}
+    assert df.agg(F.min("ID")).collect()[0][0] == 0
+
+
+# -- URL listing -------------------------------------------------------------
+
+
+def test_url_listing_parser():
+    html = """<html><body>
+    <a href="file1.csv.gz">f1</a> <a href="sub/file2.csv.gz">f2</a>
+    <a href="http://x.org/file3.csv.gz">f3</a> <a href="skip.parquet">p</a>
+    </body></html>"""
+    urls = readers.list_url_files(html, "http://data.org/cat/", ".csv.gz")
+    assert urls == [
+        "http://data.org/cat/file1.csv.gz",
+        "http://data.org/cat/sub/file2.csv.gz",
+        "http://x.org/file3.csv.gz",
+    ]
+
+
+# -- metadata sidecar + sky map ----------------------------------------------
+
+
+def test_parquet_metadata_sidecar(spark, tmp_path):
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    out = str(tmp_path / "cat")
+    df.repartition(4).write.partitionBy("v").mode("overwrite").parquet(out)
+    sinks.write_parquet_metadata_sidecar(out)
+    assert os.path.exists(f"{out}/_metadata")
+    assert os.path.exists(f"{out}/_common_metadata")
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(f"{out}/_metadata")
+    assert md.num_rows == 100
+
+
+def test_sky_map_fits_roundtrip(tmp_path):
+    pdf = pd.DataFrame({"pix": np.arange(48, dtype=np.int64), "cnt": np.arange(48, dtype=np.int64) * 3})
+    path = str(tmp_path / "map.fits")
+    sinks.write_sky_map(pdf, path, fmt="fits")
+    with open(path, "rb") as f:
+        back = fits.fits_table_to_pandas(f.read())
+    assert back["cnt"].sum() == pdf["cnt"].sum()
+
+
+# -- histogram + rollup ------------------------------------------------------
+
+
+def test_histogram_and_rollup(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        ((F.col("l_orderkey") * 9973 % 360000) / 1000.0).alias("ra"),
+        (((F.col("l_orderkey") * 7919 % 160000) / 1000.0) - 80.0).alias("dec"),
+    )
+    h5 = sky_histogram(li, "ra", "dec", 5).toPandas()
+    assert h5["cnt"].sum() == li.count()
+    # distributed rollup equals driver-side rollup equals direct histogram
+    h3_dist = rollup_histogram(sky_histogram(li, "ra", "dec", 5), 2).toPandas()
+    h3_direct = sky_histogram(li, "ra", "dec", 3).toPandas()
+    h3_np = rollup_histogram_np(h5["pix"].to_numpy(), h5["cnt"].to_numpy(), 2)
+    for other in (h3_direct, h3_np):
+        a = h3_dist.sort_values("pix", ignore_index=True)
+        b = other.sort_values("pix", ignore_index=True)
+        assert a["pix"].tolist() == b["pix"].tolist()
+        assert a["cnt"].tolist() == b["cnt"].tolist()
+
+
+# -- streaming ----------------------------------------------------------------
+
+
+def test_streaming_windowed_counts_match_batch(spark):
+    from lsd2_spark.queries import load_table
+    from lsd2_spark.streaming import events as sev
+
+    stream = sev.read_events_stream(spark, SF_DIR)
+    agg = sev.windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    sev.run_to_memory_sink(agg, "stream_counts", mode="complete")
+    got = spark.sql("SELECT * FROM stream_counts").toPandas()
+
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+    )
+    g = got.groupby(["window_start", "event_type"])["n"].sum().sort_index()
+    b = batch.groupby(["window_start", "event_type"])["n"].sum().sort_index()
+    assert g.equals(b)
+
+
+def test_streaming_pixel_tagger(spark):
+    from lsd2_spark.streaming import events as sev
+
+    stream = sev.read_events_stream(spark, SF_DIR)
+    tagged = sev.streaming_pixel_tagger(stream, order=4)
+    sev.run_to_memory_sink(tagged.select("event_id", "ra", "dec", "pix"),
+                           "stream_tagged", mode="append")
+    got = spark.sql("SELECT * FROM stream_tagged").toPandas()
+    assert len(got) == 1000
+    want = hpx.ang2pix(4, got["ra"].to_numpy(), got["dec"].to_numpy())
+    assert (got["pix"].to_numpy() == want).all()
