@@ -235,6 +235,41 @@ def partition_catalog(
     return cat
 
 
+def ingest_catalog(
+    spark: SparkSession,
+    source: str,
+    fmt: str,
+    path: str,
+    cat_name: str,
+    ra_col: str = "ra",
+    dec_col: str = "dec",
+    id_col: str = "id",
+    column_keys: dict[str, int] | None = None,
+    cache_dir: str | None = None,
+    **partition_kwargs,
+) -> "Catalog":
+    """End-to-end ingest from raw files (reference EP3,
+    partitioner.py:81-91): read csv/csv.gz/parquet/fits → optional
+    Parquet staging cache (S6) → adaptive partitioned write."""
+    from lsd2_spark.sources import readers
+
+    if fmt in ("csv", "csv.gz"):
+        df = readers.read_csv(spark, source, header=column_keys is None,
+                              column_keys=column_keys)
+    elif fmt == "parquet":
+        df = spark.read.parquet(source)
+    elif fmt == "fits":
+        df = readers.read_fits_tables(spark, source)
+    else:
+        raise ValueError(f"unsupported ingest format {fmt}")
+    if cache_dir is not None:
+        df = readers.cache_inputs(df, cache_dir)
+    return partition_catalog(
+        df, path, cat_name, ra_col=ra_col, dec_col=dec_col, id_col=id_col,
+        **partition_kwargs,
+    )
+
+
 class Catalog:
     """Query API over a partitioned catalog (reference hipscat/catalog.py)."""
 
