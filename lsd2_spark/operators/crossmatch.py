@@ -76,22 +76,29 @@ def max_cell_order_for(dthresh: float) -> int:
 
 
 def _cell_tables(cells: list[tuple[int, int]], dthresh: float, with_halo: bool):
-    """Per-order assignment tables.
+    """Per-order assignment tables, built with ONE vectorized
+    neighbors/pix2ang call per order (plan-time cost stays sub-second
+    even at 10⁵ cells).
 
     Primary entry: (pixel == cell pixel) → cell, no distance filter.
     Halo entry (right side only): (neighbor pixel → cell) with the
     cell's center + conservative radius for the distance prefilter.
     """
     by_order: dict[int, list[tuple[int, int, int, float, float, float, int]]] = {}
+    cells_by_order: dict[int, list[int]] = {}
     for o, p in cells:
-        cra, cdec = hpx.pix2ang(o, np.array([p]))
+        cells_by_order.setdefault(o, []).append(p)
+    for o, ps in sorted(cells_by_order.items()):
+        parr = np.array(sorted(ps), dtype=np.int64)
+        cra, cdec = hpx.pix2ang(o, parr)
         rad = hpx.max_pixrad(o) + dthresh
-        by_order.setdefault(o, []).append((p, o, p, float(cra[0]), float(cdec[0]), rad, 1))
+        rows = by_order.setdefault(o, [])
+        for p, a, d in zip(parr.tolist(), cra.tolist(), cdec.tolist()):
+            rows.append((p, o, p, a, d, rad, 1))
         if with_halo:
-            for n in hpx.neighbors(o, np.array([p]))[0].tolist():
-                by_order.setdefault(o, []).append(
-                    (int(n), o, p, float(cra[0]), float(cdec[0]), rad, 0)
-                )
+            nbs = hpx.neighbors(o, parr)
+            for p, a, d, nb in zip(parr.tolist(), cra.tolist(), cdec.tolist(), nbs):
+                rows.extend((int(n), o, p, a, d, rad, 0) for n in nb.tolist())
     return by_order
 
 

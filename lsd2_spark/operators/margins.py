@@ -83,12 +83,21 @@ def margin_candidate_entries(
         kf = max(o + 1, ka)
         if hpx.min_pixwidth(kf) < margin_deg:
             under_covered = True
-        for p in pixels:
-            border = _border_children(p, kf - o)
-            ring = np.unique(np.concatenate(hpx.neighbors(kf, border)))
-            # drop P's own children: ancestor at o equals p
-            ring = ring[(ring >> (2 * (kf - o))) != p]
-            out.setdefault(kf, []).extend((int(r), o, p) for r in ring)
+        # batch all border children of every partition at this order
+        # into one vectorized neighbors() call
+        borders = [_border_children(p, kf - o) for p in pixels]
+        flat = np.concatenate(borders) if borders else np.empty(0, dtype=np.int64)
+        owners = np.repeat(
+            np.array(pixels, dtype=np.int64), [len(b) for b in borders]
+        )
+        nbs = hpx.neighbors(kf, flat)
+        ring_pix = np.concatenate(nbs) if nbs else np.empty(0, dtype=np.int64)
+        ring_owner = np.repeat(owners, [len(a) for a in nbs])
+        keep = (ring_pix >> (2 * (kf - o))) != ring_owner
+        rows = out.setdefault(kf, [])
+        rows.extend(
+            (int(r), o, int(p)) for r, p in zip(ring_pix[keep], ring_owner[keep])
+        )
     if under_covered:
         warnings.warn(
             "margin_threshold exceeds the pixel size of the deepest "
