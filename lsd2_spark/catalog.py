@@ -366,12 +366,18 @@ class Catalog:
         columns: list[str] | None = None,
         other_columns: list[str] | None = None,
         evaluate_margins: bool = True,
+        exclude_self: bool = False,
     ) -> DataFrame:
         from lsd2_spark.operators.crossmatch import crossmatch_catalogs
 
-        assert self.path != other.path, "cannot cross-match a catalog with itself"
+        if self.path == other.path:
+            assert exclude_self, (
+                "cross-matching a catalog with itself requires "
+                "exclude_self=True (self pairs are dropped, right columns "
+                "get a _2 suffix)"
+            )
         return crossmatch_catalogs(
             self, other, n_neighbors=n_neighbors, dthresh=dthresh,
             columns=columns, other_columns=other_columns,
-            evaluate_margins=evaluate_margins,
+            evaluate_margins=evaluate_margins, exclude_self=exclude_self,
         )

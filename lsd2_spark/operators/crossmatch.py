@@ -58,7 +58,7 @@ from pyspark.sql.types import (
 from lsd2_spark import healpix as hpx
 from lsd2_spark.functions.healpix_cols import ang2pix_udf
 from lsd2_spark.functions.spherical import gc_dist, gnomonic_xy_np
-from lsd2_spark.plans.partition_map import align_join_cells
+from lsd2_spark.plans.partition_map import align_join_cells, complete_left_cover
 
 __all__ = ["crossmatch_catalogs", "crossmatch_dataframes", "max_cell_order_for"]
 
@@ -138,6 +138,8 @@ def _knn_kernel_factory(
     n_neighbors: int,
     dthresh: float,
     out_schema: StructType,
+    l_id: str | None = None,
+    exclude_same_id: bool = False,
 ):
     lpref = [f for f in out_schema.fieldNames() if f not in ("hips_k", "hips_pix", "_DIST")][
         : len(lcols)
@@ -202,6 +204,8 @@ def _knn_kernel_factory(
             rdf[r_dec].to_numpy()[ri],
         )
         keep = d < dthresh
+        if exclude_same_id and l_id is not None:
+            keep &= ldf[l_id].to_numpy()[li] != rdf[r_id].to_numpy()[ri]
         li, ri, d = li[keep], ri[keep], d[keep]
         if li.size == 0:
             return empty()
@@ -260,7 +264,11 @@ def _ensure_cols(cols: list[str] | None, df: DataFrame, required: Iterable[str])
 def crossmatch_cells_plan(
     hips1: dict[int, list[int]], hips2: dict[int, list[int]], dthresh: float
 ) -> list[tuple[int, int]]:
-    return align_join_cells(hips1, hips2, max_cell_order=max_cell_order_for(dthresh))
+    kj = max_cell_order_for(dthresh)
+    aligned = align_join_cells(hips1, hips2, max_cell_order=kj)
+    # every left row must land in a cell, even where the right catalog
+    # has no partitions (matches may still arrive via halos)
+    return complete_left_cover(aligned, hips1, kj)
 
 
 def crossmatch_dataframes(
@@ -281,8 +289,12 @@ def crossmatch_dataframes(
     left_cols: list[str] | None = None,
     right_cols: list[str] | None = None,
     evaluate_margins: bool = True,
+    exclude_same_id: bool = False,
 ) -> DataFrame:
-    """kNN spatial join of two DataFrames with known sky coverage maps."""
+    """kNN spatial join of two DataFrames with known sky coverage maps.
+
+    ``exclude_same_id`` drops candidate pairs whose left and right ids
+    are equal (self-match mode)."""
     assert n_neighbors >= 1 and 0 < dthresh <= hpx.min_pixwidth(0), (
         "dthresh must be positive and below the base-pixel width"
     )
@@ -303,7 +315,8 @@ def crossmatch_dataframes(
 
     schema = _prefixed_schema(left, right, left_cols, right_cols, left_name, right_name)
     kernel = _knn_kernel_factory(
-        left_cols, right_cols, l_ra, l_dec, r_ra, r_dec, r_id, n_neighbors, dthresh, schema
+        left_cols, right_cols, l_ra, l_dec, r_ra, r_dec, r_id, n_neighbors, dthresh,
+        schema, l_id=l_id, exclude_same_id=exclude_same_id,
     )
     return (
         l_assigned.groupBy(_CELL_O, _CELL_P)
@@ -320,12 +333,20 @@ def crossmatch_catalogs(
     columns: list[str] | None = None,
     other_columns: list[str] | None = None,
     evaluate_margins: bool = True,
+    exclude_self: bool = False,
 ) -> DataFrame:
-    """Catalog-level cross-match (reference catalog.py:144-253)."""
+    """Catalog-level cross-match (reference catalog.py:144-253).
+
+    ``exclude_self=True`` supports matching a catalog against itself
+    (the reference's unimplemented ``_2``-suffix TODO,
+    catalog.py:227-228): identical ids are excluded from the
+    neighbor lists and the right side gets a ``_2`` name suffix.
+    """
     m1, m2 = cat1.meta, cat2.meta
     drop = ["Norder", "Dir", "Npix", "_ID"]
     left = cat1.df(columns).drop(*drop)
     right = cat2.df(other_columns).drop(*drop)
+    rname = m2.cat_name if m2.cat_name != m1.cat_name else f"{m2.cat_name}_2"
     return crossmatch_dataframes(
         left,
         right,
@@ -340,6 +361,7 @@ def crossmatch_catalogs(
         n_neighbors=n_neighbors,
         dthresh=dthresh,
         left_name=m1.cat_name,
-        right_name=m2.cat_name,
+        right_name=rname,
         evaluate_margins=evaluate_margins,
+        exclude_same_id=exclude_self,
     )

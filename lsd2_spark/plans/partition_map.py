@@ -151,6 +151,50 @@ def _drop_covered(cells: set[tuple[int, int]]) -> set[tuple[int, int]]:
     return out
 
 
+def complete_left_cover(
+    cells: list[tuple[int, int]],
+    hips1: dict[int, list[int]],
+    max_cell_order: int,
+) -> list[tuple[int, int]]:
+    """Extend a join-cell set so it covers ALL of the left catalog's sky.
+
+    The aligned intersection drops left regions with no right-side
+    coverage — but right rows just across a pixel boundary can still be
+    within the match radius (verified failure: a left partition whose
+    partner rows all sit in the adjacent pixel).  Uncovered left
+    regions become cells of their own; they hold no right *partitions*
+    (only halo rows from adjacent cells), so they add no memory risk.
+    Output cells remain disjoint.
+    """
+    cellset = set(cells)
+    # cells indexed by every (order, ancestor) for interior tests
+    has_inside: set[tuple[int, int]] = set()
+    for o, p in cells:
+        for oo in range(0, o):
+            has_inside.add((oo, p >> (2 * (o - oo))))
+
+    def covered(o: int, p: int) -> bool:
+        return any((oo, p >> (2 * (o - oo))) in cellset for oo in range(0, o + 1))
+
+    out = list(cells)
+    for o1, ps in sorted(hips1.items()):
+        for p1 in ps:
+            o = min(o1, max_cell_order)
+            stack = [(o, p1 >> (2 * max(0, o1 - o)))]
+            while stack:
+                oo, pp = stack.pop()
+                if covered(oo, pp):
+                    continue
+                if (oo, pp) in has_inside and oo < max_cell_order:
+                    stack.extend(
+                        ((oo + 1, (pp << 2) + i) for i in range(4))
+                    )
+                else:
+                    cellset.add((oo, pp))
+                    out.append((oo, pp))
+    return sorted(set(out))
+
+
 def cell_assignment_tables(cells: list[tuple[int, int]]) -> dict[int, np.ndarray]:
     """Group join cells by order → sorted pixel arrays, for per-order
     row assignment (row joins on ang2pix at that order)."""
