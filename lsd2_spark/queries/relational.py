@@ -98,7 +98,11 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("o_orderdate_epoch"),
+            F.col("o_orderpriority"),
+        )
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -109,14 +113,15 @@ register(
     "q03_shipping_priority",
     q03_shipping_priority,
     f"""
-    SELECT l_orderkey, o_orderdate, o_orderpriority,
+    SELECT l_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_epoch,
+           o_orderpriority,
            {_dsum('l_extendedprice*(1-l_discount)')} AS revenue
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON o_orderkey = l_orderkey
     WHERE c_mktsegment = 'BUILDING'
       AND o_orderdate < TIMESTAMP '1995-03-15'
       AND l_shipdate  > TIMESTAMP '1995-03-15'
-    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    GROUP BY 1, 2, 3
     ORDER BY revenue DESC, l_orderkey ASC
     LIMIT 10
     """,
