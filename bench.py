@@ -31,6 +31,7 @@ HEADLINE = [
     "q07_window_topk",
     "q11_events_hourly",
     "q12_sessionize",
+    "q15_asof_join",
     "q20_cone_search",
     "q21_crossmatch_knn",
     "q30_dedup_exact",

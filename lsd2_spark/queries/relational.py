@@ -374,7 +374,7 @@ register(
     WITH g AS (
       SELECT user_id, ts, event_id,
              CASE WHEN LAG(ts) OVER w IS NULL
-                    OR epoch(ts) - epoch(LAG(ts) OVER w) > {SESSION_GAP_MIN * 60}
+                    OR floor(epoch(ts)) - floor(epoch(LAG(ts) OVER w)) > {SESSION_GAP_MIN * 60}
                   THEN 1 ELSE 0 END AS new_sess
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
@@ -385,6 +385,60 @@ register(
     )
     SELECT user_id, CAST(MAX(sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
     FROM s GROUP BY user_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q15 — as-of join: each 'click' event matched to the user's latest
+# 'purchase' at-or-before it (an operator Spark lacks natively; DuckDB's
+# ASOF JOIN is the oracle).  Union+window implementation: one shuffle.
+# ---------------------------------------------------------------------------
+
+
+def q15_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lsd2_spark.operators.temporal import asof_join_backward, dedupe_latest
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = dedupe_latest(
+        ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", "event_id",
+    )
+    out = asof_join_backward(
+        clicks, purchases, key="user_id", ts="ts",
+        left_cols=["event_id", "user_id", "ts"],
+        right_cols=["event_id", "value"],
+    )
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("click_epoch"),
+        F.col("asof_event_id").alias("purchase_id"),
+        F.col("asof_value").alias("purchase_value"),
+    )
+
+
+register(
+    "q15_asof_join",
+    q15_asof_join,
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT event_id, user_id, ts, value FROM (
+        SELECT event_id, user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase') t
+      WHERE rn = 1
+    )
+    SELECT c.event_id AS click_id, c.user_id,
+           CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch,
+           p.event_id AS purchase_id, p.value AS purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
     """,
 )
 
