@@ -316,6 +316,35 @@ class Catalog:
                 out.append(c)
         return out
 
+    # -- sky map (reference catalog.py visualization surface) ----------------
+
+    def sky_map(self, order: int = 5) -> DataFrame:
+        """Per-pixel source counts at ``order`` with pixel centers —
+        the data behind the reference's sky visualizations
+        (catalog.py plot helpers + lsd2_io.py:163-194 FITS maps).
+        Persist with sources.sinks.write_sky_map."""
+        from lsd2_spark.operators.histogram import sky_histogram
+
+        hist = sky_histogram(self.df(), self.meta.ra_kw, self.meta.dec_kw, order)
+
+        import pandas as pd
+        from pyspark.sql.types import DoubleType
+
+        def _ra_of_fn(pix):
+            ra, _ = hpx.pix2ang(order, pix.to_numpy())
+            return pd.Series(ra)
+
+        def _dec_of_fn(pix):
+            _, dec = hpx.pix2ang(order, pix.to_numpy())
+            return pd.Series(dec)
+
+        _ra_of = F.pandas_udf(_ra_of_fn, DoubleType())
+        _dec_of = F.pandas_udf(_dec_of_fn, DoubleType())
+
+        return hist.select(
+            "pix", "cnt", _ra_of(F.col("pix")).alias("ra"), _dec_of(F.col("pix")).alias("dec")
+        )
+
     # -- cone search (reference catalog.py:65-141, EP1) ----------------------
 
     def cone_pruning_predicate(self, ra: float, dec: float, radius: float) -> Column | None:
