@@ -160,13 +160,20 @@ def partition_catalog(
     order_k: int = DEFAULT_ORDER_K,
     margin_threshold: float = DEFAULT_MARGIN_DEG,
     write_margins: bool = True,
+    dtype_overrides: dict[str, str] | None = None,
 ) -> "Catalog":
     """Ingest: adaptively partition ``df`` by source density and write
     the hive-layout catalog (+ margin ``neighbor/`` dataset + JSON
-    metadata).  One histogram pass + one shuffled write
+    metadata).  ``dtype_overrides`` casts columns before ingest
+    (reference ``dtypes=`` parameter, partitioner.py:26-37;
+    e.g. ``{"libname_gspphot": "string"}``).  One histogram pass +
+    one shuffled write
     (vs the reference's cache/write/compact pipeline, EP3 in SURVEY §3).
     """
     spark = df.sparkSession
+    if dtype_overrides:
+        for c, t in dtype_overrides.items():
+            df = df.withColumn(c, F.col(c).cast(t))
     ra, dec = F.col(ra_col), F.col(dec_col)
 
     # Stage 1 — sky histogram (reference partitioner.py:94-133):

@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["cosine_sim_col", "cosine_topk", "ivf_topk"]
+__all__ = ["cosine_sim_col", "cosine_topk", "ivf_topk", "hyperplane_lsh_topk"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -75,6 +75,85 @@ def cosine_topk(
         _norm(F.col(vec_col)).alias("_cn"),
     )
     joined = cand.crossJoin(q).filter(F.col("cand_id") != F.col("query_id"))
+    sim = F.round(_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        joined.withColumn("sim", sim)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "sim", "rnk")
+    )
+
+
+def _hyperplanes(n_tables: int, n_bits: int, dim: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes for every (table, bit):
+    small integer lattice derived from indices — stable across
+    runs/processes with no RNG state.  Shape (n_tables*n_bits, dim)."""
+    t = np.repeat(np.arange(n_tables), n_bits)[:, None]
+    i = np.tile(np.arange(n_bits), n_tables)[:, None]
+    j = np.arange(dim)[None, :]
+    w = ((t * 131 + i * 37 + j * 101 + (i * j + t * j) % 29) % 17).astype(np.float64) - 8.0
+    return w / np.maximum(np.linalg.norm(w, axis=1, keepdims=True), 1e-12)
+
+
+def hyperplane_lsh_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_bits: int = 8,
+    n_tables: int = 8,
+    query_id: str | None = None,
+) -> DataFrame:
+    """Approximate top-k via multi-table random-hyperplane (sign) LSH.
+
+    Each of ``n_tables`` tables hashes vectors to a ``n_bits``-bit
+    sign signature; candidates sharing ANY table bucket with a query
+    are scored.  Per-bit collision probability is 1 - angle/π, so the
+    miss probability decays as (1 - p^bits)^tables — tables buy recall,
+    bits buy selectivity.  Pair space shrinks ~2^n_bits/n_tables-fold
+    vs brute force.  Recall is tested against the exact baseline.
+    """
+    qid = query_id or id_col
+    spark = candidates.sparkSession
+
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    dim_probe = candidates.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    planes = _hyperplanes(n_tables, n_bits, int(dim_probe[0]["d"]))
+    bc = spark.sparkContext.broadcast(planes)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def buckets_of(v: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        bits = (m @ bc.value.T) > 0  # (n, n_tables*n_bits)
+        bits = bits.reshape(len(m), n_tables, n_bits)
+        weights = (1 << np.arange(n_bits)).astype(np.int32)
+        codes = (bits * weights[None, None, :]).sum(axis=2).astype(np.int32)
+        # disambiguate tables in the bucket id
+        codes += (np.arange(n_tables) << n_bits).astype(np.int32)[None, :]
+        return pd.Series(list(codes))
+
+    cand = candidates.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("_cv"),
+        _norm(F.col(vec_col)).alias("_cn"),
+        F.explode(buckets_of(F.col(vec_col))).alias("bucket"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(qid).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            _norm(F.col(vec_col)).alias("_qn"),
+            F.explode(buckets_of(F.col(vec_col))).alias("bucket"),
+        )
+    )
+    joined = (
+        cand.join(q, "bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "cand_id"])
+    )
     sim = F.round(_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
     return (

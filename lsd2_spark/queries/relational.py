@@ -444,6 +444,101 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# Q16 — cube: full grouping-set lattice; Q17/Q18 — intersect / except
+# ---------------------------------------------------------------------------
+
+
+def q16_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum(F.col("o_totalprice")).alias("total")
+    )
+
+
+register(
+    "q16_cube",
+    q16_cube,
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders, {_dsum('o_totalprice')} AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+
+
+def q17_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers holding both an open and a finished order."""
+    orders = load_table(spark, sf_dir, "orders")
+    open_c = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    done_c = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return open_c.intersect(done_c)
+
+
+register(
+    "q17_intersect",
+    q17_intersect,
+    """
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+
+
+def q18_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with open orders but no finished ones."""
+    orders = load_table(spark, sf_dir, "orders")
+    open_c = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    done_c = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return open_c.subtract(done_c)  # EXCEPT DISTINCT semantics
+
+
+register(
+    "q18_except",
+    q18_except,
+    """
+    SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q19 — exact interpolated median per group (both engines use the
+# linear-interpolation definition on identical sorted doubles)
+# ---------------------------------------------------------------------------
+
+
+def q19_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
+    )
+
+
+register(
+    "q19_median",
+    q19_median,
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # Q13 — exact distinct + min/max profile per event type
 # ---------------------------------------------------------------------------
 

@@ -58,3 +58,14 @@ def q41_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # approximate by design → rows-only driver check; recall vs exact is
 # asserted in tests/test_llm_ops.py
 register("q41_ivf_topk", q41_ivf_topk, oracle=None)
+
+
+def q44_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    return similarity.hyperplane_lsh_topk(
+        emb, queries, "embedding", "vec_id", k=KNN_K, n_bits=4, n_tables=16
+    )
+
+
+register("q44_lsh_ann", q44_lsh_ann, oracle=None)

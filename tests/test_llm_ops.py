@@ -31,6 +31,51 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert np.allclose(merged.sim_e, merged.sim_a)
 
 
+def test_hyperplane_lsh_recall(spark):
+    """Sign-LSH must recover planted near-duplicate neighbors (high
+    cosine → near-certain bucket collision) and report genuine sims."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = similarity.cosine_topk(emb, queries, "embedding", "vec_id", k=1).toPandas()
+    approx = similarity.hyperplane_lsh_topk(
+        emb, queries, "embedding", "vec_id", k=1, n_bits=4, n_tables=16
+    ).toPandas()
+    # at 4 bits (16 buckets), the single nearest neighbor should be
+    # found for a majority of queries on clustered embeddings
+    merged = exact.merge(approx, on="query_id", suffixes=("_e", "_a"))
+    recall = (merged.cand_id_e == merged.cand_id_a).mean()
+    assert recall >= 0.7, f"LSH top-1 recall {recall:.2f}"
+    # reported similarities are the true cosines
+    both = exact.merge(approx, on=["query_id", "cand_id"], suffixes=("_e", "_a"))
+    if len(both):
+        assert np.allclose(both.sim_e, both.sim_a)
+
+
+def test_dtype_overrides_at_ingest(spark, tmp_path):
+    """Reference parity: the ingest `dtypes=` override path
+    (partitioner.py:26-37, notebook cell 3)."""
+    from lsd2_spark.catalog import partition_catalog
+
+    pdf = pd.DataFrame(
+        {
+            "sid": np.arange(100, dtype=np.int64),
+            "ra": np.linspace(0, 359, 100),
+            "dec": np.linspace(-80, 80, 100),
+            "mag": np.linspace(10, 20, 100),
+            "flag": np.arange(100) % 2,
+        }
+    )
+    cat = partition_catalog(
+        spark.createDataFrame(pdf), str(tmp_path / "d"), "d",
+        ra_col="ra", dec_col="dec", id_col="sid",
+        threshold=50, order_k=5, write_margins=False,
+        dtype_overrides={"mag": "float", "flag": "string"},
+    )
+    schema = {f.name: f.dataType.simpleString() for f in cat.df().schema.fields}
+    assert schema["mag"] == "float"
+    assert schema["flag"] == "string"
+
+
 def test_winnow_fingerprint_detects_duplicates(spark):
     pdf = pd.DataFrame(
         {
