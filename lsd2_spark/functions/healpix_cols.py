@@ -50,7 +50,9 @@ def ang2pix_native(order: int, ra: Column, dec: Column) -> Column:
     """
     ns = 1 << order
     z = F.sin(F.radians(dec))
-    tt = (ra % 360.0) / 90.0  # longitude in [0, 4)
+    # Spark's % keeps the dividend's sign (unlike np.mod) — pmod keeps
+    # negative RA in [0, 360) so tt stays in [0, 4) like the NumPy path.
+    tt = F.pmod(ra, F.lit(360.0)) / 90.0  # longitude in [0, 4)
 
     # --- equatorial belt ---
     temp1 = ns * (tt + 0.5)

@@ -91,7 +91,20 @@ def lsh_candidate_pairs(
     Band buckets turn the O(n²) pair space into per-bucket equi-joins.
     """
     k = len(MINHASH_PERMS)
+    if k % bands:
+        raise ValueError(
+            f"bands={bands} must divide the signature length k={k}; "
+            "a non-dividing band count would silently drop trailing rows"
+        )
     rows_per_band = k // bands
+    if rows_per_band > 2:
+        # bucket packing is expr*MOD + p per extra row; MOD^2 < 2^40 fits
+        # int64 for at most 2 rows/band — beyond that the packing overflows
+        # long and scrambles buckets
+        raise ValueError(
+            f"bands={bands} gives {rows_per_band} rows/band; bucket packing "
+            f"fits int64 only for <=2 rows/band (use bands >= {(k + 1) // 2})"
+        )
     sig = minhash_signatures(df, text_col, id_col)
     mh = [F.col(f"mh{i}") for i in range(k)]
 

@@ -42,16 +42,20 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) parquet; Spark refuses it unless the
+        # legacy nanos-as-long conversion is on.  Set it here (runtime-settable,
+        # idempotent) so load_table works in ANY session — the correctness
+        # harness builds its own SparkSession that never saw session.py.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, read as long nanos via
-        # spark.sql.legacy.parquet.nanosAsLong; values are micro-precision
-        # (verified), so the nanos→micros conversion is lossless.
+        # Values are micro-precision (verified), so nanos→micros is lossless —
+        # but only with integer division: double division rounds at ~1.7e18
+        # and shifts ~1.5% of microsecond timestamps by 1us.
         from pyspark.sql import functions as F
 
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -45,6 +45,7 @@ def read_events_stream(
     """File-source stream over events parquet (the source monitors a
     directory; ``glob`` selects the files).  Nanosecond timestamps are
     converted exactly as the batch loader does."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.format("parquet")
         .schema(EVENTS_SCHEMA)
@@ -52,7 +53,9 @@ def read_events_stream(
         .option("pathGlobFilter", glob)
         .load(directory)
     )
-    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # Integer division — double division rounds at ~1.7e18 and shifts ~1.5%
+    # of microsecond timestamps by 1us (see queries.load_table).
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def windowed_event_counts(

@@ -150,3 +150,11 @@ def test_simhash_hamming_reflects_similarity(spark):
         return bin(int(a) ^ int(b)).count("1")
 
     assert ham(out[1], out[2]) < ham(out[1], out[3])
+
+
+def test_lsh_rejects_overflowing_band_configs(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="rows/band"):
+        dedup.lsh_candidate_pairs(df, "text", "doc_id", bands=2)
+    with pytest.raises(ValueError, match="divide"):
+        dedup.lsh_candidate_pairs(df, "text", "doc_id", bands=3)
