@@ -286,7 +286,39 @@ def q39_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register("q39_winnow_fingerprint", q39_winnow_fingerprint, oracle=None)
+# The winnow sketch IS SQL-expressible: the emitted value is the minimum
+# k-gram rolling hash (min of window-minima == global min), so the oracle
+# recomputes the k=8 polynomial hash per character position with 8 LEADs
+# (documents.text is pure ASCII — verified — so character == utf-8 byte)
+# and takes the per-document MIN.  powvec[j] = 257^(7-j) mod (2^31-1),
+# matching text_analysis._winnow_kernel.
+_WINNOW_POWS = [623063367, 336663071, 168429323, 67503107, 16974593, 66049, 257, 1]
+_WINNOW_TERMS = " + ".join(
+    f"(lead(c, {j}) OVER w * {p} % 2147483647)" for j, p in enumerate(_WINNOW_POWS)
+)
+
+register(
+    "q39_winnow_fingerprint",
+    q39_winnow_fingerprint,
+    f"""
+    WITH pos AS (
+      SELECT doc_id, i, CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT) AS c
+      FROM documents, unnest(range(1, length(text) + 1)) AS t(i)
+    ),
+    h AS (
+      SELECT doc_id,
+             ({_WINNOW_TERMS}) % 2147483647 AS kh,
+             lead(c, 7) OVER w AS c_last
+      FROM pos
+      WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    m AS (
+      SELECT doc_id, MIN(kh) AS winnow_min FROM h WHERE c_last IS NOT NULL GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(COALESCE(m.winnow_min, 0) AS BIGINT) AS winnow_min
+    FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+    """,
+)
 
 
 # ---------------------------------------------------------------------------
