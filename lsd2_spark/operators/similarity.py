@@ -21,7 +21,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["cosine_sim_col", "cosine_topk", "ivf_topk", "hyperplane_lsh_topk"]
+__all__ = [
+    "cosine_sim_col",
+    "cosine_topk",
+    "ivf_topk",
+    "hyperplane_lsh_topk",
+    "kmeans_centroids",
+]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -164,6 +170,84 @@ def hyperplane_lsh_topk(
     )
 
 
+def _l2_assign(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Rounded-L2 assignment matrix: dists rounded at 1e-6 so the
+    argmin is reproducible across engines (sum-order double noise is
+    ~1e-13); ties break to the smallest list id via stable argmin."""
+    d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return np.round(d2, 6)
+
+
+def kmeans_centroids(
+    candidates: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_lists: int,
+    n_iters: int = 2,
+    sample_stride: int = 1,
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means over raw vectors — every step is
+    engine-agnostic so a SQL oracle can replay it bit-for-bit:
+
+    - sample: ``id % sample_stride == 0`` (deterministic, bounded at
+      scale by the stride — no RNG state anywhere);
+    - components are rounded to 6 dp up front, so the exact-decimal
+      casts below snap to an unambiguous 1e-6 grid point in any engine
+      (DuckDB's double→DECIMAL cast scales in floating point and can
+      snap values near a grid boundary differently — observed);
+    - init: the first ``n_lists`` sampled vectors by id;
+    - assignment: argmin of ROUND(L2², 6), ties to the smaller list id;
+    - update: per-dimension DECIMAL(28,6) sums (exact, order-free)
+      divided by the count in double — identical doubles in any engine;
+    - empty lists keep their previous centroid.
+
+    Distributed shape: each iteration is one Arrow-UDF assignment pass
+    over the sample plus one posexplode + groupBy((list, dim)) shuffle
+    of sample×dim rows; only the n_lists×dim centroid table (plan-sized)
+    is ever collected.
+    """
+    spark = candidates.sparkSession
+    samp = candidates.select(
+        F.col(id_col).alias("_vid"),
+        F.transform(F.col(vec_col), lambda x: F.round(x.cast("double"), 6)).alias("_v"),
+    )
+    if sample_stride > 1:
+        samp = samp.filter(F.col("_vid") % sample_stride == 0)
+    samp = samp.cache()
+
+    init_rows = samp.orderBy("_vid").limit(n_lists).collect()
+    cents = np.array([r["_v"] for r in init_rows], dtype=np.float64)
+
+    from pyspark.sql.types import IntegerType
+
+    for _ in range(n_iters):
+        bc = spark.sparkContext.broadcast(cents)
+
+        @F.pandas_udf(IntegerType())
+        def assign(v: pd.Series) -> pd.Series:
+            m = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+            return pd.Series(np.argmin(_l2_assign(m, bc.value), axis=1).astype(np.int32))
+
+        means = (
+            samp.withColumn("_list", assign(F.col("_v")))
+            .select("_list", F.posexplode(F.col("_v")).alias("_j", "_x"))
+            .groupBy("_list", "_j")
+            .agg(
+                (
+                    F.sum(F.col("_x").cast("decimal(28,6)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("_w")
+            )
+            .collect()
+        )
+        new = cents.copy()  # empty lists keep their previous centroid
+        for r in means:
+            new[r["_list"], r["_j"]] = r["_w"]
+        cents = new
+    samp.unpersist()
+    return cents
+
+
 def ivf_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -172,25 +256,25 @@ def ivf_topk(
     k: int = 5,
     n_lists: int = 16,
     nprobe: int = 4,
+    n_iters: int = 2,
+    sample_stride: int = 1,
     query_id: str | None = None,
 ) -> DataFrame:
     """Approximate top-k: IVF (inverted-file) partitioning.
 
-    Centroids are the first ``n_lists`` candidate vectors by id —
-    deterministic and driver-collected (plan-sized).  Every candidate
-    is assigned to its nearest centroid (one broadcast pass); each
-    query probes its ``nprobe`` nearest lists.  Recall < 1 by design;
-    tested against the brute-force baseline.
+    Coarse centroids come from deterministic sampled k-means
+    (``kmeans_centroids``) — plan-sized driver state, like the
+    reference's partitioning plan.  Every candidate is assigned to its
+    nearest centroid (one broadcast Arrow pass); each query probes its
+    ``nprobe`` nearest lists, and candidates meet queries in an
+    equi-join on the list id (one prunable shuffle — the 100 TB path
+    vs. the brute-force full scan per query).  The whole pipeline is
+    deterministic, so the DuckDB oracle replays it exactly.
     """
     qid = query_id or id_col
-    cent_rows = (
-        candidates.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("v"))
-        .orderBy("cid")
-        .limit(n_lists)
-        .collect()
+    cents = kmeans_centroids(
+        candidates, vec_col, id_col, n_lists, n_iters, sample_stride
     )
-    cents = np.array([r["v"] for r in cent_rows], dtype=np.float64)
-    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
     spark = candidates.sparkSession
     bc = spark.sparkContext.broadcast(cents)
 
@@ -199,26 +283,29 @@ def ivf_topk(
     @F.pandas_udf(IntegerType())
     def nearest_list(v: pd.Series) -> pd.Series:
         m = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
-        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(m @ bc.value.T, axis=1).astype(np.int32))
+        return pd.Series(np.argmin(_l2_assign(m, bc.value), axis=1).astype(np.int32))
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def probe_lists(v: pd.Series) -> pd.Series:
         m = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
-        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        sims = m @ bc.value.T
-        order = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        d2 = _l2_assign(m, bc.value)
+        # (rounded dist asc, list id asc) — np.argsort is stable, so
+        # equal rounded dists resolve to the smaller list id
+        order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
         return pd.Series(list(order))
 
+    # clustering distances use the same 6dp-rounded components the
+    # centroids were trained on (oracle parity); scoring keeps raw vectors
+    vec_r = F.transform(F.col(vec_col), lambda x: F.round(x.cast("double"), 6))
     cand = candidates.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("_cv"),
-        nearest_list(F.col(vec_col)).alias("list_id"),
+        nearest_list(vec_r).alias("list_id"),
     )
     q = queries.select(
         F.col(qid).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        F.explode(probe_lists(F.col(vec_col))).alias("list_id"),
+        F.explode(probe_lists(vec_r)).alias("list_id"),
     )
     joined = cand.join(F.broadcast(q), "list_id").filter(
         F.col("cand_id") != F.col("query_id")

@@ -25,7 +25,9 @@ def test_ivf_recall_vs_bruteforce(spark):
     e = set(zip(exact.query_id, exact.cand_id))
     a = set(zip(approx.query_id, approx.cand_id))
     recall = len(e & a) / len(e)
-    assert recall >= 0.5, f"IVF recall {recall:.2f} too low (nprobe=4/8 lists)"
+    # k-means centroids (vs the old first-k-by-id) lift this from 0.68
+    # to 0.92 on the fixture — keep the bar at 0.9
+    assert recall >= 0.9, f"IVF recall {recall:.2f} too low (nprobe=4/8 lists)"
     # approx similarities are genuine (subset of exact values for shared pairs)
     merged = exact.merge(approx, on=["query_id", "cand_id"], suffixes=("_e", "_a"))
     assert np.allclose(merged.sim_e, merged.sim_a)
