@@ -37,19 +37,46 @@ def read_csv(
     ``column_keys`` maps semantic names to **positional** indices for
     headerless files: ``{"id": 0, "ra": 5, "dec": 6}`` renames _c0/_c5/
     _c6 accordingly (reference integer-keyword fallback).
-    ``skiprows`` drops leading metadata lines (reference
-    partitioner.py:32) using a monotonic id — only sound for files
-    whose preamble is not valid CSV data rows.
-    """
-    df = spark.read.csv(path, header=header, inferSchema=True)
-    if skiprows:
-        from pyspark.sql.window import Window
 
-        w = Window.orderBy(F.monotonically_increasing_id())
-        df = (
-            df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") > skiprows)
-            .drop("_rn")
+    ``skiprows`` drops leading metadata lines per file (reference
+    partitioner.py:32) with **no shuffle and no global ordering**: the
+    preamble always lives in the file block starting at byte 0, and
+    within a scan partition that block's lines arrive contiguous and in
+    order, so a stateful ``mapInPandas`` pass drops the first N lines of
+    each file's first block and the cleaned lines feed the native CSV
+    parser.  (The previous form — a row_number window over
+    ``monotonically_increasing_id`` with no partitionBy — funneled the
+    whole input through one task: a hang at 100 TB.)
+    """
+    if not skiprows:
+        df = spark.read.csv(path, header=header, inferSchema=True)
+    else:
+        txt = spark.read.text(path).select(
+            "value",
+            F.col("_metadata.file_path").alias("_fp"),
+            F.col("_metadata.file_block_start").alias("_bs"),
+        )
+
+        def drop_preamble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            dropped: dict[str, int] = {}  # per-file count, this partition
+            for pdf in batches:
+                keep = pd.Series(True, index=pdf.index)
+                first = pdf["_bs"] == 0
+                for fp in pdf.loc[first, "_fp"].unique():
+                    done = dropped.get(fp, 0)
+                    if done >= skiprows:
+                        continue
+                    idx = pdf.index[first & (pdf["_fp"] == fp)][: skiprows - done]
+                    keep[idx] = False
+                    dropped[fp] = done + len(idx)
+                yield pdf.loc[keep, ["value"]]
+
+        clean = txt.mapInPandas(drop_preamble, "value string")
+        # Dataset-of-lines CSV parse: the JVM parser handles quoting and
+        # schema inference; with header=True it also filters every line
+        # equal to the header, covering per-file header repeats.
+        df = spark.read.csv(
+            clean.rdd.map(lambda r: r[0]), header=header, inferSchema=True
         )
     if column_keys:
         for name, idx in column_keys.items():

@@ -52,6 +52,46 @@ def test_csv_gz_and_skiprows(spark, tmp_path):
     assert df.count() == 10
 
 
+def test_skiprows_multifile_no_global_sort(spark, tmp_path):
+    """skiprows must drop the preamble of EVERY file independently, and
+    the plan must not contain a global-ordering window (the 100 TB
+    scale-killer this replaced)."""
+    for i in range(3):
+        (tmp_path / f"part{i}.csv").write_text(
+            f"# meta for file {i}\n# more meta\n"
+            + "\n".join(f"{i * 100 + j},{j * 1.0}" for j in range(5))
+        )
+    df = readers.read_csv(
+        spark,
+        str(tmp_path / "*.csv"),
+        header=False,
+        skiprows=2,
+        column_keys={"id": 0, "x": 1},
+    )
+    got = df.orderBy("id").toPandas()
+    assert len(got) == 15  # 3 files × 5 data rows, all preambles gone
+    assert got["id"].tolist() == [i * 100 + j for i in range(3) for j in range(5)]
+    # the cleaning stage is shuffle-free: no Window, no single-partition
+    # exchange anywhere in the plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_skiprows_with_header_multifile(spark, tmp_path):
+    """header=True after skiprows: the header line survives preamble
+    dropping and per-file header repeats are filtered."""
+    for i in range(2):
+        (tmp_path / f"h{i}.csv").write_text(
+            "# preamble\nid,val\n" + "\n".join(f"{i * 10 + j},{j}" for j in range(4))
+        )
+    df = readers.read_csv(spark, str(tmp_path / "*.csv"), header=True, skiprows=1)
+    got = df.orderBy("id").toPandas()
+    assert list(df.columns) == ["id", "val"]
+    assert len(got) == 8
+    assert got["id"].tolist() == [0, 1, 2, 3, 10, 11, 12, 13]
+
+
 # -- FITS --------------------------------------------------------------------
 
 
