@@ -41,6 +41,7 @@ vectorized NumPy over Arrow batches.
 
 from __future__ import annotations
 
+import warnings
 from typing import Iterable
 
 import numpy as np
@@ -312,11 +313,14 @@ def crossmatch_dataframes(
     right_cols: list[str] | None = None,
     evaluate_margins: bool = True,
     exclude_same_id: bool = False,
+    debug: bool = False,
 ) -> DataFrame:
     """kNN spatial join of two DataFrames with known sky coverage maps.
 
     ``exclude_same_id`` drops candidate pairs whose left and right ids
-    are equal (self-match mode)."""
+    are equal (self-match mode).  ``debug=True`` truncates the cell
+    plan to its first 5 cells for a fast smoke run (reference
+    catalog.py:175-177)."""
     assert n_neighbors >= 1 and 0 < dthresh <= hpx.min_pixwidth(0), (
         "dthresh must be positive and below the base-pixel width"
     )
@@ -325,7 +329,19 @@ def crossmatch_dataframes(
     left = left.select(*left_cols)
     right = right.select(*right_cols)
 
+    # reference catalog.py:237-241: wide results are usually a mistake
+    if len(left_cols) + len(right_cols) + 3 > 50:
+        warnings.warn(
+            "The cross-match result has more than 50 columns; consider "
+            "limiting the returned columns with left_cols=[...] / "
+            "right_cols=[...]",
+            stacklevel=2,
+        )
+
     cells = crossmatch_cells_plan(hips_left, hips_right, dthresh)
+    if debug and len(cells) > 5:
+        warnings.warn("debug=True: truncating the plan to 5 cells", stacklevel=2)
+        cells = cells[:5]
     if not cells:
         schema = _prefixed_schema(left, right, left_cols, right_cols, left_name, right_name)
         return left.sparkSession.createDataFrame([], schema)
@@ -356,6 +372,7 @@ def crossmatch_catalogs(
     other_columns: list[str] | None = None,
     evaluate_margins: bool = True,
     exclude_self: bool = False,
+    debug: bool = False,
 ) -> DataFrame:
     """Catalog-level cross-match (reference catalog.py:144-253).
 
@@ -386,4 +403,5 @@ def crossmatch_catalogs(
         right_name=rname,
         evaluate_margins=evaluate_margins,
         exclude_same_id=exclude_self,
+        debug=debug,
     )

@@ -143,3 +143,38 @@ def test_notebook_parity_flow(spark, tmp_path):
     xm = ca.cross_match(cb, n_neighbors=1, dthresh=0.01)
     filtered = xm.filter(F.col("_DIST") < 0.005)
     assert 0 < filtered.count() <= xm.count()
+
+
+def test_debug_mode_truncates_plan(spark, tmp_path):
+    """debug=True truncates the cell plan to 5 cells (reference
+    catalog.py:175-177) and warns."""
+    n = 4000
+    pdf = pd.DataFrame({
+        "sid": np.arange(n, dtype=np.int64),
+        "ra": RNG.uniform(0, 360, n),
+        "dec": np.degrees(np.arcsin(RNG.uniform(-1, 1, n))),
+    })
+    c1 = _cat(spark, tmp_path, "dbgl", pdf, threshold=300)
+    c2 = _cat(spark, tmp_path, "dbgr", pdf.assign(sid=pdf.sid + 10_000), threshold=300)
+    full = c1.cross_match(c2, n_neighbors=1, dthresh=0.5).toPandas()
+    with pytest.warns(UserWarning, match="5 cells"):
+        truncated = c1.cross_match(c2, n_neighbors=1, dthresh=0.5, debug=True).toPandas()
+    # strictly fewer result cells, and only cells from the full run
+    assert truncated[["hips_k", "hips_pix"]].drop_duplicates().shape[0] <= 5
+    assert 0 < len(truncated) < len(full)
+
+
+def test_wide_result_warning(spark, tmp_path):
+    """>50 output columns warns (reference catalog.py:237-241)."""
+    n = 200
+    pdf = pd.DataFrame({
+        "sid": np.arange(n, dtype=np.int64),
+        "ra": RNG.uniform(0, 360, n),
+        "dec": RNG.uniform(-60, 60, n),
+    })
+    for i in range(24):
+        pdf[f"x{i}"] = np.float64(i)
+    c1 = _cat(spark, tmp_path, "widel", pdf)
+    c2 = _cat(spark, tmp_path, "wider", pdf.assign(sid=pdf.sid + 10_000))
+    with pytest.warns(UserWarning, match="more than 50 columns"):
+        c1.cross_match(c2, n_neighbors=1, dthresh=0.5)
