@@ -89,6 +89,63 @@ def streaming_pixel_tagger(events: DataFrame, order: int = 8) -> DataFrame:
     return with_pos.withColumn("pix", ang2pix_udf(order, F.col("ra"), F.col("dec")))
 
 
+def stateful_sessionize(events: DataFrame, gap_min: int = 30) -> DataFrame:
+    """Custom stateful operator: gap-based sessionization with
+    ``applyInPandasWithState`` — the streaming twin of the batch
+    ``q12_sessionize`` (lag + running-sum window).
+
+    Per-user state carries (last event time, session count, event
+    count) across micro-batches; each batch's rows are processed in
+    (ts, event_id) order and a session break is a gap above
+    ``gap_min`` minutes.  Emits the cumulative (user_id, n_sessions,
+    n_events) row per updated user each batch (update output mode) —
+    at end-of-stream the latest row per user equals the batch result
+    when batch boundaries do not interleave a user's events out of
+    order (e.g. file-per-day sources).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_sessions long, n_events long"
+    state_schema = "last_sec long, n_sessions long, n_events long"
+
+    def fn(key, pdfs, state: GroupState):
+        import numpy as np
+
+        last_sec, n_sessions, n_events = (
+            state.get if state.exists else (None, 0, 0)
+        )
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        # floor-seconds, matching the batch q12's ts.cast("long") gap units
+        sec = (
+            pd.to_datetime(rows["ts"]).astype("datetime64[ns]").astype("int64")
+            // 1_000_000_000
+        ).to_numpy()
+        if len(sec):
+            prev = np.empty_like(sec)
+            prev[1:] = sec[:-1]
+            if last_sec is None:
+                prev[0] = np.iinfo(np.int64).min // 2  # first-ever → break
+            else:
+                prev[0] = last_sec
+            n_sessions += int(((sec - prev) > gap_min * 60).sum())
+            n_events += len(sec)
+            last_sec = int(sec[-1])
+        state.update((last_sec, n_sessions, n_events))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [n_sessions],
+                "n_events": [n_events],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_to_memory_sink(stream_df: DataFrame, name: str, mode: str = "complete") -> None:
     """Drive a streaming query to completion synchronously (local test
     harness: memory sink + processAllAvailable).  ``mode='complete'``

@@ -228,3 +228,31 @@ def test_streaming_pixel_tagger(spark):
     assert len(got) == 1000
     want = hpx.ang2pix(4, got["ra"].to_numpy(), got["dec"].to_numpy())
     assert (got["pix"].to_numpy() == want).all()
+
+
+def test_stateful_sessionize_matches_batch_q12(spark):
+    """applyInPandasWithState sessionization must reproduce the batch
+    q12 (lag + running-sum window) per-user session/event counts."""
+    from lsd2_spark.queries import all_queries
+    from lsd2_spark.streaming import events as sev
+
+    stream = sev.read_events_stream(spark, SF_DIR)
+    sess = sev.stateful_sessionize(stream, gap_min=30)
+    sev.run_to_memory_sink(sess, "stream_sessions", mode="update")
+    got = (
+        spark.sql("SELECT * FROM stream_sessions")
+        .toPandas()
+        .groupby("user_id")
+        .last()  # update mode: latest cumulative row per user wins
+        .sort_index()
+    )
+
+    batch = (
+        all_queries()["q12_sessionize"](spark, SF_DIR)
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert got.index.equals(batch.index)
+    assert (got["n_sessions"].to_numpy() == batch["n_sessions"].to_numpy()).all()
+    assert (got["n_events"].to_numpy() == batch["n_events"].to_numpy()).all()
