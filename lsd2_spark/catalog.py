@@ -352,6 +352,31 @@ class Catalog:
             "pix", "cnt", _ra_of(F.col("pix")).alias("ra"), _dec_of(F.col("pix")).alias("dec")
         )
 
+    # -- visualizations (reference catalog.py:256-346; SVG here — no
+    # matplotlib/healpy in this environment, see lsd2_spark.viz) ------------
+
+    def visualize_sources(self, order: int = 5, width: int = 800) -> str:
+        from lsd2_spark import viz
+
+        return viz.visualize_sources(self, order=order, width=width)
+
+    def visualize_partitions(self, width: int = 800) -> str:
+        from lsd2_spark import viz
+
+        return viz.visualize_partitions(self, width=width)
+
+    def visualize_cone_search(
+        self, ra: float, dec: float, radius: float, order: int = 5, width: int = 800
+    ) -> str:
+        from lsd2_spark import viz
+
+        return viz.visualize_cone_search(self, ra, dec, radius, order=order, width=width)
+
+    def visualize_cross_match(self, other: "Catalog", width: int = 800) -> str:
+        from lsd2_spark import viz
+
+        return viz.visualize_cross_match(self, other, width=width)
+
     # -- cone search (reference catalog.py:65-141, EP1) ----------------------
 
     def cone_pruning_predicate(self, ra: float, dec: float, radius: float) -> Column | None:

@@ -256,3 +256,44 @@ def test_stateful_sessionize_matches_batch_q12(spark):
     assert got.index.equals(batch.index)
     assert (got["n_sessions"].to_numpy() == batch["n_sessions"].to_numpy()).all()
     assert (got["n_events"].to_numpy() == batch["n_events"].to_numpy()).all()
+
+
+# -- visualizations -----------------------------------------------------------
+
+
+def test_visualizations_svg(spark, tmp_path):
+    """The four reference visualize_* entry points render well-formed
+    SVG over the engine's data surfaces (no matplotlib available)."""
+    from lsd2_spark.catalog import partition_catalog
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    pdf = pd.DataFrame({
+        "sid": np.arange(n, dtype=np.int64),
+        "ra": rng.uniform(0, 360, n),
+        "dec": np.degrees(np.arcsin(rng.uniform(-1, 1, n))),
+    })
+    c1 = partition_catalog(spark.createDataFrame(pdf), str(tmp_path / "v1"), "v1",
+                           ra_col="ra", dec_col="dec", id_col="sid",
+                           threshold=400, order_k=6, write_margins=False)
+    c2 = partition_catalog(spark.createDataFrame(pdf.iloc[: n // 4]),
+                           str(tmp_path / "v2"), "v2",
+                           ra_col="ra", dec_col="dec", id_col="sid",
+                           threshold=400, order_k=6, write_margins=False)
+
+    src = c1.visualize_sources(order=3)
+    assert src.startswith("<svg") and src.endswith("</svg>")
+    # one polygon per non-empty coarse pixel
+    assert src.count("<polygon") == c1.sky_map(3).count()
+    assert f"{n:,} sources" in src
+
+    parts = c1.visualize_partitions()
+    n_cells = sum(len(v) for v in c1.meta.hips.values())
+    assert parts.count("<polygon") == n_cells
+
+    cone = c1.visualize_cone_search(120.0, 30.0, 15.0, order=3)
+    n_hl = cone.count('stroke="#ff3333"')
+    assert n_hl == len(hpx.cone_cover(3, 120.0, 30.0, 15.0))
+
+    xm = c1.visualize_cross_match(c2)
+    assert xm.startswith("<svg") and "<polygon" in xm
