@@ -226,3 +226,16 @@ def test_margin_dataset_exists_and_is_superset_of_boundary(cats):
         want = base.loc[(d < margin * 0.9) & ~inside, "source_id"]
         for sid in want:
             assert (o, p, int(sid)) in got_pairs, (o, p, sid)
+
+
+def test_margin_refinement_shrinks_halo_but_keeps_superset(cats):
+    """Boundary-distance refinement must materially shrink the halo
+    (ring pixels are wider than the margin) while the superset test
+    above still passes with refinement on (the default)."""
+    from lsd2_spark.operators.margins import margin_rows
+
+    base, _, c1, _ = cats
+    src = c1.df().drop("Norder", "Dir", "Npix", "_ID")
+    full = margin_rows(src, c1, c1.meta.ra_kw, c1.meta.dec_kw, refine=False).count()
+    refined = margin_rows(src, c1, c1.meta.ra_kw, c1.meta.dec_kw, refine=True).count()
+    assert refined < full, (refined, full)
