@@ -26,6 +26,7 @@ __all__ = [
     "cosine_topk",
     "ivf_topk",
     "hyperplane_lsh_topk",
+    "embedding_neardup_pairs",
     "kmeans_centroids",
 ]
 
@@ -102,6 +103,29 @@ def _hyperplanes(n_tables: int, n_bits: int, dim: int) -> np.ndarray:
     return w / np.maximum(np.linalg.norm(w, axis=1, keepdims=True), 1e-12)
 
 
+def _bucket_udf(spark, candidates: DataFrame, vec_col: str, n_bits: int, n_tables: int):
+    """Arrow UDF computing each vector's ``n_tables`` sign-LSH bucket
+    ids (table index folded into the id)."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    dim_probe = candidates.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    planes = _hyperplanes(n_tables, n_bits, int(dim_probe[0]["d"]))
+    bc = spark.sparkContext.broadcast(planes)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def buckets_of(v: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        bits = (m @ bc.value.T) > 0  # (n, n_tables*n_bits)
+        bits = bits.reshape(len(m), n_tables, n_bits)
+        weights = (1 << np.arange(n_bits)).astype(np.int32)
+        codes = (bits * weights[None, None, :]).sum(axis=2).astype(np.int32)
+        # disambiguate tables in the bucket id
+        codes += (np.arange(n_tables) << n_bits).astype(np.int32)[None, :]
+        return pd.Series(list(codes))
+
+    return buckets_of
+
+
 def hyperplane_lsh_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -123,23 +147,7 @@ def hyperplane_lsh_topk(
     """
     qid = query_id or id_col
     spark = candidates.sparkSession
-
-    from pyspark.sql.types import ArrayType, IntegerType
-
-    dim_probe = candidates.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
-    planes = _hyperplanes(n_tables, n_bits, int(dim_probe[0]["d"]))
-    bc = spark.sparkContext.broadcast(planes)
-
-    @F.pandas_udf(ArrayType(IntegerType()))
-    def buckets_of(v: pd.Series) -> pd.Series:
-        m = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
-        bits = (m @ bc.value.T) > 0  # (n, n_tables*n_bits)
-        bits = bits.reshape(len(m), n_tables, n_bits)
-        weights = (1 << np.arange(n_bits)).astype(np.int32)
-        codes = (bits * weights[None, None, :]).sum(axis=2).astype(np.int32)
-        # disambiguate tables in the bucket id
-        codes += (np.arange(n_tables) << n_bits).astype(np.int32)[None, :]
-        return pd.Series(list(codes))
+    buckets_of = _bucket_udf(spark, candidates, vec_col, n_bits, n_tables)
 
     cand = candidates.select(
         F.col(id_col).alias("cand_id"),
@@ -246,6 +254,53 @@ def kmeans_centroids(
         cents = new
     samp.unpersist()
     return cents
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.4,
+    n_bits: int = 4,
+    n_tables: int = 16,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the dedup variant of the
+    LSH machinery: bucket every vector into ``n_tables`` sign-LSH
+    tables, self-join on the bucket id (id1 < id2, distinct), score the
+    surviving candidates with the exact cosine, and keep pairs at or
+    above ``threshold``.
+
+    100 TB shape: the self-join is a bucketed equi-join (one shuffle on
+    the bucket id, AQE splits hot buckets) — never an all-pairs plan;
+    recall follows the standard sign-LSH bound (1-(1-p^bits)^tables).
+    Deterministic hyperplanes make the whole pipeline SQL-replayable,
+    so the gate hash-matches a DuckDB oracle end-to-end.
+    """
+    spark = df.sparkSession
+    buckets_of = _bucket_udf(spark, df, vec_col, n_bits, n_tables)
+    tagged = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col)).alias("_n"),
+        F.explode(buckets_of(F.col(vec_col))).alias("bucket"),
+    )
+    l, r = tagged.alias("l"), tagged.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id1"),
+            F.col("r._id").alias("id2"),
+            F.round(
+                _dot(F.col("l._v"), F.col("r._v")) / (F.col("l._n") * F.col("r._n")), 6
+            ).alias("sim"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    return pairs.filter(F.col("sim") >= threshold)
 
 
 def ivf_topk(

@@ -217,3 +217,68 @@ def _lsh_oracle_sql(n_bits: int, n_tables: int) -> str:
 
 
 register("q44_lsh_ann", q44_lsh_ann, oracle=_lsh_oracle_sql(n_bits=4, n_tables=16))
+
+
+NEARDUP_THRESHOLD = 0.4
+
+
+def q45_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(
+        emb, "embedding", "vec_id", threshold=NEARDUP_THRESHOLD, n_bits=4, n_tables=16
+    )
+
+
+def _neardup_oracle_sql(n_bits: int, n_tables: int, threshold: float) -> str:
+    """Replays the near-dup pipeline: same integer-lattice hyperplanes
+    (see _lsh_oracle_sql), bucketed self-join with id1 < id2, distinct
+    pairs, exact cosine at 6 dp, threshold filter."""
+    n_planes = n_tables * n_bits
+    return f"""
+    WITH planes AS (
+      SELECT pp.p, jj.j,
+             CAST((((pp.p // {n_bits}) * 131 + (pp.p % {n_bits}) * 37 + jj.j * 101
+                    + ((pp.p % {n_bits}) * jj.j + (pp.p // {n_bits}) * jj.j) % 29) % 17) - 8
+                  AS DOUBLE) AS w
+      FROM (SELECT CAST(x AS BIGINT) AS p FROM unnest(range(0, {n_planes})) t(x)) pp,
+           (SELECT CAST(x AS BIGINT) AS j FROM unnest(range(0, {DIM})) t(x)) jj
+    ), comp AS (
+      SELECT vec_id, CAST(i AS BIGINT) - 1 AS j,
+             CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+      FROM embeddings, unnest(range(1, {DIM + 1})) t(i)
+    ), dots AS (
+      SELECT c.vec_id, p.p, SUM(c.x * p.w) AS d
+      FROM comp c JOIN planes p ON c.j = p.j
+      GROUP BY c.vec_id, p.p
+    ), buckets AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN d > 0 THEN (1 << (p % {n_bits})) ELSE 0 END)
+                  + (p // {n_bits}) * {1 << n_bits} AS INTEGER) AS bucket
+      FROM dots GROUP BY vec_id, p // {n_bits}
+    ), cand_pairs AS (
+      SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+      FROM buckets a JOIN buckets b ON a.bucket = b.bucket
+      WHERE a.vec_id < b.vec_id
+    ), pairs AS (
+      SELECT cp.id1, cp.id2, ea.embedding AS qv, eb.embedding AS cv
+      FROM cand_pairs cp
+      JOIN embeddings ea ON ea.vec_id = cp.id1
+      JOIN embeddings eb ON eb.vec_id = cp.id2
+    ), sims AS (
+      SELECT id1, id2,
+             ROUND(
+               SUM(CAST(qv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(cv[CAST(i AS INTEGER)] AS DOUBLE)) /
+               (SQRT(SUM(CAST(qv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(qv[CAST(i AS INTEGER)] AS DOUBLE))) *
+                SQRT(SUM(CAST(cv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(cv[CAST(i AS INTEGER)] AS DOUBLE)))), 6) AS sim
+      FROM pairs, UNNEST(range(1, {DIM + 1})) AS t(i)
+      GROUP BY id1, id2
+    )
+    SELECT id1, id2, sim FROM sims WHERE sim >= {threshold}
+    """
+
+
+register(
+    "q45_embedding_neardup",
+    q45_embedding_neardup,
+    oracle=_neardup_oracle_sql(n_bits=4, n_tables=16, threshold=NEARDUP_THRESHOLD),
+)

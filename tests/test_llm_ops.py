@@ -160,3 +160,29 @@ def test_lsh_rejects_overflowing_band_configs(spark):
         dedup.lsh_candidate_pairs(df, "text", "doc_id", bands=2)
     with pytest.raises(ValueError, match="divide"):
         dedup.lsh_candidate_pairs(df, "text", "doc_id", bands=3)
+
+
+def test_embedding_neardup_recall_and_precision(spark):
+    """LSH-bucketed near-dup pairs: every reported pair is a true
+    >=threshold pair (exact cosine re-check), and recall vs the exact
+    all-pairs set is high."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = similarity.embedding_neardup_pairs(
+        emb, "embedding", "vec_id", threshold=0.4
+    ).toPandas()
+
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    m = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    ids = pdf["vec_id"].to_numpy()
+    iu = np.triu_indices(len(ids), k=1)
+    true_mask = np.round(sims[iu], 6) >= 0.4
+    true_pairs = {
+        (min(a, b), max(a, b))
+        for a, b in zip(ids[iu[0]][true_mask], ids[iu[1]][true_mask])
+    }
+    got_pairs = set(zip(got["id1"].astype(int), got["id2"].astype(int)))
+    assert got_pairs <= true_pairs  # precision 1.0 (exact post-filter)
+    recall = len(got_pairs) / max(len(true_pairs), 1)
+    assert recall >= 0.8, f"near-dup recall {recall:.2f}"
