@@ -39,6 +39,8 @@ HEADLINE = [
     "q32_lsh_pairs",
     "q35_token_stats",
     "q40_embedding_knn",
+    "q41_ivf_topk",
+    "q45_embedding_neardup",
 ]
 
 

@@ -294,11 +294,21 @@ def embedding_neardup_pairs(
         .select(
             F.col("l._id").alias("id1"),
             F.col("r._id").alias("id2"),
+            F.col("l._v").alias("_v1"),
+            F.col("r._v").alias("_v2"),
+            F.col("l._n").alias("_n1"),
+            F.col("r._n").alias("_n2"),
+        )
+        # dedupe BEFORE scoring: a pair colliding in many tables must be
+        # scored once, not once per table (measured 5× on the bench)
+        .dropDuplicates(["id1", "id2"])
+        .select(
+            "id1",
+            "id2",
             F.round(
-                _dot(F.col("l._v"), F.col("r._v")) / (F.col("l._n") * F.col("r._n")), 6
+                _dot(F.col("_v1"), F.col("_v2")) / (F.col("_n1") * F.col("_n2")), 6
             ).alias("sim"),
         )
-        .dropDuplicates(["id1", "id2"])
     )
     return pairs.filter(F.col("sim") >= threshold)
 
