@@ -426,11 +426,16 @@ def neighbors(order: int, pix, eps: float = 0.05) -> list[np.ndarray]:
     q = w_c[..., None] * c[:, None, :] + w_b[..., None] * b
     qra, qdec = _vec_to_radec(q)
     sampled = ang2pix(order, qra, qdec)
-    out = []
-    for i in range(len(pix)):
-        u = np.unique(sampled[i])
-        out.append(u[u != pix[i]])
-    return out
+    # vectorized per-row unique: sort each row, mark first occurrences,
+    # drop self — the previous per-row np.unique loop cost ~5 s at 1e5
+    # pixels of driver planning time
+    s = np.sort(sampled, axis=1)
+    keep = np.ones(s.shape, dtype=bool)
+    keep[:, 1:] = s[:, 1:] != s[:, :-1]
+    keep &= s != pix[:, None]
+    counts = keep.sum(axis=1)
+    flat = s[keep]
+    return np.split(flat, np.cumsum(counts)[:-1]) if len(pix) else []
 
 
 def neighbors_flat(order: int, pix) -> tuple[np.ndarray, np.ndarray]:
