@@ -590,3 +590,90 @@ register(
     FROM lineitem GROUP BY l_linestatus
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Q04 — order-priority checking (TPC-H Q4 shape adapted to this schema:
+# EXISTS → left-semi, date-window scan).  The semi-join keeps the probe
+# side unduplicated — no post-join distinct at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01"))
+        & (F.col("o_orderdate") < F.lit("1994-10-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+register(
+    "q04_order_priority",
+    q04_order_priority,
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1994-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q22 — idle high-balance customers (TPC-H Q22 shape adapted: scalar
+# subquery for the positive-balance average + NOT EXISTS anti-join,
+# grouped by market segment).  The scalar average broadcasts; the anti
+# join is one shuffle.
+# ---------------------------------------------------------------------------
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    # engine-portable average (exact decimal sum / count in double) as a
+    # broadcast 1-row scalar — no driver collect
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg((dsum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("_avg_bal"))
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("_avg_bal")
+    )
+    idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        dsum(F.col("c_acctbal")).alias("totacctbal"),
+    )
+
+
+register(
+    "q22_idle_customers",
+    q22_idle_customers,
+    f"""
+    WITH avg_bal AS (
+      SELECT {_dsum("c_acctbal")} / COUNT(*) AS a FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+           {_dsum("c_acctbal")} AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > a
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
