@@ -352,4 +352,34 @@ def q43_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(_blobs(spark, sf_dir))
 
 
-register("q43_media_features", q43_media_features, oracle=None)
+# The fake featurizer is deterministic byte arithmetic over the payload
+# (which is the UTF-8 text; pure ASCII here — verified), so DuckDB can
+# replay it: mean byte, Shannon entropy over byte frequencies, md5
+# prefix.  The decode STUB (decode_image_stub) remains the declared
+# environment limitation; the gate now hash-checks the plumbing output.
+register(
+    "q43_media_features",
+    q43_media_features,
+    """
+    WITH chars AS (
+      SELECT doc_id, CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT) AS c
+      FROM documents, unnest(range(1, length(text) + 1)) t(i)
+    ), freq AS (
+      SELECT doc_id, c, COUNT(*) AS n FROM chars GROUP BY doc_id, c
+    ), stats AS (
+      SELECT f.doc_id,
+             ROUND(CAST(SUM(f.n * f.c) AS DOUBLE) / SUM(f.n), 6) AS feat_mean,
+             ROUND(-SUM((f.n / CAST(d.L AS DOUBLE)) * log2(f.n / CAST(d.L AS DOUBLE))), 6)
+               AS feat_entropy
+      FROM freq f JOIN (SELECT doc_id, length(text) AS L FROM documents) d
+        ON d.doc_id = f.doc_id
+      GROUP BY f.doc_id
+    )
+    SELECT d.doc_id AS media_id,
+           CAST(length(d.text) AS INTEGER) AS n_bytes,
+           COALESCE(s.feat_mean, 0.0) AS feat_mean,
+           COALESCE(s.feat_entropy, 0.0) AS feat_entropy,
+           substr(md5(d.text), 1, 16) AS sketch
+    FROM documents d LEFT JOIN stats s ON s.doc_id = d.doc_id
+    """,
+)
