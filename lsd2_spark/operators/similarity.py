@@ -31,6 +31,19 @@ __all__ = [
 ]
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure enough input partitions to parallelize downstream
+    broadcast joins and scoring.  A small single-file read arrives as
+    ONE partition; every stage after a broadcast join then runs in one
+    task (measured 25s single-threaded vs ~1s spread for the near-dup
+    scorer).  At scale inputs are already many-partitioned and this is
+    a no-op."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, want // 2):
+        return df.repartition(want)
+    return df
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -68,6 +81,7 @@ def cosine_topk(
     desc, candidate id).
     """
     qid = query_id or id_col
+    candidates = _spread(candidates)
     # norms precomputed once per vector (not once per pair)
     q = F.broadcast(
         queries.select(
@@ -147,6 +161,7 @@ def hyperplane_lsh_topk(
     """
     qid = query_id or id_col
     spark = candidates.sparkSession
+    candidates = _spread(candidates)
     buckets_of = _bucket_udf(spark, candidates, vec_col, n_bits, n_tables)
 
     cand = candidates.select(
@@ -277,38 +292,35 @@ def embedding_neardup_pairs(
     so the gate hash-matches a DuckDB oracle end-to-end.
     """
     spark = df.sparkSession
+    df = _spread(df)
     buckets_of = _bucket_udf(spark, df, vec_col, n_bits, n_tables)
     tagged = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         _norm(F.col(vec_col)).alias("_n"),
-        F.explode(buckets_of(F.col(vec_col))).alias("bucket"),
+        buckets_of(F.col(vec_col)).alias("_bs"),
+    ).select(
+        "_id", "_v", "_n", "_bs", F.posexplode(F.col("_bs")).alias("t", "bucket")
     )
     l, r = tagged.alias("l"), tagged.alias("r")
-    pairs = (
-        l.join(
-            r,
-            (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
-        .select(
-            F.col("l._id").alias("id1"),
-            F.col("r._id").alias("id2"),
-            F.col("l._v").alias("_v1"),
-            F.col("r._v").alias("_v2"),
-            F.col("l._n").alias("_n1"),
-            F.col("r._n").alias("_n2"),
-        )
-        # dedupe BEFORE scoring: a pair colliding in many tables must be
-        # scored once, not once per table (measured 5× on the bench)
-        .dropDuplicates(["id1", "id2"])
-        .select(
-            "id1",
-            "id2",
-            F.round(
-                _dot(F.col("_v1"), F.col("_v2")) / (F.col("_n1") * F.col("_n2")), 6
-            ).alias("sim"),
-        )
+    joined = l.join(
+        r,
+        (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l._id") < F.col("r._id")),
+    )
+    # emit each pair only from its FIRST colliding table (an in-stage
+    # check on the carried bucket arrays) — replaces a dropDuplicates
+    # exchange over the pair set AND scores each pair exactly once.
+    # array_position over a zip_with keeps the expression tree small
+    # enough for codegen (a per-table CASE chain ran interpreted).
+    first_match = F.array_position(
+        F.zip_with(F.col("l._bs"), F.col("r._bs"), lambda a, b: a == b), F.lit(True)
+    )
+    pairs = joined.filter(first_match == F.col("l.t") + 1).select(
+        F.col("l._id").alias("id1"),
+        F.col("r._id").alias("id2"),
+        F.round(
+            _dot(F.col("l._v"), F.col("r._v")) / (F.col("l._n") * F.col("r._n")), 6
+        ).alias("sim"),
     )
     return pairs.filter(F.col("sim") >= threshold)
 
@@ -337,6 +349,7 @@ def ivf_topk(
     deterministic, so the DuckDB oracle replays it exactly.
     """
     qid = query_id or id_col
+    candidates = _spread(candidates)
     cents = kmeans_centroids(
         candidates, vec_col, id_col, n_lists, n_iters, sample_stride
     )
