@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from lsd2_spark.operators.common import spread_partitions
 from lsd2_spark.functions.portable_hash import MINHASH_PERMS, MOD, hash64
 
 __all__ = [
@@ -105,7 +106,7 @@ def lsh_candidate_pairs(
             f"bands={bands} gives {rows_per_band} rows/band; bucket packing "
             f"fits int64 only for <=2 rows/band (use bands >= {(k + 1) // 2})"
         )
-    sig = minhash_signatures(df, text_col, id_col)
+    sig = minhash_signatures(spread_partitions(df), text_col, id_col)
 
     def bucket_of(prefix: str, b: int):
         parts = [

@@ -31,17 +31,7 @@ __all__ = [
 ]
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Ensure enough input partitions to parallelize downstream
-    broadcast joins and scoring.  A small single-file read arrives as
-    ONE partition; every stage after a broadcast join then runs in one
-    task (measured 25s single-threaded vs ~1s spread for the near-dup
-    scorer).  At scale inputs are already many-partitioned and this is
-    a no-op."""
-    want = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, want // 2):
-        return df.repartition(want)
-    return df
+from lsd2_spark.operators.common import spread_partitions as _spread
 
 
 def _dot(a: Column, b: Column) -> Column:
