@@ -38,9 +38,16 @@ def _tokens(text: Column) -> Column:
     return F.split(text, r"\s+")
 
 
+# GPT-2-style pre-tokenizer segmentation, restricted to constructs both
+# Java regex (Spark) and RE2 (DuckDB) evaluate identically: contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs.
+BPE_TOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
 def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Per-document token accounting: counts, distinct counts, average
-    token length, longest token."""
+    """Per-document token accounting: whitespace counts, distinct
+    counts, average token length, and a BPE-ish pre-tokenizer count
+    (the LLM-pipeline "how many tokens is this corpus" estimator)."""
     t = _tokens(F.col(text_col))
     return df.select(
         F.col(id_col),
@@ -52,6 +59,7 @@ def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             / F.size(t),
             6,
         ).alias("avg_token_len"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_RE)).alias("n_bpe_tokens"),
     )
 
 

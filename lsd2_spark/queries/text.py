@@ -187,13 +187,15 @@ def q35_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "q35_token_stats",
     q35_token_stats,
-    """
+    f"""
     SELECT doc_id,
            length(text) AS n_chars_obs,
            len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
            len(list_distinct(regexp_split_to_array(text, '\\s+'))) AS n_uniq_tokens,
            ROUND(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-                 / len(regexp_split_to_array(text, '\\s+')), 6) AS avg_token_len
+                 / len(regexp_split_to_array(text, '\\s+')), 6) AS avg_token_len,
+           CAST(len(regexp_extract_all(text, '{text_analysis.BPE_TOKEN_RE.replace("'", "''")}')) AS INTEGER)
+             AS n_bpe_tokens
     FROM documents
     """,
 )
