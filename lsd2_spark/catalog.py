@@ -314,6 +314,15 @@ class Catalog:
             return None
         return self.spark.read.parquet(p)
 
+    def create_view(self, name: str | None = None) -> str:
+        """Register the catalog as a Spark SQL temp view so the full
+        ``spark.sql`` surface composes with it (partition pruning on
+        Norder/Npix and column pruning still apply — the view is the
+        same lazy scan as ``df()``).  Returns the view name."""
+        view = name or self.meta.cat_name
+        self.df().createOrReplaceTempView(view)
+        return view
+
     def _with_required(self, columns: list[str]) -> list[str]:
         """Reference util.py:276-296: ra/dec/id always included."""
         need = [self.meta.ra_kw, self.meta.dec_kw, self.meta.id_kw]

@@ -72,6 +72,16 @@ def cosine_topk(
     """
     qid = query_id or id_col
     candidates = _spread(candidates)
+    # the query side is broadcast + crossJoined: a large query set makes
+    # this an all-pairs plan.  Guard with a cheap bounded count on the
+    # (small) query side and route big sets to the ANN paths.
+    probe = queries.select(qid).limit(10_001).count()
+    if probe > 10_000:
+        raise ValueError(
+            "cosine_topk is the exact broadcast baseline — the query set "
+            f"exceeds 10k vectors ({probe}+); use ivf_topk or "
+            "hyperplane_lsh_topk for large query sets"
+        )
     # norms precomputed once per vector (not once per pair)
     q = F.broadcast(
         queries.select(

@@ -239,3 +239,22 @@ def test_margin_refinement_shrinks_halo_but_keeps_superset(cats):
     full = margin_rows(src, c1, c1.meta.ra_kw, c1.meta.dec_kw, refine=False).count()
     refined = margin_rows(src, c1, c1.meta.ra_kw, c1.meta.dec_kw, refine=True).count()
     assert refined < full, (refined, full)
+
+
+def test_sql_view_surface(cats):
+    """Catalog.create_view exposes the catalog to spark.sql with
+    partition pruning intact."""
+    _, _, c1, _ = cats
+    view = c1.create_view()
+    got = c1.spark.sql(
+        f"SELECT COUNT(*) AS n FROM {view} WHERE Norder = "
+        f"(SELECT MIN(Norder) FROM {view})"
+    ).collect()[0]["n"]
+    assert got > 0
+    # pruning: a Npix-filtered plan reads fewer files than the full scan
+    o = min(c1.meta.hips)
+    p = c1.meta.hips[o][0]
+    plan = c1.spark.sql(
+        f"SELECT * FROM {view} WHERE Norder = {o} AND Npix = {p}"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
