@@ -336,6 +336,7 @@ def ivf_topk(
     n_iters: int = 2,
     sample_stride: int = 1,
     query_id: str | None = None,
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Approximate top-k: IVF (inverted-file) partitioning.
 
@@ -347,11 +348,18 @@ def ivf_topk(
     equi-join on the list id (one prunable shuffle — the 100 TB path
     vs. the brute-force full scan per query).  The whole pipeline is
     deterministic, so the DuckDB oracle replays it exactly.
+
+    Pass ``centroids`` (from a prior ``kmeans_centroids`` call) to
+    reuse a built index across many query batches — at scale the index
+    is built once and searched many times; re-deriving it per query
+    wastes a k-means pass over the corpus sample.
     """
     qid = query_id or id_col
     candidates = _spread(candidates)
-    cents = kmeans_centroids(
-        candidates, vec_col, id_col, n_lists, n_iters, sample_stride
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(candidates, vec_col, id_col, n_lists, n_iters, sample_stride)
     )
     spark = candidates.sparkSession
     bc = spark.sparkContext.broadcast(cents)

@@ -186,3 +186,18 @@ def test_embedding_neardup_recall_and_precision(spark):
     assert got_pairs <= true_pairs  # precision 1.0 (exact post-filter)
     recall = len(got_pairs) / max(len(true_pairs), 1)
     assert recall >= 0.8, f"near-dup recall {recall:.2f}"
+
+
+def test_ivf_centroid_reuse(spark):
+    """Prebuilt centroids reproduce the self-built result exactly (the
+    build-once / search-many index pattern)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    cents = similarity.kmeans_centroids(emb, "embedding", "vec_id", 8, n_iters=2)
+    a = similarity.ivf_topk(
+        emb, queries, "embedding", "vec_id", k=5, n_lists=8, nprobe=4
+    ).toPandas().sort_values(["query_id", "rnk"], ignore_index=True)
+    b = similarity.ivf_topk(
+        emb, queries, "embedding", "vec_id", k=5, n_lists=8, nprobe=4, centroids=cents
+    ).toPandas().sort_values(["query_id", "rnk"], ignore_index=True)
+    assert a.equals(b)
