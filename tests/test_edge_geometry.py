@@ -178,3 +178,38 @@ def test_wide_result_warning(spark, tmp_path):
     c2 = _cat(spark, tmp_path, "wider", pdf.assign(sid=pdf.sid + 10_000))
     with pytest.warns(UserWarning, match="more than 50 columns"):
         c1.cross_match(c2, n_neighbors=1, dthresh=0.5)
+
+
+def test_crossmatch_hot_cell_skew(spark, tmp_path):
+    """SURVEY §7 hard part 5: a dense cluster concentrated in ONE cell
+    (plus sparse background) must still match correctly — the cogroup
+    kernel is bounded per cell and AQE handles the skewed shuffle."""
+    n_dense, n_sparse = 8000, 500
+    dense = pd.DataFrame({
+        "sid": np.arange(n_dense, dtype=np.int64),
+        "ra": RNG.uniform(100.0, 100.4, n_dense),     # ~one fine cell
+        "dec": RNG.uniform(10.0, 10.4, n_dense),
+    })
+    sparse = pd.DataFrame({
+        "sid": np.arange(n_dense, n_dense + n_sparse, dtype=np.int64),
+        "ra": RNG.uniform(0, 360, n_sparse),
+        "dec": RNG.uniform(-60, 60, n_sparse),
+    })
+    base = pd.concat([dense, sparse], ignore_index=True)
+    partner = base.copy()
+    partner["sid"] += 100_000
+    partner["ra"] = (partner["ra"] + 0.01) % 360
+    c1 = _cat(spark, tmp_path, "hotl", base, threshold=1000)
+    c2 = _cat(spark, tmp_path, "hotr", partner, threshold=1000)
+    got = c1.cross_match(c2, n_neighbors=1, dthresh=0.05).toPandas()
+    # every left row found a partner (planted at 0.01 deg)
+    assert len(got) == len(base)
+    assert (got["_DIST"].to_numpy() < 0.05).all()
+    # exact nearest-neighbor oracle on the dense block boundary rows
+    d = hpx.gc_dist_deg(
+        base["ra"].to_numpy()[:, None], base["dec"].to_numpy()[:, None],
+        partner["ra"].to_numpy()[None, :], partner["dec"].to_numpy()[None, :],
+    )
+    nearest = partner["sid"].to_numpy()[d.argmin(axis=1)]
+    got_sorted = got.sort_values("hotl_sid")
+    assert (got_sorted["hotr_sid"].to_numpy() == nearest).all()

@@ -1,0 +1,50 @@
+"""Physical-plan assertions for the relational query surface: the
+declarative forms must actually reach the optimizations they were
+written for — predicate/projection pushdown into the parquet scan,
+broadcast joins for dims, whole-stage codegen on the hot path.  (The
+catalog-side plan assertions live in test_catalog.py.)"""
+
+from __future__ import annotations
+
+from lsd2_spark.queries import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = all_queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_pushes_date_filter_and_prunes_columns(spark):
+    plan = _plan(spark, "q01_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # projection pruning: the scan's ReadSchema must not include columns
+    # q01 never touches
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_partkey" not in read and "l_suppkey" not in read
+
+
+def test_q05_broadcasts_dimension_tables(spark):
+    plan = _plan(spark, "q05_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan or plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q09_plans_anti_join(spark):
+    plan = _plan(spark, "q09_anti_join")
+    assert "LeftAnti" in plan
+
+
+def test_q10_plans_semi_join(spark):
+    plan = _plan(spark, "q10_semi_join")
+    assert "LeftSemi" in plan
+
+
+def test_q01_runs_in_whole_stage_codegen(spark):
+    df = all_queries()["q01_pricing_summary"](spark, SF_DIR)
+    df.collect()  # AQE finalizes THIS plan only on its own execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # "*(n)" marks a WholeStageCodegen stage in the final-plan rendering
+    assert "*(" in plan
