@@ -314,6 +314,165 @@ class Catalog:
             return None
         return self.spark.read.parquet(p)
 
+    def append(self, df: DataFrame) -> "Catalog":
+        """Incremental ingest (extension — the reference can only
+        re-import from scratch): append rows to an existing catalog.
+
+        - new rows are assigned to the EXISTING leaves via the same
+          one-pass multi-order probe the cross-match planner uses (one
+          broadcast join, no histogram re-scan);
+        - rows outside the original sky coverage open new leaves at
+          ``order_k`` (recorded in the metadata);
+        - only the touched cells are re-ranked (their existing rows are
+          re-read pruned, merged, and re-indexed so ``_ID`` stays the
+          global rank-within-pixel) and rewritten with DYNAMIC partition
+          overwrite — untouched cells are never read or written;
+        - new halo rows append to ``neighbor/`` if margins exist.
+
+        Leaves are NOT re-split: a cell pushed past ``pix_threshold``
+        warns (re-import to re-balance), matching the density contract.
+        """
+        spark = self.spark
+        meta = self.meta
+        order_k = meta.order_k
+        ra, dec = F.col(meta.ra_kw), F.col(meta.dec_kw)
+
+        orders = sorted(meta.hips)
+        leaf_tbl = F.broadcast(
+            spark.createDataFrame(
+                [(int(o), int(p)) for o in orders for p in meta.hips[o]],
+                "Norder int, Npix long",
+            )
+        )
+        withk = df.withColumn("_kpix", ang2pix_udf(order_k, ra, dec))
+        probes = F.array(
+            *[
+                F.struct(
+                    F.lit(o).cast("int").alias("Norder"),
+                    F.shiftright(F.col("_kpix"), 2 * (order_k - o)).alias("Npix"),
+                )
+                for o in orders
+            ]
+        )
+        cand = withk.withColumn("_pr", F.explode(probes)).select(
+            *df.columns, "_kpix", F.col("_pr.Norder").alias("Norder"),
+            F.col("_pr.Npix").alias("Npix"),
+        )
+        hit = cand.join(leaf_tbl, ["Norder", "Npix"])  # leaves partition the
+        # covered sky, so each row matches at most one leaf
+        missed = withk.join(
+            hit.select(meta.id_kw), meta.id_kw, "left_anti"
+        ).select(
+            *df.columns, "_kpix",
+            F.lit(order_k).cast("int").alias("Norder"),
+            F.col("_kpix").alias("Npix"),
+        )
+        assigned = (
+            hit.unionByName(missed)
+            .drop("_kpix")
+            .withColumn("Dir", _dir_of(F.col("Npix")))
+        ).cache()
+
+        new_leaves = [
+            (int(r["Npix"]))
+            for r in missed.select("Npix").distinct().collect()
+        ]
+        touched = [
+            (int(r["Norder"]), int(r["Npix"]))
+            for r in assigned.select("Norder", "Npix").distinct().collect()
+        ]
+        n_new = assigned.count()
+
+        # merge touched cells' existing rows (pruned read) with the new
+        # ones; the encoded (order, pixel) key is a deterministic
+        # expression over partition columns, so pruning still applies
+        data_cols = list(df.columns)
+        cell_key = F.col("Norder").cast("long") * F.lit(1 << 40) + F.col("Npix").cast(
+            "long"
+        )
+        touched_pred = cell_key.isin([(o << 40) + p for o, p in touched])
+        existing = (
+            self.df()
+            .filter(touched_pred)
+            .select(
+                *data_cols,
+                F.col("Norder").cast("int").alias("Norder"),
+                F.col("Npix").cast("long").alias("Npix"),
+                F.col("Dir").cast("long").alias("Dir"),
+            )
+        )
+        merged = existing.unionByName(assigned.select(*existing.columns))
+
+        from pyspark.sql.types import StructField, StructType
+
+        out_schema = StructType(
+            list(merged.schema.fields) + [StructField("_ID", LongType(), False)]
+        )
+        indexed = merged.groupBy("Norder", "Npix").applyInPandas(
+            _index_and_sort_kernel(meta.ra_kw, meta.dec_kw), out_schema
+        )
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                indexed.write.mode("overwrite")
+                .partitionBy("Norder", "Dir", "Npix")
+                .parquet(f"{self.path}/catalog")
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+        hips = {o: sorted(ps) for o, ps in meta.hips.items()}
+        if new_leaves:
+            hips.setdefault(order_k, [])
+            hips[order_k] = sorted(set(hips[order_k]) | set(new_leaves))
+        new_meta = CatalogMetadata(
+            cat_name=meta.cat_name,
+            ra_kw=meta.ra_kw,
+            dec_kw=meta.dec_kw,
+            id_kw=meta.id_kw,
+            n_sources=meta.n_sources + n_new,
+            pix_threshold=meta.pix_threshold,
+            order_k=order_k,
+            margin_threshold=meta.margin_threshold,
+            hips=hips,
+        )
+        with open(f"{self.path}/{meta.cat_name}_meta.json", "w") as f:
+            f.write(new_meta.to_json())
+        cat = Catalog(spark, self.path, new_meta)
+
+        if os.path.exists(f"{self.path}/neighbor"):
+            from lsd2_spark.operators.margins import margin_rows
+
+            halo = margin_rows(df, cat, ra_col=meta.ra_kw, dec_col=meta.dec_kw)
+            if halo is not None:
+                (
+                    halo.withColumn("Dir", _dir_of(F.col("Npix")))
+                    .repartition("Norder", "Npix")
+                    .write.mode("append")
+                    .partitionBy("Norder", "Dir", "Npix")
+                    .parquet(f"{self.path}/neighbor")
+                )
+
+        over = (
+            cat.df()
+            .filter(touched_pred)
+            .groupBy("Norder", "Npix")
+            .count()
+            .filter(F.col("count") > meta.pix_threshold)
+            .count()
+        )
+        if over:
+            import warnings
+
+            warnings.warn(
+                f"{over} cell(s) now exceed pix_threshold="
+                f"{meta.pix_threshold} after append; re-import to re-balance",
+                stacklevel=2,
+            )
+        assigned.unpersist()
+        return cat
+
     def create_view(self, name: str | None = None) -> str:
         """Register the catalog as a Spark SQL temp view so the full
         ``spark.sql`` surface composes with it (partition pruning on

@@ -258,3 +258,73 @@ def test_sql_view_surface(cats):
         f"SELECT * FROM {view} WHERE Norder = {o} AND Npix = {p}"
     )._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
+
+
+def test_append_equals_single_shot_ingest(spark, tmp_path):
+    """Appending the second half of a dataset reproduces the single-shot
+    ingest exactly — same rows, same _ID ranks — because touched cells
+    are fully re-ranked; untouched cells are never rewritten.  Rows
+    outside the original coverage open new leaves."""
+    rng = np.random.default_rng(21)
+    n = 6000
+    pdf = pd.DataFrame({
+        "sid": np.arange(n, dtype=np.int64),
+        "ra": rng.uniform(0, 180, n),          # half the sky initially
+        "dec": np.degrees(np.arcsin(rng.uniform(-1, 1, n))),
+    })
+    extra = pd.DataFrame({
+        "sid": np.arange(n, n + 500, dtype=np.int64),
+        "ra": rng.uniform(180, 360, 500),      # NEW coverage
+        "dec": np.degrees(np.arcsin(rng.uniform(-1, 1, 500))),
+    })
+    both = pd.concat([pdf, extra], ignore_index=True)
+
+    single = partition_catalog(
+        spark.createDataFrame(both), str(tmp_path / "single"), "s",
+        ra_col="ra", dec_col="dec", id_col="sid",
+        threshold=1000, order_k=6, write_margins=False,
+    )
+    first = partition_catalog(
+        spark.createDataFrame(pdf), str(tmp_path / "inc"), "i",
+        ra_col="ra", dec_col="dec", id_col="sid",
+        threshold=1000, order_k=6, write_margins=False,
+    )
+    inc = first.append(spark.createDataFrame(extra))
+
+    assert inc.meta.n_sources == single.meta.n_sources == n + 500
+    a = single.df().select("sid", "ra", "dec", "_ID").toPandas().sort_values("sid", ignore_index=True)
+    b = inc.df().select("sid", "ra", "dec", "_ID").toPandas().sort_values("sid", ignore_index=True)
+    assert a["sid"].equals(b["sid"])
+    assert (a["_ID"].to_numpy() == b["_ID"].to_numpy()).all()
+    # the reloaded metadata matches what append wrote
+    reloaded = Catalog.load(spark, str(tmp_path / "inc"), "i")
+    assert reloaded.meta.n_sources == n + 500
+
+
+def test_append_extends_margin_dataset(spark, tmp_path):
+    """Appending to a catalog with margins adds the new rows' halo
+    memberships to neighbor/ (owner-exclusion invariant preserved)."""
+    rng = np.random.default_rng(22)
+    n = 4000
+    pdf = pd.DataFrame({
+        "sid": np.arange(n, dtype=np.int64),
+        "ra": rng.uniform(0, 360, n),
+        "dec": np.degrees(np.arcsin(rng.uniform(-1, 1, n))),
+    })
+    cat = partition_catalog(
+        spark.createDataFrame(pdf), str(tmp_path / "m"), "m",
+        ra_col="ra", dec_col="dec", id_col="sid",
+        threshold=800, order_k=6, write_margins=True,
+    )
+    before = cat.margin_df().count()
+    extra = pd.DataFrame({
+        "sid": np.arange(n, n + 1000, dtype=np.int64),
+        "ra": rng.uniform(0, 360, 1000),
+        "dec": np.degrees(np.arcsin(rng.uniform(-1, 1, 1000))),
+    })
+    cat2 = cat.append(spark.createDataFrame(extra))
+    m = cat2.margin_df().toPandas()
+    assert len(m) > before
+    for (o, p), grp in m.groupby(["Norder", "Npix"]):
+        pix = hpx.ang2pix(int(o), grp["ra"].to_numpy(), grp["dec"].to_numpy())
+        assert (pix != p).all()
