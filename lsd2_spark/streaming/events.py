@@ -146,6 +146,45 @@ def stateful_sessionize(events: DataFrame, gap_min: int = 30) -> DataFrame:
     )
 
 
+def stream_into_catalog(stream_df: DataFrame, catalog) -> "StreamingCatalogWriter":
+    """Incremental catalog ingest: each micro-batch appends to an
+    existing :class:`~lsd2_spark.catalog.Catalog` via ``foreachBatch`` →
+    ``Catalog.append`` (leaf assignment + touched-cell re-rank + dynamic
+    partition overwrite — see catalog.py).  Returns a writer whose
+    ``.catalog`` always points at the latest metadata state.
+
+    ``stream_df`` must carry the catalog's ra/dec/id columns.  Batches
+    are applied serially by Structured Streaming, so metadata updates
+    never race.
+    """
+    return StreamingCatalogWriter(stream_df, catalog)
+
+
+class StreamingCatalogWriter:
+    def __init__(self, stream_df: DataFrame, catalog) -> None:
+        self._stream_df = stream_df
+        self.catalog = catalog
+
+    def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        self.catalog = self.catalog.append(batch_df)
+
+    def start(self, checkpoint_dir: str):
+        return (
+            self._stream_df.writeStream.foreachBatch(self._apply)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
+
+    def run_available(self, checkpoint_dir: str) -> None:
+        """Process everything currently available, synchronously (test
+        harness twin of ``run_to_memory_sink``)."""
+        q = self.start(checkpoint_dir)
+        q.processAllAvailable()
+        q.stop()
+
+
 def run_to_memory_sink(stream_df: DataFrame, name: str, mode: str = "complete") -> None:
     """Drive a streaming query to completion synchronously (local test
     harness: memory sink + processAllAvailable).  ``mode='complete'``
