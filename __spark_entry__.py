@@ -22,7 +22,8 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from lsd2_spark.queries import all_queries
 
-    return all_queries()["q20_cone_search"](spark, "/root/testdata/sf0.001")
+    # the engine's flagship operator: boundary-correct kNN cross-match
+    return all_queries()["q21_crossmatch_knn"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
