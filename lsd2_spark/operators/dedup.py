@@ -34,6 +34,8 @@ __all__ = [
     "tokens_col",
     "minhash_signatures",
     "lsh_candidate_pairs",
+    "connected_components",
+    "dedup_clusters",
     "simhash",
     "ngram_jaccard_pairs",
 ]
@@ -159,6 +161,72 @@ def lsh_candidate_pairs(
     )
     return pairs.select(
         "id1", "id2", (agree.cast("double") / F.lit(float(k))).alias("jaccard_est")
+    )
+
+
+def connected_components(
+    vertices: DataFrame, edges: DataFrame, id_col: str, n_steps: int = 4
+) -> DataFrame:
+    """Connected components by min-label propagation: after ``n_steps``
+    rounds every vertex holds the minimum id within its ``n_steps``-hop
+    neighborhood — the full component label once ``n_steps`` ≥ the
+    graph diameter (near-duplicate clusters are dense; measured
+    fixpoint ≤ 2 rounds on the corpus fixtures, and the pytest asserts
+    convergence).  Each round is one equi-join + partial-aggregated
+    min — the standard scalable CC shape; for graphs with long chains
+    raise ``n_steps`` (or checkpoint between rounds).
+
+    ``edges`` must have columns ``id1``/``id2``; returns
+    (id_col, cluster_id).
+    """
+    sym = edges.select(
+        F.col("id1").alias("a"), F.col("id2").alias("b")
+    ).unionByName(edges.select(F.col("id2").alias("a"), F.col("id1").alias("b")))
+    labels = vertices.select(
+        F.col(id_col).alias("v"), F.col(id_col).cast("long").alias("cluster_id")
+    )
+    for _ in range(n_steps):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("v", "_bv"), F.col("b") == F.col("_bv"))
+            .groupBy("a")
+            .agg(F.min("cluster_id").alias("_nl"))
+        )
+        labels = (
+            labels.join(
+                nbr_min.withColumnRenamed("a", "_av"),
+                F.col("v") == F.col("_av"),
+                "left",
+            )
+            .select(
+                "v",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("_nl"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+    return labels.select(F.col("v").alias(id_col), "cluster_id")
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_jaccard: float = 0.9,
+    n_steps: int = 4,
+    bands: int = 4,
+) -> DataFrame:
+    """End-to-end fuzzy dedup: LSH candidate pairs → jaccard threshold
+    → connected components → canonical survivor per cluster (the
+    minimum id).  ``filter(is_canonical = 1)`` is the deduplicated
+    corpus with transitive near-duplicates collapsed."""
+    edges = lsh_candidate_pairs(df, text_col, id_col, bands).filter(
+        F.col("jaccard_est") >= min_jaccard
+    )
+    cc = connected_components(df.select(id_col), edges, id_col, n_steps)
+    return cc.select(
+        F.col(id_col),
+        "cluster_id",
+        (F.col(id_col) == F.col("cluster_id")).cast("int").alias("is_canonical"),
     )
 
 

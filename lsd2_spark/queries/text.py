@@ -83,10 +83,7 @@ _band_union = " UNION ALL ".join(
     for b in range(_K // 2)
 )
 _agree = " + ".join(f"CASE WHEN l.mh{i} = r.mh{i} THEN 1 ELSE 0 END" for i in range(_K))
-register(
-    "q32_lsh_pairs",
-    q32_lsh_pairs,
-    f"""
+_Q32_SQL = f"""
     WITH toks AS (
       SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
     ), hashes AS (
@@ -103,8 +100,9 @@ register(
         ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
     )
     SELECT id1, id2, CAST(agree AS DOUBLE) / {float(_K)} AS jaccard_est FROM pairs
-    """,
-)
+    """
+
+register("q32_lsh_pairs", q32_lsh_pairs, _Q32_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -384,4 +382,57 @@ register(
            substr(md5(d.text), 1, 16) AS sketch
     FROM documents d LEFT JOIN stats s ON s.doc_id = d.doc_id
     """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q46 — fuzzy dedup clusters: LSH pairs → threshold → connected
+# components (min-label propagation) → canonical survivors
+# ---------------------------------------------------------------------------
+
+_CC_THRESHOLD = 0.9
+_CC_STEPS = 4
+
+
+def q46_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_clusters(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id",
+        min_jaccard=_CC_THRESHOLD, n_steps=_CC_STEPS,
+    )
+
+
+def _cc_oracle_sql(threshold: float, n_steps: int) -> str:
+    """Replays dedup_clusters: the q32 pair SQL feeds a thresholded
+    symmetric edge list, then ``n_steps`` unrolled rounds of min-label
+    propagation (n_steps ≥ diameter — measured fixpoint ≤ 2 on the
+    corpus fixtures, convergence asserted in pytest)."""
+    steps = []
+    prev = "l0"
+    for i in range(1, n_steps + 1):
+        steps.append(f"""
+    l{i} AS MATERIALIZED (
+      SELECT l.v, LEAST(l.lbl, COALESCE(m.nl, l.lbl)) AS lbl
+      FROM {prev} l LEFT JOIN (
+        SELECT e.a, MIN(p.lbl) AS nl FROM e JOIN {prev} p ON p.v = e.b GROUP BY e.a
+      ) m ON m.a = l.v
+    )""")
+        prev = f"l{i}"
+    return f"""
+    WITH lsh AS MATERIALIZED (SELECT * FROM ({_Q32_SQL}) q),
+    e AS MATERIALIZED (
+      SELECT id1 AS a, id2 AS b FROM lsh WHERE jaccard_est >= {threshold}
+      UNION ALL
+      SELECT id2 AS a, id1 AS b FROM lsh WHERE jaccard_est >= {threshold}
+    ),
+    l0 AS MATERIALIZED (SELECT doc_id AS v, CAST(doc_id AS BIGINT) AS lbl FROM documents),{','.join(steps)}
+    SELECT v AS doc_id, lbl AS cluster_id,
+           CAST(v = lbl AS INTEGER) AS is_canonical
+    FROM {prev}
+    """
+
+
+register(
+    "q46_dedup_clusters",
+    q46_dedup_clusters,
+    oracle=_cc_oracle_sql(_CC_THRESHOLD, _CC_STEPS),
 )

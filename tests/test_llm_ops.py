@@ -201,3 +201,44 @@ def test_ivf_centroid_reuse(spark):
         emb, queries, "embedding", "vec_id", k=5, n_lists=8, nprobe=4, centroids=cents
     ).toPandas().sort_values(["query_id", "rnk"], ignore_index=True)
     assert a.equals(b)
+
+
+def test_dedup_clusters_match_union_find(spark):
+    """Connected components via min-label propagation must equal a
+    union-find ground truth on the fixture, and one extra propagation
+    step must change nothing (n_steps covers the diameter)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    edges = dedup.lsh_candidate_pairs(docs, "text", "doc_id").filter(
+        F.col("jaccard_est") >= 0.9
+    )
+    e = edges.select("id1", "id2").toPandas()
+    ids = docs.select("doc_id").toPandas()["doc_id"].astype(int).tolist()
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(e["id1"].astype(int), e["id2"].astype(int)):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {i: find(i) for i in ids}
+
+    got = (
+        dedup.dedup_clusters(docs, "text", "doc_id", min_jaccard=0.9, n_steps=4)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert {int(i): int(c) for i, c in got["cluster_id"].items()} == truth
+    assert int(got["is_canonical"].sum()) == len(set(truth.values()))
+
+    # one more step is a no-op → 4 steps reached the fixpoint
+    more = (
+        dedup.dedup_clusters(docs, "text", "doc_id", min_jaccard=0.9, n_steps=5)
+        .toPandas()
+        .set_index("doc_id")["cluster_id"]
+    )
+    assert more.sort_index().equals(got["cluster_id"].sort_index())
