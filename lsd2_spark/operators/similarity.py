@@ -71,7 +71,8 @@ def cosine_topk(
     desc, candidate id).
     """
     qid = query_id or id_col
-    candidates = _spread(candidates)
+    candidates = _spread(candidates.filter(F.col(vec_col).isNotNull()))
+    queries = queries.filter(F.col(vec_col).isNotNull())
     # the query side is broadcast + crossJoined: a large query set makes
     # this an all-pairs plan.  Guard with a cheap bounded count on the
     # (small) query side and route big sets to the ANN paths.
@@ -128,14 +129,19 @@ def _bucket_udf(spark, candidates: DataFrame, vec_col: str, n_bits: int, n_table
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def buckets_of(v: pd.Series) -> pd.Series:
-        m = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
-        bits = (m @ bc.value.T) > 0  # (n, n_tables*n_bits)
-        bits = bits.reshape(len(m), n_tables, n_bits)
-        weights = (1 << np.arange(n_bits)).astype(np.int32)
-        codes = (bits * weights[None, None, :]).sum(axis=2).astype(np.int32)
-        # disambiguate tables in the bucket id
-        codes += (np.arange(n_tables) << n_bits).astype(np.int32)[None, :]
-        return pd.Series(list(codes))
+        valid = v.notna().to_numpy()
+        res: list = [None] * len(v)
+        if valid.any():
+            m = np.asarray([np.asarray(x, dtype=np.float64) for x in v[valid]])
+            bits = (m @ bc.value.T) > 0  # (n, n_tables*n_bits)
+            bits = bits.reshape(len(m), n_tables, n_bits)
+            weights = (1 << np.arange(n_bits)).astype(np.int32)
+            codes = (bits * weights[None, None, :]).sum(axis=2).astype(np.int32)
+            # disambiguate tables in the bucket id
+            codes += (np.arange(n_tables) << n_bits).astype(np.int32)[None, :]
+            for j, i in enumerate(np.nonzero(valid)[0]):
+                res[i] = codes[j]
+        return pd.Series(res, dtype="object")
 
     return buckets_of
 
@@ -161,7 +167,8 @@ def hyperplane_lsh_topk(
     """
     qid = query_id or id_col
     spark = candidates.sparkSession
-    candidates = _spread(candidates)
+    candidates = _spread(candidates.filter(F.col(vec_col).isNotNull()))
+    queries = queries.filter(F.col(vec_col).isNotNull())
     buckets_of = _bucket_udf(spark, candidates, vec_col, n_bits, n_tables)
 
     cand = candidates.select(
@@ -230,7 +237,7 @@ def kmeans_centroids(
     is ever collected.
     """
     spark = candidates.sparkSession
-    samp = candidates.select(
+    samp = candidates.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("_vid"),
         F.transform(F.col(vec_col), lambda x: F.round(x.cast("double"), 6)).alias("_v"),
     )
@@ -292,7 +299,7 @@ def embedding_neardup_pairs(
     so the gate hash-matches a DuckDB oracle end-to-end.
     """
     spark = df.sparkSession
-    df = _spread(df)
+    df = _spread(df.filter(F.col(vec_col).isNotNull()))
     buckets_of = _bucket_udf(spark, df, vec_col, n_bits, n_tables)
     tagged = df.select(
         F.col(id_col).alias("_id"),
@@ -355,7 +362,8 @@ def ivf_topk(
     wastes a k-means pass over the corpus sample.
     """
     qid = query_id or id_col
-    candidates = _spread(candidates)
+    candidates = _spread(candidates.filter(F.col(vec_col).isNotNull()))
+    queries = queries.filter(F.col(vec_col).isNotNull())
     cents = (
         centroids
         if centroids is not None

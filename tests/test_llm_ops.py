@@ -242,3 +242,28 @@ def test_dedup_clusters_match_union_find(spark):
         .set_index("doc_id")["cluster_id"]
     )
     assert more.sort_index().equals(got["cluster_id"].sort_index())
+
+
+def test_similarity_ops_drop_null_vectors(spark):
+    """Null embeddings are excluded from indexing, search, and pairs
+    (not crashes, not null-scored rows)."""
+    edf = spark.createDataFrame(pd.DataFrame({"vec_id": [1, 2, 3, 4]})).withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") < 4,
+            F.array(*[(F.col("vec_id") * 0.1 + F.lit(i * 0.01)) for i in range(8)]),
+        ).otherwise(F.lit(None)),
+    )
+    q = edf.filter(F.col("vec_id") == 1)
+    nd = similarity.embedding_neardup_pairs(
+        edf, "embedding", "vec_id", threshold=-1.0, n_bits=2, n_tables=2
+    ).toPandas()
+    assert 4 not in set(nd.id1) | set(nd.id2) and len(nd) == 3
+    for fn in (
+        lambda: similarity.cosine_topk(edf, q, "embedding", "vec_id", k=2),
+        lambda: similarity.hyperplane_lsh_topk(edf, q, "embedding", "vec_id", k=2, n_bits=2, n_tables=2),
+        lambda: similarity.ivf_topk(edf, q, "embedding", "vec_id", k=2, n_lists=2, nprobe=2),
+    ):
+        out = fn().toPandas()
+        assert 4 not in set(out.cand_id)
+        assert out["sim"].notna().all()
