@@ -677,3 +677,126 @@ register(
     GROUP BY c_mktsegment
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Q47/Q48 — forward and nearest as-of joins (extensions of q15's
+# operator; DuckDB's native ASOF JOIN is the oracle, with the nearest
+# form composed from both directions)
+# ---------------------------------------------------------------------------
+
+
+def q47_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lsd2_spark.operators.temporal import asof_join_forward, dedupe_latest
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = dedupe_latest(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        ),
+        "user_id", "ts", "event_id",
+    )
+    out = asof_join_forward(
+        clicks, purchases, key="user_id", ts="ts",
+        left_cols=["event_id", "user_id", "ts"],
+        right_cols=["event_id", "value"],
+    )
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("click_epoch"),
+        F.col("asof_event_id").alias("purchase_id"),
+        F.col("asof_value").alias("purchase_value"),
+    )
+
+
+register(
+    "q47_asof_forward",
+    q47_asof_forward,
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT event_id, user_id, ts, value FROM (
+        SELECT event_id, user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase') t
+      WHERE rn = 1
+    )
+    SELECT c.event_id AS click_id, c.user_id,
+           CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch,
+           p.event_id AS purchase_id, p.value AS purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND p.ts >= c.ts
+    """,
+)
+
+
+def q48_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lsd2_spark.operators.temporal import asof_join_nearest, dedupe_latest
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = dedupe_latest(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        ),
+        "user_id", "ts", "event_id",
+    )
+    out = asof_join_nearest(
+        clicks, purchases, key="user_id", ts="ts",
+        left_cols=["event_id", "user_id", "ts"],
+        right_cols=["event_id", "value"],
+    )
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("click_epoch"),
+        F.col("asof_event_id").alias("purchase_id"),
+        F.col("asof_value").alias("purchase_value"),
+    )
+
+
+register(
+    "q48_asof_nearest",
+    q48_asof_nearest,
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT event_id, user_id, ts, value FROM (
+        SELECT event_id, user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase') t
+      WHERE rn = 1
+    ), bwd AS (
+      SELECT c.event_id AS click_id, c.user_id, c.ts AS cts,
+             p.event_id AS b_id, p.value AS b_value, p.ts AS b_ts
+      FROM clicks c ASOF LEFT JOIN purchases p
+        ON c.user_id = p.user_id AND p.ts <= c.ts
+    ), fwd AS (
+      SELECT c.event_id AS click_id, c.user_id,
+             p.event_id AS f_id, p.value AS f_value, p.ts AS f_ts
+      FROM clicks c ASOF LEFT JOIN purchases p
+        ON c.user_id = p.user_id AND p.ts >= c.ts
+    )
+    SELECT b.click_id, b.user_id,
+           CAST(floor(epoch(b.cts)) AS BIGINT) AS click_epoch,
+           CASE WHEN b.b_id IS NULL THEN f.f_id
+                WHEN f.f_id IS NULL THEN b.b_id
+                WHEN floor(epoch(f.f_ts)) - floor(epoch(b.cts))
+                     < floor(epoch(b.cts)) - floor(epoch(b.b_ts)) THEN f.f_id
+                ELSE b.b_id END AS purchase_id,
+           CASE WHEN b.b_id IS NULL THEN f.f_value
+                WHEN f.f_id IS NULL THEN b.b_value
+                WHEN floor(epoch(f.f_ts)) - floor(epoch(b.cts))
+                     < floor(epoch(b.cts)) - floor(epoch(b.b_ts)) THEN f.f_value
+                ELSE b.b_value END AS purchase_value
+    FROM bwd b JOIN fwd f ON f.click_id = b.click_id
+    """,
+)
