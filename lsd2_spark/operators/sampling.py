@@ -1,0 +1,82 @@
+"""Deterministic sampling and dataset splitting for training-data
+pipelines.
+
+Reproducibility is the contract: the keep/assign decision for a row
+depends only on its id (portable 60-bit md5 hash → uniform in [0, 1)),
+so re-runs, engine changes, and cluster re-shuffles never change the
+sample — and a DuckDB oracle replays the decisions exactly.  Everything
+is a pure Column expression over one scan: no shuffle, no RNG state,
+trivially parallel at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lsd2_spark.functions.portable_hash import hash64, hash64_sql
+
+__all__ = ["deterministic_uniform", "stratified_sample", "assign_splits"]
+
+_DENOM = float(1 << 60)
+
+
+def deterministic_uniform(id_col: Column, salt: str = "") -> Column:
+    """Uniform-in-[0,1) derived from the id (+ optional salt): the same
+    id always draws the same value, in any engine."""
+    return hash64(F.concat(id_col.cast("string"), F.lit(salt))) / F.lit(_DENOM)
+
+
+def deterministic_uniform_sql(id_expr: str, salt: str = "") -> str:
+    """The DuckDB twin of :func:`deterministic_uniform`."""
+    inner = f"CAST({id_expr} AS VARCHAR) || '{salt}'"
+    return f"{hash64_sql(inner)} / {_DENOM!r}"
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    fractions: "dict[str, float] | float",
+    strata_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Reproducible (stratified) sampling: keep a row iff its
+    deterministic uniform is below the stratum's fraction.
+
+    ``fractions`` is a single float, or a {stratum value: fraction}
+    dict with ``strata_col`` set (absent strata default to 0 — an
+    explicit mixture spec, the "source mixing" primitive of training
+    corpora)."""
+    u = deterministic_uniform(F.col(id_col), salt)
+    if isinstance(fractions, dict):
+        assert strata_col is not None, "strata_col required with a fractions dict"
+        frac: Column = F.lit(0.0)
+        for value, f in sorted(fractions.items()):
+            frac = F.when(F.col(strata_col) == value, F.lit(float(f))).otherwise(frac)
+    else:
+        frac = F.lit(float(fractions))
+    return df.filter(u < frac)
+
+
+def assign_splits(
+    df: DataFrame,
+    id_col: str,
+    weights: "dict[str, float] | None" = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: partition [0, 1) into
+    cumulative ranges ordered by split name and bucket each row by its
+    uniform.  Weights must sum to 1 (asserted to 1e-9)."""
+    weights = weights or {"test": 0.05, "train": 0.9, "val": 0.05}
+    total = sum(weights.values())
+    assert abs(total - 1.0) < 1e-9, f"split weights sum to {total}, not 1"
+    u = deterministic_uniform(F.col(id_col), salt)
+    expr: Column | None = None
+    cum = 0.0
+    names = sorted(weights)
+    for name in names:
+        cum += weights[name]
+        cond = u < F.lit(cum)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    # float-roundoff guard: u exactly at the top edge lands in the last split
+    return df.withColumn("split", expr.otherwise(names[-1]))

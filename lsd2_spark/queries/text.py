@@ -436,3 +436,54 @@ register(
     q46_dedup_clusters,
     oracle=_cc_oracle_sql(_CC_THRESHOLD, _CC_STEPS),
 )
+
+
+# ---------------------------------------------------------------------------
+# Q49/Q50 — deterministic sampling & splits (training-pipeline
+# reproducibility primitives; decisions replayed exactly by the oracle)
+# ---------------------------------------------------------------------------
+
+_SAMPLE_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+_SPLIT_WEIGHTS = {"test": 0.05, "train": 0.9, "val": 0.05}
+
+
+def q49_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lsd2_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "doc_id", _SAMPLE_FRACTIONS, strata_col="source"
+    ).select("doc_id", "source")
+
+
+def q50_assign_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lsd2_spark.operators.sampling import assign_splits
+
+    docs = load_table(spark, sf_dir, "documents")
+    return assign_splits(docs, "doc_id", _SPLIT_WEIGHTS).select("doc_id", "split")
+
+
+def _sampling_oracles() -> tuple[str, str]:
+    from lsd2_spark.operators.sampling import deterministic_uniform_sql
+
+    u = deterministic_uniform_sql("doc_id")
+    frac = "CASE " + " ".join(
+        f"WHEN source = '{v}' THEN {f}" for v, f in sorted(_SAMPLE_FRACTIONS.items())
+    ) + " ELSE 0.0 END"
+    q49 = f"SELECT doc_id, source FROM documents WHERE {u} < {frac}"
+
+    cases, cum = [], 0.0
+    names = sorted(_SPLIT_WEIGHTS)
+    for name in names:
+        cum += _SPLIT_WEIGHTS[name]
+        cases.append(f"WHEN {u} < {cum!r} THEN '{name}'")
+    q50 = (
+        f"SELECT doc_id, CASE {' '.join(cases)} ELSE '{names[-1]}' END AS split "
+        "FROM documents"
+    )
+    return q49, q50
+
+
+_Q49_SQL, _Q50_SQL = _sampling_oracles()
+register("q49_stratified_sample", q49_stratified_sample, _Q49_SQL)
+register("q50_assign_splits", q50_assign_splits, _Q50_SQL)

@@ -267,3 +267,24 @@ def test_similarity_ops_drop_null_vectors(spark):
         out = fn().toPandas()
         assert 4 not in set(out.cand_id)
         assert out["sim"].notna().all()
+
+
+def test_deterministic_sampling_reproducible_and_proportional(spark):
+    """Sampling/splits depend only on ids: re-runs are identical, and
+    observed rates track the requested fractions on a large draw."""
+    from lsd2_spark.operators import sampling
+
+    df = spark.range(0, 20_000).withColumnRenamed("id", "doc_id")
+    a = sampling.stratified_sample(df, "doc_id", 0.3).toPandas()
+    b = sampling.stratified_sample(df, "doc_id", 0.3).toPandas()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert abs(len(a) / 20_000 - 0.3) < 0.02
+
+    s = sampling.assign_splits(df, "doc_id").toPandas()
+    rates = s["split"].value_counts(normalize=True)
+    assert abs(rates["train"] - 0.9) < 0.02
+    assert abs(rates.get("val", 0) - 0.05) < 0.01
+    assert abs(rates.get("test", 0) - 0.05) < 0.01
+    # a different salt draws a different (but still deterministic) sample
+    c = sampling.stratified_sample(df, "doc_id", 0.3, salt="v2").toPandas()
+    assert c["doc_id"].tolist() != a["doc_id"].tolist()
