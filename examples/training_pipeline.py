@@ -1,0 +1,88 @@
+"""End-to-end training-data pipeline over the ``documents`` table —
+the LLM-ops operators composed the way a real corpus build would chain
+them.  Run directly (``python examples/training_pipeline.py [sf_dir]``)
+or through the test suite.
+
+Stages (each one scan/shuffle-bounded; no driver row materialization):
+
+1. quality gate      — heuristic score ≥ cutoff (text_analysis)
+2. language filter   — n-gram language ID (text_analysis)
+3. exact dedup       — md5 canonical rows (dedup)
+4. fuzzy dedup       — LSH pairs → connected components → survivors
+5. source mixing     — deterministic stratified sampling (sampling)
+6. splits            — reproducible train/val/test assignment
+7. accounting        — token totals per split (token_stats)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lsd2_spark.operators import dedup, sampling, text_analysis
+
+
+def build_training_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    quality_cutoff: int = 40,
+    languages: tuple[str, ...] = ("en",),
+    min_jaccard: float = 0.9,
+    source_fractions: "dict[str, float] | float" = 1.0,
+) -> DataFrame:
+    """documents(text, doc_id, source) → (doc_id, text, source, split)."""
+    quality = text_analysis.quality_score(docs, "text", "doc_id").select(
+        "doc_id", "quality"
+    )
+    lang = text_analysis.lang_id(docs, "text", "doc_id").select("doc_id", "lang_pred")
+    kept = (
+        docs.join(quality, "doc_id")
+        .join(lang, "doc_id")
+        .filter((F.col("quality") >= quality_cutoff) & F.col("lang_pred").isin(*languages))
+        .select(*docs.columns)
+    )
+    exact = dedup.exact_dedup(kept, "text", "doc_id").filter("is_canonical = 1")
+    kept = kept.join(exact.select("doc_id"), "doc_id", "left_semi")
+    fuzzy = dedup.dedup_clusters(kept, "text", "doc_id", min_jaccard=min_jaccard)
+    kept = kept.join(
+        fuzzy.filter("is_canonical = 1").select("doc_id"), "doc_id", "left_semi"
+    )
+    mixed = sampling.stratified_sample(
+        kept, "doc_id", source_fractions,
+        strata_col="source" if isinstance(source_fractions, dict) else None,
+    )
+    return sampling.assign_splits(mixed, "doc_id")
+
+
+def token_accounting(corpus: DataFrame) -> DataFrame:
+    """Per-split document and BPE-ish token totals."""
+    stats = text_analysis.token_stats(corpus, "text", "doc_id").select(
+        "doc_id", "n_bpe_tokens"
+    )
+    return (
+        corpus.join(stats, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+if __name__ == "__main__":
+    from lsd2_spark import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="training_pipeline")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = build_training_corpus(spark, docs, quality_cutoff=30)
+    corpus.cache()
+    print(f"corpus rows: {corpus.count()} (from {docs.count()})")
+    token_accounting(corpus).show()
+    spark.stop()

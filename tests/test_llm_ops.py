@@ -288,3 +288,21 @@ def test_deterministic_sampling_reproducible_and_proportional(spark):
     # a different salt draws a different (but still deterministic) sample
     c = sampling.stratified_sample(df, "doc_id", 0.3, salt="v2").toPandas()
     assert c["doc_id"].tolist() != a["doc_id"].tolist()
+
+
+def test_training_pipeline_example(spark):
+    """The composed pipeline (quality → lang → exact dedup → fuzzy
+    dedup → mixing → splits → accounting) runs end-to-end and its
+    stages actually filter."""
+    import sys as _sys
+    _sys.path.insert(0, "/root/repo")
+    from examples.training_pipeline import build_training_corpus, token_accounting
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = build_training_corpus(spark, docs, quality_cutoff=30)
+    n_in, n_out = docs.count(), corpus.count()
+    assert 0 < n_out < n_in
+    acct = token_accounting(corpus).toPandas().set_index("split")
+    assert acct["n_docs"].sum() == n_out
+    assert (acct["n_bpe_tokens"] > 0).all()
+    assert set(acct.index) <= {"train", "val", "test"}
