@@ -331,6 +331,9 @@ class Catalog:
 
         Leaves are NOT re-split: a cell pushed past ``pix_threshold``
         warns (re-import to re-balance), matching the density contract.
+
+        Contract: the incoming batch's id column must be unique within
+        the batch (the covered/uncovered split anti-joins on it).
         """
         spark = self.spark
         meta = self.meta
