@@ -178,8 +178,15 @@ def partition_catalog(
 
     # Stage 1 — sky histogram (reference partitioner.py:94-133):
     # partial+final agg; ≤ 12·4^order_k groups; collected for planning.
+    # spread the (narrow) position projection first: a few-file local
+    # input otherwise runs the Arrow pixelization in a handful of tasks;
+    # the repartition moves only two doubles per row and is a no-op for
+    # well-partitioned inputs
+    from lsd2_spark.operators.common import spread_partitions
+
     hist = (
-        df.select(ang2pix_udf(order_k, ra, dec).alias("kpix"))
+        spread_partitions(df.select(ra.alias("_ra"), dec.alias("_dec")))
+        .select(ang2pix_udf(order_k, F.col("_ra"), F.col("_dec")).alias("kpix"))
         .groupBy("kpix")
         .count()
         .collect()
