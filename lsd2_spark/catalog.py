@@ -69,6 +69,9 @@ class CatalogMetadata:
     order_k: int
     margin_threshold: float
     hips: dict[int, list[int]]
+    # High-water mark for streaming ingest: the last foreachBatch batch_id
+    # whose append committed.  None for catalogs never fed by a stream.
+    last_batch_id: int | None = None
 
     def to_json(self) -> str:
         return json.dumps(
@@ -82,6 +85,7 @@ class CatalogMetadata:
                 "order_k": self.order_k,
                 "margin_threshold": self.margin_threshold,
                 "hips": {str(k): sorted(v) for k, v in self.hips.items()},
+                "last_batch_id": self.last_batch_id,
             },
             indent=2,
         )
@@ -99,6 +103,7 @@ class CatalogMetadata:
             order_k=d["order_k"],
             margin_threshold=d.get("margin_threshold", DEFAULT_MARGIN_DEG),
             hips={int(k): list(v) for k, v in d["hips"].items()},
+            last_batch_id=d.get("last_batch_id"),
         )
 
 
@@ -175,6 +180,16 @@ def partition_catalog(
         for c, t in dtype_overrides.items():
             df = df.withColumn(c, F.col(c).cast(t))
     ra, dec = F.col(ra_col), F.col(dec_col)
+
+    # The planning histogram collects ≤ 12·4^order_k rows to the driver —
+    # bounded by construction ONLY if order_k stays sane (order 11 →
+    # ≤ 50M cells ≈ 800 MB worst case is already the ceiling; order 15
+    # would be 12.9G cells and OOM the driver).  Guard the knob.
+    if not 0 <= order_k <= 11:
+        raise ValueError(
+            f"order_k={order_k} out of range [0, 11]: the planning "
+            "histogram collects up to 12*4^order_k cells to the driver"
+        )
 
     # Stage 1 — sky histogram (reference partitioner.py:94-133):
     # partial+final agg; ≤ 12·4^order_k groups; collected for planning.
@@ -321,7 +336,7 @@ class Catalog:
             return None
         return self.spark.read.parquet(p)
 
-    def append(self, df: DataFrame) -> "Catalog":
+    def append(self, df: DataFrame, batch_id: int | None = None) -> "Catalog":
         """Incremental ingest (extension — the reference can only
         re-import from scratch): append rows to an existing catalog.
 
@@ -341,9 +356,34 @@ class Catalog:
 
         Contract: the incoming batch's id column must be unique within
         the batch (the covered/uncovered split anti-joins on it).
+
+        ``batch_id`` (streaming ingest): Structured Streaming's
+        ``foreachBatch`` re-delivers the last uncommitted batch after a
+        crash/restart.  Batches are applied serially with monotonically
+        increasing ids, so exactly-once reduces to a high-water-mark
+        check: the last committed ``batch_id`` is persisted in the
+        catalog metadata (read from the COMMITTED on-disk file, not the
+        in-memory copy, so a fresh writer after restart still sees it)
+        and a replayed ``batch_id <= last_batch_id`` is a no-op.  The
+        metadata file is written via atomic rename, so a crash between
+        the data overwrite and the metadata commit leaves the old
+        high-water mark in place and the replayed batch re-runs the
+        same dynamic partition overwrite — the touched cells are
+        rewritten from (untouched existing ∪ batch), which converges to
+        the same bytes.
         """
         spark = self.spark
         meta = self.meta
+        if batch_id is not None:
+            committed = Catalog.load(spark, self.path, meta.cat_name).meta
+            if (
+                committed.last_batch_id is not None
+                and batch_id <= committed.last_batch_id
+            ):
+                return Catalog(spark, self.path, committed)
+            # Replay after a torn commit: restart from the durable state so
+            # `existing` below reflects what is actually on disk.
+            meta = committed
         order_k = meta.order_k
         ra, dec = F.col(meta.ra_kw), F.col(meta.dec_kw)
 
@@ -411,6 +451,16 @@ class Catalog:
                 F.col("Dir").cast("long").alias("Dir"),
             )
         )
+        # Row-level idempotence: drop any existing rows that share an id
+        # with the batch (a broadcast anti-join — the batch id set is
+        # small relative to the catalog).  Under the globally-unique-id
+        # contract this is a no-op in normal operation; after a torn
+        # streaming commit (data overwritten, metadata not) it makes the
+        # replayed overwrite converge to the same bytes instead of
+        # duplicating the batch.
+        batch_ids = F.broadcast(df.select(meta.id_kw).distinct())
+        n_replaced = existing.join(batch_ids, meta.id_kw, "left_semi").count()
+        existing = existing.join(batch_ids, meta.id_kw, "left_anti")
         merged = existing.unionByName(assigned.select(*existing.columns))
 
         from pyspark.sql.types import StructField, StructType
@@ -441,14 +491,21 @@ class Catalog:
             ra_kw=meta.ra_kw,
             dec_kw=meta.dec_kw,
             id_kw=meta.id_kw,
-            n_sources=meta.n_sources + n_new,
+            n_sources=meta.n_sources + n_new - n_replaced,
             pix_threshold=meta.pix_threshold,
             order_k=order_k,
             margin_threshold=meta.margin_threshold,
             hips=hips,
+            last_batch_id=batch_id if batch_id is not None else meta.last_batch_id,
         )
-        with open(f"{self.path}/{meta.cat_name}_meta.json", "w") as f:
+        # Atomic rename: the metadata file IS the commit record (it carries
+        # the streaming high-water mark), so it must never be observable
+        # half-written.
+        meta_path = f"{self.path}/{meta.cat_name}_meta.json"
+        tmp_path = f"{meta_path}.tmp"
+        with open(tmp_path, "w") as f:
             f.write(new_meta.to_json())
+        os.replace(tmp_path, meta_path)
         cat = Catalog(spark, self.path, new_meta)
 
         if os.path.exists(f"{self.path}/neighbor"):
@@ -456,6 +513,18 @@ class Catalog:
 
             halo = margin_rows(df, cat, ra_col=meta.ra_kw, dec_col=meta.dec_kw)
             if halo is not None:
+                # Idempotent under replay: the neighbor sink is append-mode,
+                # so drop halo rows already present (same source id, same
+                # halo cell) before writing.  Column-pruned read + broadcast
+                # anti-join on the batch-sized halo set.
+                prev_halo = spark.read.parquet(f"{self.path}/neighbor").select(
+                    meta.id_kw, "Norder", "Npix"
+                )
+                halo = halo.join(
+                    prev_halo.join(batch_ids, meta.id_kw, "left_semi"),
+                    [meta.id_kw, "Norder", "Npix"],
+                    "left_anti",
+                )
                 (
                     halo.withColumn("Dir", _dir_of(F.col("Npix")))
                     .repartition("Norder", "Npix")

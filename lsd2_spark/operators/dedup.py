@@ -165,16 +165,24 @@ def lsh_candidate_pairs(
 
 
 def connected_components(
-    vertices: DataFrame, edges: DataFrame, id_col: str, n_steps: int = 4
+    vertices: DataFrame, edges: DataFrame, id_col: str, n_steps: int = 50
 ) -> DataFrame:
-    """Connected components by min-label propagation: after ``n_steps``
-    rounds every vertex holds the minimum id within its ``n_steps``-hop
-    neighborhood — the full component label once ``n_steps`` ≥ the
-    graph diameter (near-duplicate clusters are dense; measured
-    fixpoint ≤ 2 rounds on the corpus fixtures, and the pytest asserts
-    convergence).  Each round is one equi-join + partial-aggregated
-    min — the standard scalable CC shape; for graphs with long chains
-    raise ``n_steps`` (or checkpoint between rounds).
+    """Connected components by min-label propagation, run to fixpoint:
+    each round every vertex takes the minimum label in its 1-hop
+    neighborhood, and the loop exits as soon as a round changes zero
+    labels (label monotonicity makes "no change" exactly the fixpoint).
+    ``n_steps`` is a safety CAP on rounds, not a target — hitting it
+    before convergence warns, because an under-merged chain-shaped
+    component is silent wrongness otherwise.  Convergence needs at most
+    graph-diameter rounds (near-duplicate clusters are dense; measured
+    fixpoint ≤ 2 on the corpus fixtures).
+
+    Each round is one equi-join + partial-aggregated min — the standard
+    scalable CC shape.  The per-round convergence count forces an
+    action anyway, so labels are ``localCheckpoint``-ed every round:
+    the count reads the materialized blocks for free and lineage never
+    grows with the iteration count (a 100-round chain would otherwise
+    build a 100-deep plan).
 
     ``edges`` must have columns ``id1``/``id2``; returns
     (id_col, cluster_id).
@@ -185,13 +193,14 @@ def connected_components(
     labels = vertices.select(
         F.col(id_col).alias("v"), F.col(id_col).cast("long").alias("cluster_id")
     )
+    converged = False
     for _ in range(n_steps):
         nbr_min = (
             sym.join(labels.withColumnRenamed("v", "_bv"), F.col("b") == F.col("_bv"))
             .groupBy("a")
             .agg(F.min("cluster_id").alias("_nl"))
         )
-        labels = (
+        stepped = (
             labels.join(
                 nbr_min.withColumnRenamed("a", "_av"),
                 F.col("v") == F.col("_av"),
@@ -201,8 +210,28 @@ def connected_components(
                 "v",
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("_nl"), F.col("cluster_id"))
-                ).alias("cluster_id"),
+                ).alias("new_cluster_id"),
+                (
+                    F.coalesce(F.col("_nl"), F.col("cluster_id"))
+                    < F.col("cluster_id")
+                ).alias("_changed"),
             )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.filter(F.col("_changed")).count()
+        labels = stepped.select(
+            "v", F.col("new_cluster_id").alias("cluster_id")
+        )
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components hit the round cap n_steps={n_steps} before "
+            "converging — component labels may be under-merged; raise n_steps",
+            stacklevel=2,
         )
     return labels.select(F.col("v").alias(id_col), "cluster_id")
 
@@ -212,13 +241,14 @@ def dedup_clusters(
     text_col: str,
     id_col: str,
     min_jaccard: float = 0.9,
-    n_steps: int = 4,
+    n_steps: int = 50,
     bands: int = 4,
 ) -> DataFrame:
     """End-to-end fuzzy dedup: LSH candidate pairs → jaccard threshold
-    → connected components → canonical survivor per cluster (the
-    minimum id).  ``filter(is_canonical = 1)`` is the deduplicated
-    corpus with transitive near-duplicates collapsed."""
+    → connected components (run to fixpoint; ``n_steps`` caps the
+    rounds) → canonical survivor per cluster (the minimum id).
+    ``filter(is_canonical = 1)`` is the deduplicated corpus with
+    transitive near-duplicates collapsed."""
     edges = lsh_candidate_pairs(df, text_col, id_col, bands).filter(
         F.col("jaccard_est") >= min_jaccard
     )

@@ -1,11 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The decode/feature-extract stage is STUBBED (no image/audio libraries
-in this container — marked clearly below); everything Spark-side is
-real: binary schema, Arrow batch shape through ``mapInPandas``,
-partition-preserving transforms, and deterministic fake features so
-the plumbing is testable end-to-end.
+Image decode is REAL for PNG and PPM/PGM payloads via the pure-NumPy
+codec (:mod:`lsd2_spark.sources.imagecodec` — no PIL/opencv in this
+container, so the public formats are decoded directly): the feature
+kernel dispatches on magic bytes and computes statistics on decoded
+PIXELS.  Payloads in other formats (JPEG etc. — codec out of scope)
+fall back to deterministic byte-level features, so the operator is
+total over arbitrary binary columns.
 
 At 100 TB: binary payloads ride the normal columnar path (Parquet
 BYTE_ARRAY); feature extraction is an embarrassingly parallel
@@ -32,7 +34,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["to_blob_table", "extract_features", "decode_image_stub"]
+__all__ = ["to_blob_table", "extract_features", "decode_image"]
 
 
 def to_blob_table(df: DataFrame, payload_col: str, id_col: str, media_type: str) -> DataFrame:
@@ -47,14 +49,14 @@ def to_blob_table(df: DataFrame, payload_col: str, id_col: str, media_type: str)
     )
 
 
-def decode_image_stub(payload: bytes) -> "np.ndarray":
-    """STUB — image decoding requires a codec library not present in
-    this environment.  Raises by design; ``extract_features`` uses the
-    deterministic fake featurizer instead."""
-    raise NotImplementedError(
-        "image decode requires an image codec (PIL/opencv) — not available; "
-        "wire a real decoder here when the library is present"
-    )
+def decode_image(payload: bytes) -> "np.ndarray":
+    """Decode a PNG or PPM/PGM payload to a (h, w, channels) uint8
+    pixel array (pure-NumPy codec — see sources/imagecodec.py).
+    Raises ValueError on unsupported formats; ``extract_features``
+    catches that and falls back to byte-level features."""
+    from lsd2_spark.sources.imagecodec import decode_image as _decode
+
+    return _decode(payload)
 
 
 _FEATURE_SCHEMA = StructType(
@@ -68,15 +70,19 @@ _FEATURE_SCHEMA = StructType(
 )
 
 
-def extract_features(blobs: DataFrame) -> DataFrame:
+def extract_features(blobs: DataFrame, decode: bool = True) -> DataFrame:
     """Feature extraction over binary payloads via ``mapInPandas``.
 
-    The per-batch kernel is where a real decoder would run (frame
-    sampling, resize, spectrogram...).  Here it computes deterministic
-    byte-level features — REAL plumbing, FAKE decode (see
-    ``decode_image_stub``)."""
+    When ``decode`` is on, payloads whose magic bytes identify a
+    supported image format (PNG, PPM/PGM) are DECODED and the features
+    (mean, Shannon entropy) are computed over the pixel samples; all
+    other payloads get the same statistics over their raw bytes, so
+    the operator is total.  ``sketch`` is always the md5 prefix of the
+    payload bytes (content identity, not pixel identity)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from lsd2_spark.sources.imagecodec import decode_image as _decode
+
         for pdf in batches:
             payloads = pdf["payload"]
             n = len(pdf)
@@ -85,6 +91,11 @@ def extract_features(blobs: DataFrame) -> DataFrame:
             sk = []
             for i, p in enumerate(payloads):
                 b = np.frombuffer(p or b"", dtype=np.uint8)
+                if decode and b.size:
+                    try:
+                        b = _decode(bytes(p)).ravel()
+                    except ValueError:
+                        pass  # unsupported format → byte-level features
                 if b.size:
                     mean[i] = float(b.mean())
                     cnt = np.bincount(b, minlength=256) / b.size

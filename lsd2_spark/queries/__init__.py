@@ -43,19 +43,28 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet; Spark refuses it unless the
-        # legacy nanos-as-long conversion is on.  Set it here (runtime-settable,
-        # idempotent) so load_table works in ANY session — the correctness
-        # harness builds its own SparkSession that never saw session.py.
+        # Historical testdata stored events.ts as TIMESTAMP(NANOS), which
+        # Spark only reads with the legacy nanos-as-long conversion on.
+        # Set it here (runtime-settable, idempotent) so load_table works in
+        # ANY session — the correctness harness builds its own SparkSession
+        # that never saw session.py.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events":
-        # Values are micro-precision (verified), so nanos→micros is lossless —
-        # but only with integer division: double division rounds at ~1.7e18
-        # and shifts ~1.5% of microsecond timestamps by 1us.
+        # Normalize ts to session-tz TimestampType regardless of how the
+        # generator wrote it (the testdata format has changed across rounds):
+        #   * TIMESTAMP(NANOS)  -> read as long via nanosAsLong; values are
+        #     micro-precision, so integer `div 1000` is lossless (double
+        #     division rounds at ~1.7e18 and shifts ~1.5% of timestamps 1us)
+        #   * timestamp[us] NTZ -> plain cast; session tz is UTC so the
+        #     instant matches DuckDB's naive reading bit-for-bit
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

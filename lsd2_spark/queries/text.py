@@ -352,11 +352,11 @@ def q43_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(_blobs(spark, sf_dir))
 
 
-# The fake featurizer is deterministic byte arithmetic over the payload
-# (which is the UTF-8 text; pure ASCII here — verified), so DuckDB can
-# replay it: mean byte, Shannon entropy over byte frequencies, md5
-# prefix.  The decode STUB (decode_image_stub) remains the declared
-# environment limitation; the gate now hash-checks the plumbing output.
+# Text payloads are not images, so the feature kernel's decode dispatch
+# falls through to byte statistics (deterministic byte arithmetic over
+# the UTF-8 text; pure ASCII here — verified), which DuckDB replays:
+# mean byte, Shannon entropy over byte frequencies, md5 prefix.  The
+# REAL-decode path is gate-checked by q53 (PPM pixels) and pytest (PNG).
 register(
     "q43_media_features",
     q43_media_features,
@@ -381,6 +381,58 @@ register(
            COALESCE(s.feat_entropy, 0.0) AS feat_entropy,
            substr(md5(d.text), 1, 16) AS sketch
     FROM documents d LEFT JOIN stats s ON s.doc_id = d.doc_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q53 — REAL image decode in the gate: wrap each document's leading 480
+# bytes as a binary P6 PPM payload (16x10 RGB), run the pure-NumPy
+# decoder inside extract_features, and compute features on the decoded
+# PIXELS.  PPM is uncompressed, so DuckDB can replay the exact pixel
+# bytes (header-skip + byte statistics) — a full hash-match oracle for
+# the decode path.  (PNG decode is exercised in pytest with zlib
+# ground truth; inflate is not SQL-expressible.)
+# ---------------------------------------------------------------------------
+
+_PPM_HEADER = "P6\n16 10\n255\n"  # 13 bytes; 16*10*3 = 480 pixel bytes
+
+
+def q53_ppm_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit(_PPM_HEADER.encode("ascii")),
+        F.encode(F.rpad(F.substring(F.col("text"), 1, 480), 480, "x"), "UTF-8"),
+    )
+    blobs = multimodal.to_blob_table(
+        docs.withColumn("_ppm", payload), "_ppm", "doc_id",
+        "image/x-portable-pixmap",
+    )
+    return multimodal.extract_features(blobs)
+
+
+register(
+    "q53_ppm_pixel_features",
+    q53_ppm_pixel_features,
+    """
+    WITH padded AS (
+      SELECT doc_id, rpad(substr(text, 1, 480), 480, 'x') AS s FROM documents
+    ), chars AS (
+      SELECT doc_id, CAST(ord(substr(s, CAST(i AS INT), 1)) AS BIGINT) AS c
+      FROM padded, unnest(range(1, 481)) t(i)
+    ), freq AS (
+      SELECT doc_id, c, COUNT(*) AS n FROM chars GROUP BY doc_id, c
+    ), stats AS (
+      SELECT doc_id,
+             ROUND(CAST(SUM(n * c) AS DOUBLE) / 480, 6) AS feat_mean,
+             ROUND(-SUM((n / 480.0) * log2(n / 480.0)), 6) AS feat_entropy
+      FROM freq GROUP BY doc_id
+    )
+    SELECT p.doc_id AS media_id, CAST(493 AS INTEGER) AS n_bytes,
+           s.feat_mean, s.feat_entropy,
+           substr(md5('P6' || chr(10) || '16 10' || chr(10) || '255' || chr(10) || p.s), 1, 16)
+             AS sketch
+    FROM padded p JOIN stats s ON s.doc_id = p.doc_id
     """,
 )
 

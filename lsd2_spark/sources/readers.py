@@ -72,12 +72,29 @@ def read_csv(
                 yield pdf.loc[keep, ["value"]]
 
         clean = txt.mapInPandas(drop_preamble, "value string")
-        # Dataset-of-lines CSV parse: the JVM parser handles quoting and
-        # schema inference; with header=True it also filters every line
-        # equal to the header, covering per-file header repeats.
-        df = spark.read.csv(
-            clean.rdd.map(lambda r: r[0]), header=header, inferSchema=True
+        # Single-pass parse: infer the schema ONCE from a driver-side
+        # sample (limit() reads only the leading block, not the whole
+        # source), then parse the cleaned lines JVM-side with from_csv —
+        # no RDD hop and no second inference scan over the input (the
+        # previous form ran the strip+text scan twice: once for
+        # inferSchema, once for the real read).
+        sample = [r["value"] for r in clean.limit(1024).collect()]
+        tiny = spark.read.csv(
+            spark.sparkContext.parallelize(sample or [""]),
+            header=header,
+            inferSchema=True,
         )
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in tiny.schema.fields
+        )
+        body = clean
+        if header and sample:
+            # drop every line equal to the header — covers per-file
+            # header repeats in multi-file globs, matching the native
+            # parser's header handling
+            body = clean.filter(F.col("value") != F.lit(sample[0]))
+        parsed = body.select(F.from_csv(F.col("value"), ddl).alias("_r"))
+        df = parsed.select("_r.*")
     if column_keys:
         for name, idx in column_keys.items():
             df = df.withColumnRenamed(f"_c{idx}", name)

@@ -27,35 +27,47 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType(), True),
-        StructField("ts", LongType(), True),  # TIMESTAMP(NANOS) read as long
-        StructField("user_id", LongType(), True),
-        StructField("event_type", StringType(), True),
-        StructField("value", DoubleType(), True),
-        StructField("props", StringType(), True),
-    ]
-)
+def _events_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType(), True),
+            StructField("ts", ts_type, True),
+            StructField("user_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("value", DoubleType(), True),
+            StructField("props", StringType(), True),
+        ]
+    )
+
+
+EVENTS_SCHEMA = _events_schema(LongType())  # TIMESTAMP(NANOS) read as long
 
 
 def read_events_stream(
     spark: SparkSession, directory: str, glob: str = "events.parquet"
 ) -> DataFrame:
     """File-source stream over events parquet (the source monitors a
-    directory; ``glob`` selects the files).  Nanosecond timestamps are
-    converted exactly as the batch loader does."""
+    directory; ``glob`` selects the files).  Timestamps are normalized
+    to session-tz TimestampType exactly as the batch loader does,
+    adapting to either on-disk form (TIMESTAMP(NANOS) as long, or
+    timestamp[us] NTZ — the testdata generator has used both)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Streams need an explicit schema; probe the footer of whatever is
+    # already in the directory (metadata-only, no data scan).
+    probe = spark.read.option("pathGlobFilter", glob).parquet(directory)
+    ts_type = probe.schema["ts"].dataType
     raw = (
         spark.readStream.format("parquet")
-        .schema(EVENTS_SCHEMA)
+        .schema(_events_schema(ts_type))
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", glob)
         .load(directory)
     )
-    # Integer division — double division rounds at ~1.7e18 and shifts ~1.5%
-    # of microsecond timestamps by 1us (see queries.load_table).
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, LongType):
+        # Integer division — double division rounds at ~1.7e18 and shifts
+        # ~1.5% of microsecond timestamps by 1us (see queries.load_table).
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_event_counts(
@@ -168,7 +180,10 @@ class StreamingCatalogWriter:
     def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        self.catalog = self.catalog.append(batch_df)
+        # Exactly-once under foreachBatch replay: append() checks the
+        # committed high-water batch_id in the catalog metadata and
+        # no-ops on batch_id <= last committed (catalog.py).
+        self.catalog = self.catalog.append(batch_df, batch_id=batch_id)
 
     def start(self, checkpoint_dir: str):
         return (

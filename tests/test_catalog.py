@@ -328,3 +328,70 @@ def test_append_extends_margin_dataset(spark, tmp_path):
     for (o, p), grp in m.groupby(["Norder", "Npix"]):
         pix = hpx.ang2pix(int(o), grp["ra"].to_numpy(), grp["dec"].to_numpy())
         assert (pix != p).all()
+
+
+def test_append_replay_is_exactly_once(spark, tmp_path):
+    """foreachBatch replay semantics: re-applying the same batch_id is a
+    no-op (high-water mark in metadata), and even a torn-commit replay
+    (data written, metadata not — simulated by replaying with a HIGHER
+    batch_id) converges to bit-identical catalog contents because the
+    merge replaces rows by id instead of duplicating them."""
+    rng = np.random.default_rng(31)
+    n = 3000
+    pdf = pd.DataFrame({
+        "sid": np.arange(n, dtype=np.int64),
+        "ra": rng.uniform(0, 360, n),
+        "dec": np.degrees(np.arcsin(rng.uniform(-1, 1, n))),
+    })
+    cat = partition_catalog(
+        spark.createDataFrame(pdf), str(tmp_path / "xo"), "xo",
+        ra_col="ra", dec_col="dec", id_col="sid",
+        threshold=800, order_k=6, write_margins=True,
+    )
+    batch = pd.DataFrame({
+        "sid": np.arange(n, n + 400, dtype=np.int64),
+        "ra": rng.uniform(0, 360, 400),
+        "dec": np.degrees(np.arcsin(rng.uniform(-1, 1, 400))),
+    })
+    bdf = spark.createDataFrame(batch)
+
+    c1 = cat.append(bdf, batch_id=0)
+    snap = c1.df().toPandas().sort_values("sid", ignore_index=True)
+    halo_snap = c1.margin_df().toPandas().sort_values(
+        ["sid", "Norder", "Npix"], ignore_index=True)
+    assert c1.meta.last_batch_id == 0
+
+    # (a) replay with the SAME batch_id — guarded no-op
+    c2 = c1.append(bdf, batch_id=0)
+    assert c2.meta.n_sources == c1.meta.n_sources
+    again = c2.df().toPandas().sort_values("sid", ignore_index=True)
+    pd.testing.assert_frame_equal(snap, again)
+
+    # (b) torn-commit replay: same rows arrive under a new batch_id
+    # (as if the metadata commit was lost) — replace-by-id converges
+    c3 = c2.append(bdf, batch_id=1)
+    assert c3.meta.last_batch_id == 1
+    assert c3.meta.n_sources == c1.meta.n_sources
+    final = c3.df().toPandas().sort_values("sid", ignore_index=True)
+    pd.testing.assert_frame_equal(snap, final)
+    halo_final = c3.margin_df().toPandas().sort_values(
+        ["sid", "Norder", "Npix"], ignore_index=True)
+    pd.testing.assert_frame_equal(halo_snap, halo_final)
+
+    # a fresh writer after restart sees the durable high-water mark
+    reloaded = Catalog.load(spark, str(tmp_path / "xo"), "xo")
+    assert reloaded.meta.last_batch_id == 1
+
+
+def test_order_k_driver_bound_guard(spark):
+    """order_k is a driver-memory knob: the planning histogram collects
+    up to 12*4^order_k cells, so out-of-range values must fail fast
+    instead of OOMing the driver."""
+    pdf = pd.DataFrame({"sid": [1, 2], "ra": [10.0, 20.0], "dec": [0.0, 5.0]})
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="order_k"):
+        partition_catalog(df, "/tmp/never-written", "g", ra_col="ra",
+                          dec_col="dec", id_col="sid", order_k=15)
+    with pytest.raises(ValueError, match="order_k"):
+        partition_catalog(df, "/tmp/never-written", "g", ra_col="ra",
+                          dec_col="dec", id_col="sid", order_k=-1)

@@ -116,9 +116,122 @@ def test_multimodal_feature_plumbing(spark):
     assert feats["sketch"].str.len().eq(16).all()
 
 
-def test_decode_stub_raises():
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image_stub(b"\x89PNG")
+def test_decode_rejects_unsupported():
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+    with pytest.raises(ValueError):  # PNG magic but truncated stream
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError):  # PPM magic but text, not an image
+        multimodal.decode_image(b"P6 is a chess piece, not a pixmap")
+
+
+def test_png_codec_roundtrip():
+    from lsd2_spark.sources import imagecodec as ic
+
+    rng = np.random.default_rng(5)
+    for shape in [(7, 5), (8, 8, 3), (4, 9, 4), (1, 1), (3, 2, 2)]:
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        out = ic.decode_png(ic.encode_png(arr))
+        want = arr if arr.ndim == 3 else arr[:, :, None]
+        assert out.shape == want.shape
+        assert (out == want).all()
+
+
+def test_png_decoder_handles_all_filters():
+    """Hand-build PNGs using each row filter (Sub/Up/Average/Paeth) and
+    check the decoder reconstructs the original pixels — our encoder
+    only emits filter 0, so this exercises the defilter paths a PNG
+    from any real encoder would use."""
+    import struct
+    import zlib
+
+    from lsd2_spark.sources import imagecodec as ic
+
+    rng = np.random.default_rng(6)
+    arr = rng.integers(0, 256, size=(6, 4, 3), dtype=np.uint8)
+    h, w, ch = arr.shape
+    flat = arr.reshape(h, w * ch).astype(np.int32)
+
+    for filt in [1, 2, 3, 4]:
+        rows = bytearray()
+        for y in range(h):
+            cur = flat[y]
+            prev = flat[y - 1] if y else np.zeros(w * ch, dtype=np.int32)
+            enc = np.zeros(w * ch, dtype=np.int32)
+            for i in range(w * ch):
+                a = cur[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                if filt == 1:
+                    pred = a
+                elif filt == 2:
+                    pred = b
+                elif filt == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (cur[i] - pred) & 0xFF
+            rows.append(filt)
+            rows.extend(enc.astype(np.uint8).tobytes())
+
+        def chunk(ctype, body):
+            crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+            return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+        png = (
+            ic.PNG_SIGNATURE
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(rows)))
+            + chunk(b"IEND", b"")
+        )
+        out = ic.decode_png(png)
+        assert (out == arr).all(), f"filter {filt} mis-decoded"
+
+
+def test_ppm_codec():
+    from lsd2_spark.sources import imagecodec as ic
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(10, 16, 3), dtype=np.uint8)
+    ppm = b"P6\n# a comment\n16 10\n255\n" + arr.tobytes()
+    assert (ic.decode_ppm(ppm) == arr).all()
+    gray = rng.integers(0, 256, size=(3, 5, 1), dtype=np.uint8)
+    pgm = b"P5 5 3 255\n" + gray.tobytes()
+    assert (ic.decode_ppm(pgm) == gray).all()
+
+
+def test_extract_features_uses_real_pixels(spark):
+    """PNG payloads must produce PIXEL statistics (≠ statistics of the
+    compressed bytes), and unsupported payloads fall back to byte
+    statistics."""
+    from lsd2_spark.sources import imagecodec as ic
+
+    rng = np.random.default_rng(8)
+    imgs = [rng.integers(0, 256, size=(12, 9, 3), dtype=np.uint8) for _ in range(4)]
+    rows = [(i, ic.encode_png(img)) for i, img in enumerate(imgs)]
+    rows.append((99, b"\xff\xd8 not an image"))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    blobs = multimodal.to_blob_table(df, "payload", "media_id", "image/png")
+    feats = (
+        multimodal.extract_features(blobs)
+        .toPandas()
+        .set_index("media_id")
+        .sort_index()
+    )
+    for i, img in enumerate(imgs):
+        pix = img.ravel()
+        assert feats.loc[i, "feat_mean"] == pytest.approx(round(float(pix.mean()), 6))
+        cnt = np.bincount(pix, minlength=256) / pix.size
+        nz = cnt[cnt > 0]
+        want_ent = round(float(-(nz * np.log2(nz)).sum()), 6)
+        assert feats.loc[i, "feat_entropy"] == pytest.approx(want_ent)
+        # and these differ from the compressed-byte statistics
+        comp = np.frombuffer(ic.encode_png(img), dtype=np.uint8)
+        assert feats.loc[i, "feat_mean"] != pytest.approx(round(float(comp.mean()), 6))
+    raw = np.frombuffer(b"\xff\xd8 not an image", dtype=np.uint8)
+    assert feats.loc[99, "feat_mean"] == pytest.approx(round(float(raw.mean()), 6))
 
 
 def test_lsh_finds_planted_near_duplicates(spark):
@@ -306,3 +419,67 @@ def test_training_pipeline_example(spark):
     assert acct["n_docs"].sum() == n_out
     assert (acct["n_bpe_tokens"] > 0).all()
     assert set(acct.index) <= {"train", "val", "test"}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A chain-shaped component (diameter >> 4) must fully merge: the
+    fixpoint loop keeps going until no label changes, while a
+    fixed-4-round cap under-merges and must WARN about it."""
+    n = 12
+    verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id1 long, id2 long"
+    )
+
+    got = dedup.connected_components(verts, chain, "doc_id").toPandas()
+    assert (got["cluster_id"] == 0).all()  # one component, min label 0
+
+    with pytest.warns(UserWarning, match="round cap"):
+        capped = dedup.connected_components(
+            verts, chain, "doc_id", n_steps=4
+        ).toPandas()
+    # 4 rounds reach only the 4-hop neighborhood: the chain tail keeps
+    # a non-zero label — exactly the silent under-merge the cap now warns on
+    assert (capped["cluster_id"] != 0).any()
+
+
+def test_lsh_hot_bucket_aqe_skew_split(spark):
+    """Mega-duplicate-cluster skew: 100 identical docs (20% of the
+    corpus) all land in ONE (band, bucket) key of the LSH self-join.
+    With sort-merge forced and test-scale AQE skew thresholds, the
+    executed plan must show AQE splitting the hot partition
+    (skew=true) — the mechanism that keeps one straggler task from
+    owning the stage at 100 TB."""
+    rows = [(i, f"doc {i} " + " ".join(f"t{i}_{j}" for j in range(25)))
+            for i in range(400)]
+    mega = "all these tokens are identical across the mega cluster " * 3
+    rows += [(1000 + i, mega) for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    conf = spark.conf
+    saved = {k: conf.get(k, None) for k in [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+    ]}
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        pairs = dedup.lsh_candidate_pairs(docs, "text", "doc_id")
+        n = pairs.count()
+        assert n >= 100 * 99 // 2  # the mega cluster alone
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:4000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
