@@ -357,6 +357,16 @@ class Catalog:
         Contract: the incoming batch's id column must be unique within
         the batch (the covered/uncovered split anti-joins on it).
 
+        Concurrent readers: dynamic partition overwrite REPLACES the
+        files of touched cells, so a DataFrame resolved before an
+        append is NOT snapshot-isolated — its next action either fails
+        on the deleted files or observes post-append state (never a
+        duplicated/partial mix; the overwrite is cell-atomic per
+        partition directory).  Re-resolve via :meth:`Catalog.load` /
+        :meth:`df` after appends; for true snapshot isolation under
+        concurrent writers at scale, layer a transactional table
+        format over the same layout.
+
         ``batch_id`` (streaming ingest): Structured Streaming's
         ``foreachBatch`` re-delivers the last uncommitted batch after a
         crash/restart.  Batches are applied serially with monotonically

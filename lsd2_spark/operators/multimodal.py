@@ -34,7 +34,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["to_blob_table", "extract_features", "decode_image"]
+__all__ = [
+    "to_blob_table",
+    "extract_features",
+    "extract_audio_features",
+    "decode_image",
+]
 
 
 def to_blob_table(df: DataFrame, payload_col: str, id_col: str, media_type: str) -> DataFrame:
@@ -115,3 +120,76 @@ def extract_features(blobs: DataFrame, decode: bool = True) -> DataFrame:
     return blobs.select("media_id", "n_bytes", "payload").mapInPandas(
         kernel, _FEATURE_SCHEMA
     )
+
+
+_AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_frames", LongType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("amp_mean", DoubleType(), True),
+        StructField("amp_rms", DoubleType(), True),
+        StructField("zcr", DoubleType(), True),
+        StructField("spectral_centroid", DoubleType(), True),
+    ]
+)
+
+
+def extract_audio_features(blobs: DataFrame) -> DataFrame:
+    """Audio feature extraction over WAV payloads via ``mapInPandas``.
+
+    Decodes RIFF/PCM WAV (pure-NumPy codec, sources/audiocodec.py) and
+    computes per-payload signal statistics on the channel-averaged
+    signal: frame count, mean amplitude, RMS, zero-crossing rate, and
+    FFT spectral centroid (Hz).  Non-WAV payloads yield null features
+    (the byte-level path is ``extract_features``) — the operator is
+    total over arbitrary binary columns.
+
+    At 100 TB this is the same embarrassingly parallel Arrow-batch
+    shape as image feature extraction: no shuffle, no driver data.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from lsd2_spark.sources.audiocodec import decode_wav
+
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "n_frames": pd.array([None] * len(pdf), dtype="Int64"),
+                "sample_rate": pd.array([None] * len(pdf), dtype="Int32"),
+                "amp_mean": np.full(len(pdf), np.nan),
+                "amp_rms": np.full(len(pdf), np.nan),
+                "zcr": np.full(len(pdf), np.nan),
+                "spectral_centroid": np.full(len(pdf), np.nan),
+            }
+            for i, p in enumerate(pdf["payload"]):
+                try:
+                    samples, rate = decode_wav(bytes(p or b""))
+                except ValueError:
+                    continue
+                sig = samples.mean(axis=1)
+                n = sig.size
+                out["n_frames"][i] = n
+                out["sample_rate"][i] = rate
+                if n == 0:
+                    continue
+                # UNROUNDED on purpose: PCM samples are exact binary
+                # fractions (k/128 or k/32768), so every partial sum is
+                # exactly representable and mean/rms are bit-identical
+                # across engines — the q54 oracle replays them exactly
+                # (rounding would ADD boundary divergence, not remove it)
+                out["amp_mean"][i] = float(sig.mean())
+                out["amp_rms"][i] = float(np.sqrt((sig**2).mean()))
+                if n > 1:
+                    pos = sig >= 0
+                    out["zcr"][i] = float((pos[1:] != pos[:-1]).sum() / (n - 1))
+                mag = np.abs(np.fft.rfft(sig))
+                tot = mag.sum()
+                if tot > 0:
+                    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+                    out["spectral_centroid"][i] = round(
+                        float((freqs * mag).sum() / tot), 6
+                    )
+            yield pd.DataFrame(out)
+
+    return blobs.select("media_id", "payload").mapInPandas(kernel, _AUDIO_SCHEMA)

@@ -438,6 +438,77 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# Q54 — REAL audio decode in the gate: wrap each document's leading 480
+# bytes as an 8-bit PCM mono WAV (16 kHz), decode with the pure-NumPy
+# RIFF codec, and compute signal statistics on the decoded SAMPLES.
+# 8-bit PCM is uncompressed (sample = (byte - 128)/128), so DuckDB
+# replays the decode exactly.  (The FFT spectral centroid is covered in
+# pytest against NumPy; FFT is not SQL-expressible.)
+# ---------------------------------------------------------------------------
+
+
+def _wav_header_480() -> bytes:
+    """44-byte canonical RIFF header for 480 frames of 8-bit mono PCM
+    at 16 kHz (everything after the header is the raw sample bytes)."""
+    import numpy as np
+
+    from lsd2_spark.sources.audiocodec import encode_wav
+
+    return encode_wav(np.zeros(480), sample_rate=16_000, bits=8)[:44]
+
+
+def q54_wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit(_wav_header_480()),
+        F.encode(F.rpad(F.substring(F.col("text"), 1, 480), 480, "x"), "UTF-8"),
+    )
+    blobs = multimodal.to_blob_table(
+        docs.withColumn("_wav", payload), "_wav", "doc_id", "audio/wav"
+    )
+    return multimodal.extract_audio_features(blobs).select(
+        "media_id", "n_frames", "sample_rate", "amp_mean", "amp_rms", "zcr"
+    )
+
+
+register(
+    "q54_wav_audio_features",
+    q54_wav_audio_features,
+    """
+    WITH padded AS (
+      SELECT doc_id, rpad(substr(text, 1, 480), 480, 'x') AS s FROM documents
+    ), bytes AS (
+      SELECT doc_id, i,
+             CAST(ord(substr(s, CAST(i AS INT), 1)) AS BIGINT) - 128 AS k
+      FROM padded, unnest(range(1, 481)) t(i)
+    ), lagged AS (
+      SELECT doc_id, k,
+             LAG(k) OVER (PARTITION BY doc_id ORDER BY i) AS pk
+      FROM bytes
+    ), zc AS (
+      SELECT doc_id,
+             COUNT(*) FILTER (WHERE pk IS NOT NULL AND (k >= 0) <> (pk >= 0)) AS nz
+      FROM lagged GROUP BY doc_id
+    ), st AS (
+      -- integer sums (exact in any engine), then the SAME float
+      -- division sequence the decoder uses: /128 (exact, power of
+      -- two) then /480 — bit-identical to numpy, no rounding needed
+      SELECT doc_id,
+             (CAST(SUM(k) AS DOUBLE) / 128.0) / 480.0 AS amp_mean,
+             sqrt((CAST(SUM(k * k) AS DOUBLE) / 16384.0) / 480.0) AS amp_rms
+      FROM bytes GROUP BY doc_id
+    )
+    SELECT p.doc_id AS media_id, CAST(480 AS BIGINT) AS n_frames,
+           CAST(16000 AS INTEGER) AS sample_rate,
+           st.amp_mean, st.amp_rms, CAST(zc.nz AS DOUBLE) / 479.0 AS zcr
+    FROM padded p
+    JOIN st ON st.doc_id = p.doc_id
+    JOIN zc ON zc.doc_id = p.doc_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # Q46 — fuzzy dedup clusters: LSH pairs → threshold → connected
 # components (min-label propagation) → canonical survivors
 # ---------------------------------------------------------------------------

@@ -395,3 +395,44 @@ def test_order_k_driver_bound_guard(spark):
     with pytest.raises(ValueError, match="order_k"):
         partition_catalog(df, "/tmp/never-written", "g", ra_col="ra",
                           dec_col="dec", id_col="sid", order_k=-1)
+
+
+def test_append_snapshot_semantics_documented(spark, tmp_path):
+    """Concurrent-reader contract (documented in Catalog.append): dynamic
+    partition overwrite REPLACES the files of touched cells, so a
+    DataFrame resolved before an append is not snapshot-isolated — its
+    next action either fails on the deleted files or reads post-append
+    state.  What it must NEVER do is silently return a half-and-half
+    mix with duplicated rows.  Readers re-resolve via Catalog.load /
+    .df() after appends."""
+    rng = np.random.default_rng(41)
+    n = 2000
+    pdf = pd.DataFrame({
+        "sid": np.arange(n, dtype=np.int64),
+        "ra": rng.uniform(0, 360, n),
+        "dec": np.degrees(np.arcsin(rng.uniform(-1, 1, n))),
+    })
+    cat = partition_catalog(
+        spark.createDataFrame(pdf), str(tmp_path / "snap"), "snap",
+        ra_col="ra", dec_col="dec", id_col="sid",
+        threshold=600, order_k=6, write_margins=False,
+    )
+    old_handle = cat.df()
+    assert old_handle.count() == n  # resolved pre-append
+
+    extra = pd.DataFrame({
+        "sid": np.arange(n, n + 500, dtype=np.int64),
+        "ra": rng.uniform(0, 360, 500),
+        "dec": np.degrees(np.arcsin(rng.uniform(-1, 1, 500))),
+    })
+    cat2 = cat.append(spark.createDataFrame(extra))
+    assert cat2.df().count() == n + 500  # fresh resolution sees everything
+
+    try:
+        stale = old_handle.count()
+    except Exception:
+        pass  # deleted-file failure: the documented (acceptable) outcome
+    else:
+        # if the action succeeds, it must be one of the two consistent
+        # states — never duplicates / partial mixes
+        assert stale in (n, n + 500), stale

@@ -453,11 +453,12 @@ def test_lsh_hot_bucket_aqe_skew_split(spark):
     rows = [(i, f"doc {i} " + " ".join(f"t{i}_{j}" for j in range(25)))
             for i in range(400)]
     mega = "all these tokens are identical across the mega cluster " * 3
-    rows += [(1000 + i, mega) for i in range(100)]
-    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    rows += [(1000 + i, mega + f" tail{i % 3}") for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
 
     conf = spark.conf
     saved = {k: conf.get(k, None) for k in [
+        "spark.sql.shuffle.partitions",
         "spark.sql.autoBroadcastJoinThreshold",
         "spark.sql.adaptive.skewJoin.enabled",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
@@ -466,16 +467,21 @@ def test_lsh_hot_bucket_aqe_skew_split(spark):
         "spark.sql.adaptive.coalescePartitions.enabled",
     ]}
     try:
+        conf.set("spark.sql.shuffle.partitions", "8")
         conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
-        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
-        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
         conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
         pairs = dedup.lsh_candidate_pairs(docs, "text", "doc_id")
-        n = pairs.count()
-        assert n >= 100 * 99 // 2  # the mega cluster alone
+        # collect() executes THIS DataFrame's QueryExecution, so the
+        # adaptive plan below is the final, post-execution one
+        # (count() would run a separate aggregated execution)
+        n = len(pairs.collect())
+        assert n >= 100_000  # the mega cluster dominates the pair set
         plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
         assert "skew=true" in plan, plan[:4000]
     finally:
         for k, v in saved.items():
@@ -483,3 +489,48 @@ def test_lsh_hot_bucket_aqe_skew_split(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_wav_codec_roundtrip():
+    from lsd2_spark.sources import audiocodec as ac
+
+    rng = np.random.default_rng(9)
+    sig = rng.uniform(-0.9, 0.9, 400)
+    # 16-bit mono
+    dec, rate = ac.decode_wav(ac.encode_wav(sig, 22_050, bits=16))
+    assert rate == 22_050 and dec.shape == (400, 1)
+    assert np.allclose(dec[:, 0], sig, atol=1 / 32768)
+    # 8-bit stereo
+    st = rng.uniform(-0.9, 0.9, (200, 2))
+    dec8, rate8 = ac.decode_wav(ac.encode_wav(st, 8_000, bits=8))
+    assert rate8 == 8_000 and dec8.shape == (200, 2)
+    assert np.allclose(dec8, st, atol=1 / 128)
+    with pytest.raises(ValueError):
+        ac.decode_wav(b"RIFFxxxxJUNK")
+    with pytest.raises(ValueError):
+        ac.decode_wav(b"not audio at all")
+
+
+def test_audio_features_real_signal(spark):
+    """A pure tone must yield the analytically-known features: RMS of
+    A*sin = A/sqrt(2), ZCR = 2f/rate, spectral centroid ≈ f."""
+    from lsd2_spark.sources import audiocodec as ac
+
+    rate, n, f, amp = 16_000, 4_000, 440.0, 0.5
+    t = np.arange(n) / rate
+    tone = amp * np.sin(2 * np.pi * f * t)
+    rows = [(1, ac.encode_wav(tone, rate, bits=16)),
+            (2, b"definitely not audio")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    blobs = multimodal.to_blob_table(df, "payload", "media_id", "audio/wav")
+    out = (
+        multimodal.extract_audio_features(blobs)
+        .toPandas()
+        .set_index("media_id")
+        .sort_index()
+    )
+    assert out.loc[1, "n_frames"] == n and out.loc[1, "sample_rate"] == rate
+    assert out.loc[1, "amp_rms"] == pytest.approx(amp / np.sqrt(2), rel=1e-3)
+    assert out.loc[1, "zcr"] == pytest.approx(2 * f / rate, rel=0.02)
+    assert out.loc[1, "spectral_centroid"] == pytest.approx(f, rel=0.05)
+    assert pd.isna(out.loc[2, "n_frames"])  # non-WAV → nulls, no crash
