@@ -36,3 +36,47 @@ def test_every_query_runs(spark):
     for name, fn in all_queries().items():
         df = fn(spark, SF_DIR)
         df.limit(1).collect()
+
+
+def test_load_table_adapts_to_both_events_formats(spark, tmp_path):
+    """The driver's generator has stored events.ts BOTH as
+    TIMESTAMP(NANOS) (read as long under the legacy flag) and as
+    timestamp[us] NTZ across rounds; load_table must normalize either
+    to the same session-tz TimestampType instants."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from lsd2_spark.queries import load_table
+
+    micros = [1_704_067_200_000_000, 1_704_070_800_123_456]
+    base = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 20], pa.int64()),
+        "event_type": pa.array(["click", "purchase"]),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+        "props": pa.array(["{}", "{}"]),
+    }
+
+    us_dir = tmp_path / "us_form"
+    us_dir.mkdir()
+    pq.write_table(
+        pa.table({**base, "ts": pa.array(micros, pa.timestamp("us"))}),
+        us_dir / "events.parquet",
+    )
+    ns_dir = tmp_path / "ns_form"
+    ns_dir.mkdir()
+    pq.write_table(
+        pa.table(
+            {**base, "ts": pa.array([m * 1000 for m in micros], pa.timestamp("ns"))}
+        ),
+        ns_dir / "events.parquet",
+        store_schema=False,  # bare TIMESTAMP(NANOS), as the old generator wrote
+    )
+
+    a = load_table(spark, str(us_dir), "events")
+    b = load_table(spark, str(ns_dir), "events")
+    assert str(a.schema["ts"].dataType) == str(b.schema["ts"].dataType) == "TimestampType()"
+    ea = [r["e"] for r in a.select(F.col("ts").cast("long").alias("e")).orderBy("e").collect()]
+    eb = [r["e"] for r in b.select(F.col("ts").cast("long").alias("e")).orderBy("e").collect()]
+    assert ea == eb == [m // 1_000_000 for m in micros]
