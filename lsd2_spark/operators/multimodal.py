@@ -39,6 +39,8 @@ __all__ = [
     "extract_features",
     "extract_audio_features",
     "decode_image",
+    "resize_images",
+    "sample_frames",
 ]
 
 
@@ -193,3 +195,113 @@ def extract_audio_features(blobs: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return blobs.select("media_id", "payload").mapInPandas(kernel, _AUDIO_SCHEMA)
+
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+
+def resize_images(
+    blobs: DataFrame, width: int, height: int, out_format: str = "png"
+) -> DataFrame:
+    """Thumbnail/resize stage: decode each supported image payload
+    (PNG/PPM/PGM), nearest-neighbor resize to (width, height), and
+    re-encode as ``out_format`` ('png' or 'ppm').  Undecodable payloads
+    yield a null payload (the row is kept so downstream joins see every
+    media_id).  Same embarrassingly parallel ``mapInPandas`` shape as
+    feature extraction — no shuffle, no driver data."""
+    assert out_format in ("png", "ppm")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from lsd2_spark.sources.imagecodec import (
+            decode_image as _decode,
+            encode_png,
+            encode_ppm,
+            resize_nearest,
+        )
+
+        enc = encode_png if out_format == "png" else encode_ppm
+        for pdf in batches:
+            out_payload: list[bytes | None] = []
+            for p in pdf["payload"]:
+                try:
+                    small = resize_nearest(_decode(bytes(p or b"")), width, height)
+                except ValueError:
+                    out_payload.append(None)
+                    continue
+                out_payload.append(enc(small))
+            ok = [p is not None for p in out_payload]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out_payload,
+                    "width": pd.array(
+                        [width if o else None for o in ok], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [height if o else None for o in ok], dtype="Int32"
+                    ),
+                }
+            )
+
+    return blobs.select("media_id", "payload").mapInPandas(kernel, _RESIZE_SCHEMA)
+
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("frame_mean", DoubleType(), False),
+        StructField("payload", BinaryType(), False),
+    ]
+)
+
+
+def sample_frames(blobs: DataFrame, every_n: int = 1) -> DataFrame:
+    """Video frame sampling over concatenated-PPM streams (the public
+    ffmpeg ``image2pipe`` ppm-pipe format: complete P6/P5 files
+    back-to-back).  Emits every ``every_n``-th frame as its own row
+    with the frame re-encoded as a standalone PPM, plus the frame's
+    pixel mean.  Row-exploding ``mapInPandas`` — one input payload can
+    yield many frame rows, still shuffle-free.  Undecodable payloads
+    yield no rows."""
+    assert every_n >= 1
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from lsd2_spark.sources.imagecodec import decode_ppm_stream, encode_ppm
+
+        for pdf in batches:
+            ids, idxs, ws, hs, means, payloads = [], [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frames = decode_ppm_stream(bytes(p or b""))
+                except ValueError:
+                    continue
+                for fi in range(0, len(frames), every_n):
+                    fr = frames[fi]
+                    ids.append(mid)
+                    idxs.append(fi)
+                    hs.append(fr.shape[0])
+                    ws.append(fr.shape[1])
+                    means.append(float(fr.astype(np.float64).mean()))
+                    payloads.append(encode_ppm(fr))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "width": ws,
+                    "height": hs,
+                    "frame_mean": means,
+                    "payload": payloads,
+                }
+            )
+
+    return blobs.select("media_id", "payload").mapInPandas(kernel, _FRAME_SCHEMA)

@@ -438,6 +438,115 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# Q55 — REAL decode+resize in the gate: 16x10 P6 thumbnails at 8x5 via
+# nearest-neighbor (floor mapping src = dst*src_size/dst_size), re-encoded
+# as P6.  PPM is byte-exact, so DuckDB reconstructs the resized payload
+# from the source bytes and md5-matches it — decode, resample, and
+# re-encode are all hash-gated.
+# ---------------------------------------------------------------------------
+
+
+def q55_thumbnail_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit(_PPM_HEADER.encode("ascii")),
+        F.encode(F.rpad(F.substring(F.col("text"), 1, 480), 480, "x"), "UTF-8"),
+    )
+    blobs = multimodal.to_blob_table(
+        docs.withColumn("_ppm", payload), "_ppm", "doc_id",
+        "image/x-portable-pixmap",
+    )
+    small = multimodal.resize_images(blobs, width=8, height=5, out_format="ppm")
+    return small.select(
+        "media_id", "width", "height",
+        F.md5(F.col("payload")).alias("thumb_md5"),
+        F.length(F.col("payload")).alias("thumb_bytes"),
+    )
+
+
+register(
+    "q55_thumbnail_ppm",
+    q55_thumbnail_ppm,
+    """
+    WITH padded AS (
+      SELECT doc_id, rpad(substr(text, 1, 480), 480, 'x') AS s FROM documents
+    ), grid AS (
+      -- nearest-neighbor source byte for thumbnail pixel (r, c, ch):
+      -- src_row = r*10//5 = 2r, src_col = c*16//8 = 2c
+      SELECT p.doc_id, r.r, c.c, ch.ch,
+             substr(p.s, CAST(((2 * r.r) * 16 + (2 * c.c)) * 3 + ch.ch + 1 AS INT), 1) AS px
+      FROM padded p,
+           unnest(range(0, 5)) r(r),
+           unnest(range(0, 8)) c(c),
+           unnest(range(0, 3)) ch(ch)
+    ), thumb AS (
+      SELECT doc_id,
+             string_agg(px, '' ORDER BY r, c, ch) AS pix
+      FROM grid GROUP BY doc_id
+    )
+    SELECT doc_id AS media_id, CAST(8 AS INTEGER) AS width,
+           CAST(5 AS INTEGER) AS height,
+           md5('P6' || chr(10) || '8 5' || chr(10) || '255' || chr(10) || pix)
+             AS thumb_md5,
+           CAST(11 + 120 AS INTEGER) AS thumb_bytes
+    FROM thumb
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q56 — REAL frame sampling in the gate: each document becomes a 3-frame
+# concatenated-PPM stream (the public ffmpeg image2pipe ppm-pipe format:
+# complete P6 files back-to-back, 4x4 RGB each), sample_frames(every_n=2)
+# keeps frames 0 and 2, and the oracle replays the per-frame byte slices.
+# ---------------------------------------------------------------------------
+
+_FRAME_HEADER = "P6\n4 4\n255\n"  # 11 bytes; 4*4*3 = 48 pixel bytes/frame
+
+
+def q56_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pix = F.rpad(F.substring(F.col("text"), 1, 144), 144, "x")
+    stream = F.concat(
+        *[
+            F.concat(
+                F.lit(_FRAME_HEADER.encode("ascii")),
+                F.encode(F.substring(pix, 1 + 48 * f, 48), "UTF-8"),
+            )
+            for f in range(3)
+        ]
+    )
+    blobs = multimodal.to_blob_table(
+        docs.withColumn("_vid", stream), "_vid", "doc_id", "video/x-ppm-stream"
+    )
+    frames = multimodal.sample_frames(blobs, every_n=2)
+    return frames.select("media_id", "frame_idx", "width", "height", "frame_mean")
+
+
+register(
+    "q56_frame_sample",
+    q56_frame_sample,
+    """
+    WITH padded AS (
+      SELECT doc_id, rpad(substr(text, 1, 144), 144, 'x') AS s FROM documents
+    ), frames AS (
+      SELECT doc_id, CAST(f.f AS INTEGER) AS frame_idx,
+             substr(s, CAST(48 * f.f + 1 AS INT), 48) AS fb
+      FROM padded, unnest([0, 2]) f(f)
+    ), chars AS (
+      SELECT doc_id, frame_idx,
+             CAST(ord(substr(fb, CAST(i AS INT), 1)) AS BIGINT) AS b
+      FROM frames, unnest(range(1, 49)) t(i)
+    )
+    SELECT doc_id AS media_id, frame_idx,
+           CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+           CAST(SUM(b) AS DOUBLE) / 48.0 AS frame_mean
+    FROM chars GROUP BY doc_id, frame_idx
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # Q54 — REAL audio decode in the gate: wrap each document's leading 480
 # bytes as an 8-bit PCM mono WAV (16 kHz), decode with the pure-NumPy
 # RIFF codec, and compute signal statistics on the decoded SAMPLES.

@@ -22,7 +22,16 @@ import zlib
 
 import numpy as np
 
-__all__ = ["PNG_SIGNATURE", "decode_image", "decode_png", "decode_ppm", "encode_png"]
+__all__ = [
+    "PNG_SIGNATURE",
+    "decode_image",
+    "decode_png",
+    "decode_ppm",
+    "decode_ppm_stream",
+    "encode_png",
+    "encode_ppm",
+    "resize_nearest",
+]
 
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
@@ -127,14 +136,14 @@ def encode_png(arr: np.ndarray, compress_level: int = 6) -> bytes:
     )
 
 
-def decode_ppm(data: bytes) -> np.ndarray:
-    """Decode binary PPM (P6 → (h, w, 3)) or PGM (P5 → (h, w, 1)),
-    maxval ≤ 255.  Header: magic, whitespace/comment-separated width,
-    height, maxval, one whitespace byte, then raw samples."""
-    if data[:2] not in (b"P6", b"P5"):
+def _decode_ppm_at(data: bytes, pos: int) -> tuple[np.ndarray, int]:
+    """Decode one binary PPM/PGM frame starting at ``pos``; returns
+    (pixels, end_offset).  The end offset is exact, which is what makes
+    CONCATENATED frames parseable (see :func:`decode_ppm_stream`)."""
+    if data[pos : pos + 2] not in (b"P6", b"P5"):
         raise ValueError("not a binary PPM/PGM")
-    ch = 3 if data[:2] == b"P6" else 1
-    pos = 2
+    ch = 3 if data[pos : pos + 2] == b"P6" else 1
+    pos += 2
     fields: list[int] = []
     while len(fields) < 3:
         # skip whitespace and comments
@@ -154,7 +163,58 @@ def decode_ppm(data: bytes) -> np.ndarray:
         raise ValueError("16-bit PPM not supported")
     n = w * h * ch
     pix = np.frombuffer(data, dtype=np.uint8, count=n, offset=pos)
-    return pix.reshape(h, w, ch).copy()
+    return pix.reshape(h, w, ch).copy(), pos + n
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Decode binary PPM (P6 → (h, w, 3)) or PGM (P5 → (h, w, 1)),
+    maxval ≤ 255.  Header: magic, whitespace/comment-separated width,
+    height, maxval, one whitespace byte, then raw samples."""
+    arr, _end = _decode_ppm_at(data, 0)
+    return arr
+
+
+def decode_ppm_stream(data: bytes) -> list[np.ndarray]:
+    """Decode a CONCATENATED sequence of binary PPM/PGM frames — the
+    public ffmpeg ``image2pipe``/ppm-pipe interchange format (each
+    frame is a complete P6/P5 file; frames are simply back-to-back).
+    This is the engine's raw-video container: frame extraction with no
+    compressed codec in scope."""
+    frames: list[np.ndarray] = []
+    pos = 0
+    while pos < len(data):
+        arr, pos = _decode_ppm_at(data, pos)
+        frames.append(arr)
+    if not frames:
+        raise ValueError("empty PPM stream")
+    return frames
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """Encode (h, w, 3) uint8 as binary P6 (or (h, w)/(h, w, 1) as
+    P5) — the uncompressed, byte-exact interchange form."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    if ch == 3:
+        magic = b"P6"
+    elif ch == 1:
+        magic = b"P5"
+    else:
+        raise ValueError("PPM/PGM requires 1 or 3 channels")
+    return magic + f"\n{w} {h}\n255\n".encode("ascii") + a.tobytes()
+
+
+def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize with the floor mapping
+    ``src = floor(dst * src_size / dst_size)`` — deterministic, pure
+    indexing, and exactly replayable in SQL for the thumbnail oracle."""
+    a = np.asarray(arr)
+    h, w = a.shape[:2]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return a[rows][:, cols]
 
 
 def decode_image(payload: bytes) -> np.ndarray:

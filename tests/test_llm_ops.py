@@ -534,3 +534,49 @@ def test_audio_features_real_signal(spark):
     assert out.loc[1, "zcr"] == pytest.approx(2 * f / rate, rel=0.02)
     assert out.loc[1, "spectral_centroid"] == pytest.approx(f, rel=0.05)
     assert pd.isna(out.loc[2, "n_frames"])  # non-WAV → nulls, no crash
+
+
+def test_resize_images_real_pixels(spark):
+    from lsd2_spark.sources import imagecodec as ic
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(10, 16, 3), dtype=np.uint8)
+    rows = [(1, ic.encode_png(img)), (2, ic.encode_ppm(img)),
+            (3, b"not an image")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    blobs = multimodal.to_blob_table(df, "payload", "media_id", "image/mixed")
+    out = (
+        multimodal.resize_images(blobs, width=8, height=5, out_format="ppm")
+        .toPandas().set_index("media_id").sort_index()
+    )
+    want = img[(np.arange(5) * 10) // 5][:, (np.arange(8) * 16) // 8]
+    for mid in (1, 2):  # PNG and PPM inputs resize to identical pixels
+        got = ic.decode_ppm(bytes(out.loc[mid, "payload"]))
+        assert got.shape == (5, 8, 3)
+        assert (got == want).all()
+        assert out.loc[mid, "width"] == 8 and out.loc[mid, "height"] == 5
+    assert out.loc[3, "payload"] is None  # kept, null payload
+
+
+def test_sample_frames_ppm_stream(spark):
+    from lsd2_spark.sources import imagecodec as ic
+
+    rng = np.random.default_rng(12)
+    frames = [rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+              for _ in range(5)]
+    stream = b"".join(ic.encode_ppm(f) for f in frames)
+    assert len(ic.decode_ppm_stream(stream)) == 5  # codec-level roundtrip
+    df = spark.createDataFrame(
+        [(7, stream), (8, b"junk")], "media_id long, payload binary"
+    )
+    blobs = multimodal.to_blob_table(df, "payload", "media_id", "video/x-ppm-stream")
+    out = (
+        multimodal.sample_frames(blobs, every_n=2)
+        .toPandas().sort_values("frame_idx", ignore_index=True)
+    )
+    assert list(out["media_id"]) == [7, 7, 7]  # junk yields no rows
+    assert list(out["frame_idx"]) == [0, 2, 4]
+    for _, row in out.iterrows():
+        fr = frames[int(row["frame_idx"])]
+        assert (ic.decode_ppm(bytes(row["payload"])) == fr).all()
+        assert row["frame_mean"] == pytest.approx(fr.astype(float).mean())
