@@ -12,6 +12,10 @@ Stages (each one scan/shuffle-bounded; no driver row materialization):
 5. source mixing     — deterministic stratified sampling (sampling)
 6. splits            — reproducible train/val/test assignment
 7. accounting        — token totals per split (token_stats)
+
+A multimodal side-branch (``media_features``) shows the image/audio
+path: blob table → real decode (PNG/PPM/WAV, pure-NumPy codecs) →
+pixel/signal features + thumbnails, all shuffle-free ``mapInPandas``.
 """
 
 from __future__ import annotations
@@ -24,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lsd2_spark.operators import dedup, sampling, text_analysis
+from lsd2_spark.operators import dedup, multimodal, sampling, text_analysis
 
 
 def build_training_corpus(
@@ -57,6 +61,18 @@ def build_training_corpus(
         strata_col="source" if isinstance(source_fractions, dict) else None,
     )
     return sampling.assign_splits(mixed, "doc_id")
+
+
+def media_features(media: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+    """Multimodal branch: decode-aware features + 64x64 thumbnails for
+    image payloads (PNG/PPM), joined on media_id.  Audio payloads go
+    through ``extract_audio_features`` the same way."""
+    blobs = multimodal.to_blob_table(media, payload_col, id_col, "image/any")
+    feats = multimodal.extract_features(blobs)
+    thumbs = multimodal.resize_images(blobs, width=64, height=64).select(
+        "media_id", F.col("payload").alias("thumbnail")
+    )
+    return feats.join(thumbs, "media_id", "left")
 
 
 def token_accounting(corpus: DataFrame) -> DataFrame:
