@@ -75,3 +75,79 @@ def test_deterministic_uniform_is_stable_and_bounded(doc_id, salt):
     assert 0.0 <= u < 1.0
     h2 = int(hashlib.md5(f"{doc_id}{salt}".encode()).hexdigest()[:15], 16)
     assert h == h2
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.sampled_from([1, 2, 3, 4]),
+    st.integers(min_value=0, max_value=10_000),
+)
+def test_png_roundtrip_property(w, h, ch, seed):
+    """encode→decode is the identity for every shape/channel count the
+    codec supports."""
+    from lsd2_spark.sources import imagecodec as ic
+
+    arr = np.random.default_rng(seed).integers(0, 256, (h, w, ch), dtype=np.uint8)
+    assert (ic.decode_png(ic.encode_png(arr)) == arr).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=200),
+    st.integers(min_value=1, max_value=2),
+    st.sampled_from([8, 16]),
+    st.integers(min_value=0, max_value=10_000),
+)
+def test_wav_roundtrip_property(n, chans, bits, seed):
+    """encode→decode recovers samples within the PCM quantization step
+    and preserves frame/channel geometry and rate."""
+    from lsd2_spark.sources import audiocodec as ac
+
+    sig = np.random.default_rng(seed).uniform(-0.95, 0.95, (n, chans))
+    dec, rate = ac.decode_wav(ac.encode_wav(sig, 12_345, bits=bits))
+    assert rate == 12_345 and dec.shape == (n, chans)
+    assert np.abs(dec - sig).max() <= 1.0 / (1 << (bits - 1))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=0, max_value=10_000),
+)
+def test_resize_nearest_property(w, h, out_w, out_h, seed):
+    """Every output pixel is a genuine source pixel from the floor
+    mapping, for any up/down-scale combination."""
+    from lsd2_spark.sources.imagecodec import resize_nearest
+
+    arr = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    out = resize_nearest(arr, out_w, out_h)
+    assert out.shape == (out_h, out_w, 3)
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    assert (out == arr[rows][:, cols]).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=0, max_value=10_000),
+)
+def test_ppm_stream_roundtrip_property(n_frames, w, h, seed):
+    """Concatenated encode→stream decode recovers every frame."""
+    from lsd2_spark.sources import imagecodec as ic
+
+    rng = np.random.default_rng(seed)
+    frames = [
+        rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(n_frames)
+    ]
+    got = ic.decode_ppm_stream(b"".join(ic.encode_ppm(f) for f in frames))
+    assert len(got) == n_frames
+    for a, b in zip(got, frames):
+        assert (a == b).all()
