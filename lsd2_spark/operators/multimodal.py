@@ -119,9 +119,11 @@ def extract_features(blobs: DataFrame, decode: bool = True) -> DataFrame:
                 }
             )
 
-    return blobs.select("media_id", "n_bytes", "payload").mapInPandas(
-        kernel, _FEATURE_SCHEMA
-    )
+    from lsd2_spark.operators.common import spread_partitions
+
+    return spread_partitions(
+        blobs.select("media_id", "n_bytes", "payload")
+    ).mapInPandas(kernel, _FEATURE_SCHEMA)
 
 
 _AUDIO_SCHEMA = StructType(
@@ -194,7 +196,11 @@ def extract_audio_features(blobs: DataFrame) -> DataFrame:
                     )
             yield pd.DataFrame(out)
 
-    return blobs.select("media_id", "payload").mapInPandas(kernel, _AUDIO_SCHEMA)
+    from lsd2_spark.operators.common import spread_partitions
+
+    return spread_partitions(blobs.select("media_id", "payload")).mapInPandas(
+        kernel, _AUDIO_SCHEMA
+    )
 
 
 _RESIZE_SCHEMA = StructType(
@@ -250,7 +256,11 @@ def resize_images(
                 }
             )
 
-    return blobs.select("media_id", "payload").mapInPandas(kernel, _RESIZE_SCHEMA)
+    from lsd2_spark.operators.common import spread_partitions
+
+    return spread_partitions(blobs.select("media_id", "payload")).mapInPandas(
+        kernel, _RESIZE_SCHEMA
+    )
 
 
 _FRAME_SCHEMA = StructType(
@@ -304,4 +314,8 @@ def sample_frames(blobs: DataFrame, every_n: int = 1) -> DataFrame:
                 }
             )
 
-    return blobs.select("media_id", "payload").mapInPandas(kernel, _FRAME_SCHEMA)
+    from lsd2_spark.operators.common import spread_partitions
+
+    return spread_partitions(blobs.select("media_id", "payload")).mapInPandas(
+        kernel, _FRAME_SCHEMA
+    )
