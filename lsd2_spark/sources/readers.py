@@ -178,3 +178,24 @@ def cloud_fs_conf(scheme: str, account: str | None = None) -> dict[str, str]:
             ),
         }
     raise ValueError(f"unknown scheme {scheme}")
+
+
+def read_media_files(spark: SparkSession, path_glob: str, media_type: str) -> DataFrame:
+    """Distributed media ingest: ``binaryFile`` source → blob table
+    (media_id from a stable hash of the file path, payload bytes,
+    length, md5).  Feed the result to the multimodal operators
+    (``extract_features`` / ``extract_audio_features`` /
+    ``resize_images`` / ``sample_frames``).
+
+    At scale the binaryFile source splits the listing across the
+    cluster and payloads stay distributed — no driver bytes."""
+    files = spark.read.format("binaryFile").load(path_glob)
+    payload = F.col("content")
+    return files.select(
+        F.xxhash64(F.col("path")).alias("media_id"),
+        F.col("path").alias("media_path"),
+        payload.alias("payload"),
+        F.lit(media_type).alias("media_type"),
+        F.length(payload).alias("n_bytes"),
+        F.md5(payload).alias("payload_md5"),
+    )

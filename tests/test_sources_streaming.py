@@ -344,3 +344,30 @@ def test_stream_into_catalog_incremental_ingest(spark, tmp_path):
     assert got.df().count() == 3800
     all_sids = set(got.df().select("sid").toPandas()["sid"])
     assert all_sids == set(range(3800))
+
+
+def test_read_media_files_feeds_multimodal_ops(spark, tmp_path):
+    """binaryFile ingest → blob table → real decode: files on disk land
+    as distributed payloads with stable ids, and the feature kernel
+    sees genuine pixels."""
+    import numpy as np
+
+    from lsd2_spark.operators import multimodal
+    from lsd2_spark.sources import imagecodec as ic
+    from lsd2_spark.sources.readers import read_media_files
+
+    rng = np.random.default_rng(13)
+    imgs = {}
+    for i in range(3):
+        img = rng.integers(0, 256, (6, 7, 3), dtype=np.uint8)
+        (tmp_path / f"img{i}.png").write_bytes(ic.encode_png(img))
+        imgs[f"img{i}.png"] = img
+    blobs = read_media_files(spark, str(tmp_path / "*.png"), "image/png")
+    rows = blobs.collect()
+    assert len(rows) == 3
+    assert len({r["media_id"] for r in rows}) == 3  # stable distinct ids
+    feats = multimodal.extract_features(blobs).toPandas()
+    by_id = {r["media_id"]: r["media_path"] for r in rows}
+    for _, f in feats.iterrows():
+        img = imgs[by_id[f["media_id"]].rsplit("/", 1)[-1]]
+        assert f["feat_mean"] == round(float(img.ravel().mean()), 6)
