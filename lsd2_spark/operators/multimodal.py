@@ -69,7 +69,9 @@ def decode_image(payload: bytes) -> "np.ndarray":
 _FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
-        StructField("n_bytes", IntegerType(), False),
+        # nullable: a NULL payload has NULL n_bytes (length(NULL)) and
+        # must flow through, not crash the Arrow conversion
+        StructField("n_bytes", IntegerType(), True),
         StructField("feat_mean", DoubleType(), False),
         StructField("feat_entropy", DoubleType(), False),
         StructField("sketch", StringType(), False),

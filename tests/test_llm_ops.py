@@ -580,3 +580,24 @@ def test_sample_frames_ppm_stream(spark):
         fr = frames[int(row["frame_idx"])]
         assert (ic.decode_ppm(bytes(row["payload"])) == fr).all()
         assert row["frame_mean"] == pytest.approx(fr.astype(float).mean())
+
+
+def test_media_ops_handle_empty_and_null_payloads(spark):
+    """Zero-row inputs (empty Arrow batches) and NULL/empty payloads
+    must flow through every media operator without crashing — a NULL
+    payload has NULL n_bytes, which the feature schema must allow."""
+    empty = spark.createDataFrame([], "media_id long, payload binary")
+    nulls = spark.createDataFrame(
+        [(1, None), (2, b"")], "media_id long, payload binary"
+    )
+    for src, want_feat_rows in [(empty, 0), (nulls, 2)]:
+        blobs = multimodal.to_blob_table(src, "payload", "media_id", "t")
+        assert multimodal.extract_features(blobs).count() == want_feat_rows
+        assert multimodal.extract_audio_features(blobs).count() == want_feat_rows
+        assert multimodal.resize_images(blobs, 4, 4).count() == want_feat_rows
+        assert multimodal.sample_frames(blobs, 1).count() == 0  # no frames
+    f = multimodal.extract_features(
+        multimodal.to_blob_table(nulls, "payload", "media_id", "t")
+    ).toPandas().set_index("media_id")
+    assert pd.isna(f.loc[1, "n_bytes"])  # NULL payload → NULL length
+    assert f.loc[2, "feat_mean"] == 0.0  # empty payload → zero features
