@@ -263,7 +263,13 @@ def dedup_clusters(
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFrame:
     """SimHash fingerprint: bit b is the sign of Σ_tokens (±1 by token-
     hash bit b).  Hamming-close simhashes ⇒ similar token sets.
-    ``bits`` ≤ 62 so the packed value stays in signed-64 range."""
+    ``bits`` ≤ 62 so the packed value stays in signed-64 range.
+
+    Total over the input: documents with no tokens (NULL or empty
+    text) keep their row with ``simhash = 0`` — the explode+groupBy
+    would otherwise silently drop them, losing rows across pipeline
+    joins.  The left join back is on the id and the sum table is
+    grouped, so this adds no extra shuffle beyond the aggregation's."""
     assert 1 <= bits <= 62
     exploded = df.select(
         F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("_tok")
@@ -278,7 +284,10 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFr
     sh = F.lit(0).cast("long")
     for b in range(bits):
         sh = sh + F.when(F.col(f"_s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(0)
-    return summed.select(F.col(id_col), sh.alias("simhash"))
+    hashed = summed.select(F.col(id_col), sh.alias("simhash"))
+    return df.select(id_col).join(hashed, id_col, "left").select(
+        F.col(id_col), F.coalesce(F.col("simhash"), F.lit(0).cast("long")).alias("simhash")
+    )
 
 
 def ngram_jaccard_pairs(

@@ -168,7 +168,11 @@ register(
     ), sums AS (
       SELECT doc_id, {_sh_sums} FROM hashes GROUP BY doc_id
     )
-    SELECT doc_id, CAST({_sh_pack} AS BIGINT) AS simhash FROM sums
+    -- total over documents: token-less docs keep a row with simhash 0,
+    -- matching the operator's left-join-back contract
+    SELECT d.doc_id,
+           COALESCE(CAST({_sh_pack} AS BIGINT), 0) AS simhash
+    FROM documents d LEFT JOIN sums s ON s.doc_id = d.doc_id
     """,
 )
 
