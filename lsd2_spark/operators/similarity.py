@@ -56,6 +56,35 @@ def cosine_sim_col(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _valid_vectors(df: DataFrame, vec_col: str, dim: int | None = None) -> DataFrame:
+    """Drop vectors that cannot participate in cosine geometry: NULL,
+    empty, and zero-norm (0/0 division), plus — when ``dim`` is given —
+    any vector of a different dimensionality (the Arrow kernels stack
+    batches into a dense matrix, so ragged inputs would crash).  Real
+    corpora contain all of these; operators must be total over them."""
+    col = F.col(vec_col)
+    cond = col.isNotNull() & (_norm(col) > 0)
+    cond = cond & ((F.size(col) == dim) if dim is not None else (F.size(col) > 0))
+    return df.filter(cond)
+
+
+def _probe_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Dimensionality of the first usable vector (None if there is
+    none) — drives the ragged-input filter and hyperplane shapes."""
+    col = F.col(vec_col)
+    row = (
+        df.filter(col.isNotNull() & (F.size(col) > 0))
+        .select(F.size(col).alias("d"))
+        .limit(1)
+        .collect()
+    )
+    return int(row[0]["d"]) if row else None
+
+
+_TOPK_SCHEMA = "query_id long, cand_id long, sim double, rnk int"
+_PAIRS_SCHEMA = "id1 long, id2 long, sim double"
+
+
 def cosine_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -71,8 +100,11 @@ def cosine_topk(
     desc, candidate id).
     """
     qid = query_id or id_col
-    candidates = _spread(candidates.filter(F.col(vec_col).isNotNull()))
-    queries = queries.filter(F.col(vec_col).isNotNull())
+    dim = _probe_dim(candidates, vec_col)
+    if dim is None:
+        return candidates.sparkSession.createDataFrame([], _TOPK_SCHEMA)
+    candidates = _spread(_valid_vectors(candidates, vec_col, dim))
+    queries = _valid_vectors(queries, vec_col, dim)
     # the query side is broadcast + crossJoined: a large query set makes
     # this an all-pairs plan.  Guard with a cheap bounded count on the
     # (small) query side and route big sets to the ANN paths.
@@ -118,13 +150,19 @@ def _hyperplanes(n_tables: int, n_bits: int, dim: int) -> np.ndarray:
     return w / np.maximum(np.linalg.norm(w, axis=1, keepdims=True), 1e-12)
 
 
-def _bucket_udf(spark, candidates: DataFrame, vec_col: str, n_bits: int, n_tables: int):
+def _bucket_udf(
+    spark, candidates: DataFrame, vec_col: str, n_bits: int, n_tables: int,
+    dim: int | None = None,
+):
     """Arrow UDF computing each vector's ``n_tables`` sign-LSH bucket
-    ids (table index folded into the id)."""
+    ids (table index folded into the id).  Callers pass ``dim`` (from
+    ``_probe_dim``) and pre-filter ragged vectors out."""
     from pyspark.sql.types import ArrayType, IntegerType
 
-    dim_probe = candidates.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
-    planes = _hyperplanes(n_tables, n_bits, int(dim_probe[0]["d"]))
+    if dim is None:
+        dim_probe = candidates.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+        dim = int(dim_probe[0]["d"])
+    planes = _hyperplanes(n_tables, n_bits, dim)
     bc = spark.sparkContext.broadcast(planes)
 
     @F.pandas_udf(ArrayType(IntegerType()))
@@ -167,9 +205,12 @@ def hyperplane_lsh_topk(
     """
     qid = query_id or id_col
     spark = candidates.sparkSession
-    candidates = _spread(candidates.filter(F.col(vec_col).isNotNull()))
-    queries = queries.filter(F.col(vec_col).isNotNull())
-    buckets_of = _bucket_udf(spark, candidates, vec_col, n_bits, n_tables)
+    dim = _probe_dim(candidates, vec_col)
+    if dim is None:  # no usable vectors at all
+        return spark.createDataFrame([], _TOPK_SCHEMA)
+    candidates = _spread(_valid_vectors(candidates, vec_col, dim))
+    queries = _valid_vectors(queries, vec_col, dim)
+    buckets_of = _bucket_udf(spark, candidates, vec_col, n_bits, n_tables, dim)
 
     cand = candidates.select(
         F.col(id_col).alias("cand_id"),
@@ -237,7 +278,9 @@ def kmeans_centroids(
     is ever collected.
     """
     spark = candidates.sparkSession
-    samp = candidates.filter(F.col(vec_col).isNotNull()).select(
+    samp = _valid_vectors(
+        candidates, vec_col, _probe_dim(candidates, vec_col)
+    ).select(
         F.col(id_col).alias("_vid"),
         F.transform(F.col(vec_col), lambda x: F.round(x.cast("double"), 6)).alias("_v"),
     )
@@ -299,8 +342,11 @@ def embedding_neardup_pairs(
     so the gate hash-matches a DuckDB oracle end-to-end.
     """
     spark = df.sparkSession
-    df = _spread(df.filter(F.col(vec_col).isNotNull()))
-    buckets_of = _bucket_udf(spark, df, vec_col, n_bits, n_tables)
+    dim = _probe_dim(df, vec_col)
+    if dim is None:
+        return spark.createDataFrame([], _PAIRS_SCHEMA)
+    df = _spread(_valid_vectors(df, vec_col, dim))
+    buckets_of = _bucket_udf(spark, df, vec_col, n_bits, n_tables, dim)
     tagged = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
@@ -362,8 +408,11 @@ def ivf_topk(
     wastes a k-means pass over the corpus sample.
     """
     qid = query_id or id_col
-    candidates = _spread(candidates.filter(F.col(vec_col).isNotNull()))
-    queries = queries.filter(F.col(vec_col).isNotNull())
+    dim = _probe_dim(candidates, vec_col)
+    if dim is None:
+        return candidates.sparkSession.createDataFrame([], _TOPK_SCHEMA)
+    candidates = _spread(_valid_vectors(candidates, vec_col, dim))
+    queries = _valid_vectors(queries, vec_col, dim)
     cents = (
         centroids
         if centroids is not None

@@ -601,3 +601,40 @@ def test_media_ops_handle_empty_and_null_payloads(spark):
     ).toPandas().set_index("media_id")
     assert pd.isna(f.loc[1, "n_bytes"])  # NULL payload → NULL length
     assert f.loc[2, "feat_mean"] == 0.0  # empty payload → zero features
+
+
+def test_similarity_ops_total_over_invalid_vectors(spark):
+    """NULL, empty, zero-norm, and wrong-dimension vectors must be
+    filtered out — not crash the cosine (0/0) or the Arrow kernels
+    (ragged stack) — and the valid vectors still rank correctly."""
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0]), (3, None), (4, []),
+            (5, [0.0, 0.0, 0.0]), (6, [0.5, 0.5, 0.0]), (7, [1.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id = 1")
+
+    exact = similarity.cosine_topk(emb, q, "embedding", "vec_id", k=5).toPandas()
+    assert set(exact["cand_id"]) == {2, 6}  # only valid, same-dim candidates
+    assert exact.sort_values("rnk")["cand_id"].tolist() == [2, 6]
+
+    approx = similarity.ivf_topk(
+        emb, q, "embedding", "vec_id", k=5, n_lists=2, nprobe=2
+    ).toPandas()
+    assert set(approx["cand_id"]) <= {2, 6} and len(approx)
+
+    lsh = similarity.hyperplane_lsh_topk(
+        emb, q, "embedding", "vec_id", k=5, n_bits=2, n_tables=4
+    ).toPandas()
+    assert set(lsh["cand_id"]) <= {2, 6}
+
+    pairs = similarity.embedding_neardup_pairs(
+        emb, "embedding", "vec_id", threshold=0.8
+    ).toPandas()
+    assert {3, 4, 5, 7}.isdisjoint(set(pairs["id1"]) | set(pairs["id2"]))
+
+    # an all-invalid corpus yields empty results, not a crash
+    bad = spark.createDataFrame(
+        [(1, None), (2, [])], "vec_id long, embedding array<double>"
+    )
+    assert similarity.hyperplane_lsh_topk(bad, bad, "embedding", "vec_id").count() == 0
+    assert similarity.embedding_neardup_pairs(bad, "embedding", "vec_id").count() == 0
+    assert similarity.ivf_topk(bad, bad, "embedding", "vec_id").count() == 0
