@@ -206,6 +206,16 @@ def partition_catalog(
         .count()
         .collect()
     )
+    null_rows = sum(r["count"] for r in hist if r["kpix"] is None)
+    if null_rows:
+        # detected for free in the planning histogram (NULL coords
+        # pixelize to a NULL group) — fail fast with a clear contract
+        # instead of a TypeError deep in driver planning
+        raise ValueError(
+            f"{null_rows} input row(s) have NULL {ra_col}/{dec_col}; "
+            "spatial ingest requires coordinates — filter them out "
+            f"(e.g. .filter('{ra_col} IS NOT NULL AND {dec_col} IS NOT NULL'))"
+        )
     kpix = np.array([r["kpix"] for r in hist], dtype=np.int64)
     counts = np.array([r["count"] for r in hist], dtype=np.int64)
     n_sources = int(counts.sum())

@@ -436,3 +436,18 @@ def test_append_snapshot_semantics_documented(spark, tmp_path):
         # if the action succeeds, it must be one of the two consistent
         # states — never duplicates / partial mixes
         assert stale in (n, n + 500), stale
+
+
+def test_ingest_rejects_null_coordinates_clearly(spark, tmp_path):
+    """NULL ra/dec must fail fast with an actionable message (detected
+    for free in the planning histogram), not a TypeError deep in
+    driver planning."""
+    pdf = pd.DataFrame({
+        "sid": [1, 2, 3],
+        "ra": [10.0, None, 350.0],
+        "dec": [0.0, 20.0, None],
+    })
+    with pytest.raises(ValueError, match="NULL ra/dec"):
+        partition_catalog(spark.createDataFrame(pdf), str(tmp_path / "n"), "n",
+                          ra_col="ra", dec_col="dec", id_col="sid",
+                          threshold=10, order_k=4, write_margins=False)
