@@ -371,3 +371,69 @@ def test_read_media_files_feeds_multimodal_ops(spark, tmp_path):
     for _, f in feats.iterrows():
         img = imgs[by_id[f["media_id"]].rsplit("/", 1)[-1]]
         assert f["feat_mean"] == round(float(img.ravel().mean()), 6)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode watermark semantics, end to end: once the watermark
+    has passed a window and its state is evicted (emission), a late row
+    for that window is DROPPED — the finalized window is emitted
+    exactly once with the on-time count, never re-emitted.  (Within the
+    eviction delay, Spark's late-drop is documented best-effort; this
+    pins the hard guarantee that matters: no duplicate/updated output
+    after finalization.)"""
+    import datetime as dt
+    import os as _os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lsd2_spark.streaming import events as sev
+
+    def write_events(path, rows):
+        ids, tss, uids, types, vals, props = zip(*rows)
+        pq.write_table(
+            pa.table({
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": pa.array(list(tss), pa.timestamp("us")),
+                "user_id": pa.array(uids, pa.int64()),
+                "event_type": pa.array(types),
+                "value": pa.array(vals, pa.float64()),
+                "props": pa.array(props),
+            }),
+            path,
+        )
+
+    T = dt.datetime
+    d = tmp_path / "late"
+    d.mkdir()
+    # batch 0: one event in the 00:00 window, one at 05:30 — advances
+    # the watermark to 03:30 for the NEXT batch
+    write_events(d / "a_events.parquet", [
+        (1, T(2024, 1, 1, 0, 30), 10, "click", 1.0, "{}"),
+        (2, T(2024, 1, 1, 5, 30), 10, "click", 1.0, "{}"),
+    ])
+    # batch 1: on-time row; at this batch's end the 00:00 window
+    # (end 01:00 < wm 03:30) is evicted and emitted
+    write_events(d / "b_events.parquet", [
+        (3, T(2024, 1, 1, 5, 35), 10, "click", 1.0, "{}"),
+    ])
+    # batch 2: a LATE row for the finalized 00:00 window + an on-time row
+    write_events(d / "c_events.parquet", [
+        (4, T(2024, 1, 1, 0, 45), 10, "click", 1.0, "{}"),
+        (5, T(2024, 1, 1, 5, 45), 10, "click", 1.0, "{}"),
+    ])
+    now = _time.time()
+    for i, f in enumerate(["a_events", "b_events", "c_events"]):
+        _os.utime(d / f"{f}.parquet", (now - 300 + i * 60, now - 300 + i * 60))
+
+    stream = sev.read_events_stream(spark, str(d), glob="*.parquet")
+    agg = sev.windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    sev.run_to_memory_sink(agg, "late_counts", mode="append")
+    got = spark.sql("SELECT * FROM late_counts").toPandas()
+
+    # exactly one finalized window, with only the on-time event —
+    # the late row neither re-opened nor re-emitted it
+    assert len(got) == 1, got
+    assert got.iloc[0]["window_start"] == T(2024, 1, 1, 0, 0)
+    assert int(got.iloc[0]["n"]) == 1
