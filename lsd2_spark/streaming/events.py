@@ -212,3 +212,22 @@ def run_to_memory_sink(stream_df: DataFrame, name: str, mode: str = "complete") 
     )
     q.processAllAvailable()
     q.stop()
+
+
+def streaming_exact_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication — the incremental twin of the
+    batch ``operators.dedup.exact_dedup``: keep the first occurrence
+    of each key, with state bounded by the watermark
+    (``dropDuplicatesWithinWatermark``), so duplicate arrivals within
+    the watermark horizon are suppressed and state is evicted as event
+    time advances.  At scale the state store shards by key across
+    executors; an unbounded-state ``dropDuplicates`` would OOM on an
+    infinite stream, so the watermark bound is the 100 TB-safe form."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

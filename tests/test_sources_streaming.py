@@ -437,3 +437,55 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert len(got) == 1, got
     assert got.iloc[0]["window_start"] == T(2024, 1, 1, 0, 0)
     assert int(got.iloc[0]["n"]) == 1
+
+
+def test_streaming_exact_dedup_suppresses_duplicates(spark, tmp_path):
+    """Duplicate keys across micro-batches (within the watermark) are
+    suppressed; distinct keys all pass through."""
+    import datetime as dt
+    import os as _os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lsd2_spark.streaming import events as sev
+
+    def write_events(path, rows):
+        ids, tss, uids, types, vals, props = zip(*rows)
+        pq.write_table(
+            pa.table({
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": pa.array(list(tss), pa.timestamp("us")),
+                "user_id": pa.array(uids, pa.int64()),
+                "event_type": pa.array(types),
+                "value": pa.array(vals, pa.float64()),
+                "props": pa.array(props),
+            }),
+            path,
+        )
+
+    T = dt.datetime
+    d = tmp_path / "dd"
+    d.mkdir()
+    write_events(d / "a_events.parquet", [
+        (1, T(2024, 1, 1, 0, 10), 10, "click", 1.0, "{}"),
+        (2, T(2024, 1, 1, 0, 20), 11, "click", 1.0, "{}"),
+    ])
+    write_events(d / "b_events.parquet", [
+        (1, T(2024, 1, 1, 0, 30), 10, "click", 9.0, "{}"),  # dup event_id
+        (3, T(2024, 1, 1, 0, 40), 12, "click", 1.0, "{}"),
+    ])
+    now = _time.time()
+    _os.utime(d / "a_events.parquet", (now - 120, now - 120))
+    _os.utime(d / "b_events.parquet", (now - 60, now - 60))
+
+    stream = sev.read_events_stream(spark, str(d), glob="*.parquet")
+    deduped = sev.streaming_exact_dedup(stream, ["event_id"])
+    sev.run_to_memory_sink(deduped, "dedup_stream", mode="append")
+    got = spark.sql(
+        "SELECT event_id, value FROM dedup_stream ORDER BY event_id"
+    ).toPandas()
+    assert got["event_id"].tolist() == [1, 2, 3]
+    # the FIRST arrival won: the duplicate's value 9.0 was suppressed
+    assert got.loc[got["event_id"] == 1, "value"].iloc[0] == 1.0
