@@ -231,3 +231,34 @@ def streaming_exact_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def session_window_stats(
+    events: DataFrame,
+    gap_min: int = 30,
+    watermark: str = "2 hours",
+    key: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-session rows via Spark's NATIVE session windows (gap-based
+    ``F.session_window``): one output row per closed session with its
+    bounds and event count.  JVM-side state management — no Python in
+    the loop — and watermark-bounded state, so this is the preferred
+    production form; ``stateful_sessionize`` (cumulative per-user
+    counts via ``applyInPandasWithState``) demonstrates the custom
+    stateful-operator escape hatch for semantics session_window can't
+    express."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), f"{gap_min} minutes").alias("sw"),
+            F.col(key),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key),
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

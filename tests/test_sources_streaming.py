@@ -489,3 +489,30 @@ def test_streaming_exact_dedup_suppresses_duplicates(spark, tmp_path):
     assert got["event_id"].tolist() == [1, 2, 3]
     # the FIRST arrival won: the duplicate's value 9.0 was suppressed
     assert got.loc[got["event_id"] == 1, "value"].iloc[0] == 1.0
+
+
+def test_session_windows_match_batch_sessionization(spark):
+    """Native session windows over the full events stream must agree
+    with the batch q12 sessionization on (user, session count) and on
+    total events — same 30-minute gap rule."""
+    from lsd2_spark.queries import all_queries, load_table
+    from lsd2_spark.streaming import events as sev
+
+    stream = sev.read_events_stream(spark, SF_DIR)
+    sess = sev.session_window_stats(stream, gap_min=30, watermark="100 days")
+    sev.run_to_memory_sink(sess, "sess_windows", mode="complete")
+    got = spark.sql("SELECT * FROM sess_windows").toPandas()
+
+    batch = all_queries()["q12_sessionize"](spark, SF_DIR).toPandas()
+    g = got.groupby("user_id").agg(n_sessions=("session_start", "count"),
+                                   n_events=("n_events", "sum"))
+    b = batch.set_index("user_id")[["n_sessions", "n_events"]]
+    merged = g.join(b, how="outer", lsuffix="_s", rsuffix="_b").fillna(-1)
+    assert (merged["n_sessions_s"] == merged["n_sessions_b"]).all()
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+    # sessions are well-formed: start < end, no intra-user overlap
+    for uid, grp in got.groupby("user_id"):
+        grp = grp.sort_values("session_start")
+        assert (grp["session_start"] < grp["session_end"]).all()
+        assert (grp["session_start"].iloc[1:].to_numpy()
+                >= grp["session_end"].iloc[:-1].to_numpy()).all()
