@@ -723,3 +723,45 @@ def _sampling_oracles() -> tuple[str, str]:
 _Q49_SQL, _Q50_SQL = _sampling_oracles()
 register("q49_stratified_sample", q49_stratified_sample, _Q49_SQL)
 register("q50_assign_splits", q50_assign_splits, _Q50_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q57 — KMV distinct-count sketch: deterministic bottom-k cardinality
+# estimation per event_type (operators/sketches.py).  The portable md5
+# hash makes the whole sketch — occupancy, k-th hash, estimate —
+# bit-reproducible in DuckDB, unlike HLL-based approx_count_distinct.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+
+def q57_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lsd2_spark.operators.sketches import kmv_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_distinct(ev, "user_id", ["event_type"], k=_KMV_K)
+
+
+register(
+    "q57_kmv_distinct",
+    q57_kmv_distinct,
+    f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             {hash64_sql("CAST(user_id AS VARCHAR)")} AS hh
+      FROM events WHERE user_id IS NOT NULL
+    ), rk AS (
+      SELECT event_type, hh,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hh) AS r
+      FROM h
+    ), agg AS (
+      SELECT event_type, COUNT(*) AS n, MAX(hh) AS hk
+      FROM rk WHERE r <= {_KMV_K} GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_kept,
+           CASE WHEN n < {_KMV_K} THEN CAST(n AS DOUBLE)
+                ELSE {float(_KMV_K - 1)} * 1152921504606846976.0 / CAST(hk AS DOUBLE)
+           END AS est_distinct
+    FROM agg
+    """,
+)

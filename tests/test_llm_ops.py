@@ -638,3 +638,30 @@ def test_similarity_ops_total_over_invalid_vectors(spark):
     assert similarity.hyperplane_lsh_topk(bad, bad, "embedding", "vec_id").count() == 0
     assert similarity.embedding_neardup_pairs(bad, "embedding", "vec_id").count() == 0
     assert similarity.ivf_topk(bad, bad, "embedding", "vec_id").count() == 0
+
+
+def test_kmv_distinct_accuracy_and_exact_path(spark):
+    """KMV bottom-k sketch: groups under k are EXACT; larger groups
+    estimate within the standard ~1/sqrt(k) relative error; results
+    are independent of input partitioning (the partial bottom-k is
+    lossless for the global sketch)."""
+    from lsd2_spark.operators.sketches import kmv_distinct
+
+    rows = [("small", i) for i in range(10)]
+    rows += [("big", i) for i in range(5000)]
+    rows += [("big", i) for i in range(2500)]  # duplicates must not inflate
+    df = spark.createDataFrame(rows, "grp string, v long")
+
+    out = kmv_distinct(df, "v", ["grp"], k=256).toPandas().set_index("grp")
+    assert out.loc["small", "n_kept"] == 10
+    assert out.loc["small", "est_distinct"] == 10.0  # exact below k
+    est = out.loc["big", "est_distinct"]
+    assert abs(est - 5000) / 5000 < 4 / np.sqrt(256), est  # ~4 sigma
+
+    # partitioning-independence: same sketch from a different layout
+    out2 = (
+        kmv_distinct(df.repartition(17), "v", ["grp"], k=256)
+        .toPandas().set_index("grp")
+    )
+    assert out2.loc["big", "est_distinct"] == est
+    assert out2.loc["small", "est_distinct"] == 10.0
