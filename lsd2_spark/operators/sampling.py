@@ -16,7 +16,12 @@ from pyspark.sql import functions as F
 
 from lsd2_spark.functions.portable_hash import hash64, hash64_sql
 
-__all__ = ["deterministic_uniform", "stratified_sample", "assign_splits"]
+__all__ = [
+    "deterministic_uniform",
+    "stratified_sample",
+    "assign_splits",
+    "weighted_sample",
+]
 
 _DENOM = float(1 << 60)
 
@@ -80,3 +85,37 @@ def assign_splits(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     # float-roundoff guard: u exactly at the top edge lands in the last split
     return df.withColumn("split", expr.otherwise(names[-1]))
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    strata_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (A-Res,
+    Efraimidis-Spirakis): each row draws priority ``u^(1/w)`` from its
+    deterministic uniform and the top ``n`` priorities win — inclusion
+    probability proportional to weight, reproducible across engines
+    and re-runs (no RNG state), and SQL-replayable.
+
+    With ``strata_col``, the top-n is PER STRATUM (e.g. n docs per
+    source).  Rows with NULL/non-positive weights are excluded.
+
+    Scale shape: one shuffle on the stratum key for the ranking window
+    (a single global top-n ranks through one task after per-partition
+    pre-filtering by Catalyst's TopK — for global samples at extreme
+    scale prefer a stratified spec).  Adds ``priority`` and ``rnk``."""
+    from pyspark.sql.window import Window
+
+    u = deterministic_uniform(F.col(id_col), salt)
+    w = F.col(weight_col).cast("double")
+    pri = F.pow(u, F.lit(1.0) / w)
+    base = df.filter(w.isNotNull() & (w > 0)).withColumn("priority", pri)
+    part = Window.partitionBy(strata_col) if strata_col else Window.partitionBy()
+    win = part.orderBy(F.desc("priority"), F.col(id_col).asc())
+    return base.withColumn("rnk", F.row_number().over(win)).filter(
+        F.col("rnk") <= n
+    )

@@ -765,3 +765,54 @@ register(
     FROM agg
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Q58 — deterministic weighted sampling (A-Res): priority u^(1/w) with
+# the portable hash uniform, top-n per source stratum.  Weight here is
+# the document length — the "sample long documents preferentially"
+# shape of corpus mixing.  Priorities differ across engines only in
+# the last ulp (pow is not correctly rounded), but per-stratum
+# priority spacing (~1/n) is ~13 orders of magnitude wider, so the
+# ranking — and therefore the sample — is engine-stable.
+# ---------------------------------------------------------------------------
+
+_WS_N = 20
+
+
+def q58_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lsd2_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "wt", F.length(F.col("text")).cast("double")
+    )
+    out = weighted_sample(docs, "doc_id", "wt", _WS_N, strata_col="source")
+    return out.select(
+        "doc_id", "source",
+        F.round(F.col("priority"), 6).alias("priority"),
+        F.col("rnk").cast("int").alias("rnk"),
+    )
+
+
+def _weighted_sample_oracle() -> str:
+    from lsd2_spark.operators.sampling import deterministic_uniform_sql
+
+    u = deterministic_uniform_sql("doc_id")
+    return f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             POWER({u}, 1.0 / length(text)) AS priority
+      FROM documents WHERE length(text) > 0
+    ), r AS (
+      SELECT doc_id, source, priority,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY priority DESC, doc_id ASC) AS rnk
+      FROM w
+    )
+    SELECT doc_id, source, ROUND(priority, 6) AS priority,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM r WHERE rnk <= {_WS_N}
+    """
+
+
+register("q58_weighted_sample", q58_weighted_sample, _weighted_sample_oracle())

@@ -665,3 +665,28 @@ def test_kmv_distinct_accuracy_and_exact_path(spark):
     )
     assert out2.loc["big", "est_distinct"] == est
     assert out2.loc["small", "est_distinct"] == 10.0
+
+
+def test_weighted_sample_proportional_and_reproducible(spark):
+    """A-Res weighted sampling: inclusion probability tracks weight
+    (100x-weight rows dominate a 10% sample), results are identical
+    across re-runs and partitionings, and invalid weights are excluded."""
+    from lsd2_spark.operators.sampling import weighted_sample
+
+    rows = [(i, "light", 1.0) for i in range(1000)]
+    rows += [(1000 + i, "heavy", 100.0) for i in range(1000)]
+    rows += [(9001, "bad", 0.0), (9002, "bad", None)]
+    df = spark.createDataFrame(rows, "doc_id long, kind string, wt double")
+
+    got = weighted_sample(df, "doc_id", "wt", 200).toPandas()
+    assert len(got) == 200
+    assert not (got["kind"] == "bad").any()
+    # heavy rows are 100x more likely: expect >=85% of the sample
+    assert (got["kind"] == "heavy").mean() > 0.85
+
+    again = weighted_sample(df.repartition(13), "doc_id", "wt", 200).toPandas()
+    assert set(got["doc_id"]) == set(again["doc_id"])  # fully deterministic
+
+    strat = weighted_sample(df, "doc_id", "wt", 50, strata_col="kind").toPandas()
+    assert strat.groupby("kind").size().to_dict() == {"bad": 0, "heavy": 50, "light": 50} or \
+           strat.groupby("kind").size().to_dict() == {"heavy": 50, "light": 50}
