@@ -104,18 +104,26 @@ def weighted_sample(
     With ``strata_col``, the top-n is PER STRATUM (e.g. n docs per
     source).  Rows with NULL/non-positive weights are excluded.
 
-    Scale shape: one shuffle on the stratum key for the ranking window
-    (a single global top-n ranks through one task after per-partition
-    pre-filtering by Catalyst's TopK — for global samples at extreme
-    scale prefer a stratified spec).  Adds ``priority`` and ``rnk``."""
+    Scale shape: the stratified form is one shuffle on the stratum key
+    for the ranking window; the global form is a distributed
+    TakeOrdered (per-partition partial top-n, merged on the driver
+    side of the exchange — ``orderBy().limit(n)``), with the rank
+    window running over only the n winners.  Adds ``priority`` and
+    ``rnk``."""
     from pyspark.sql.window import Window
 
     u = deterministic_uniform(F.col(id_col), salt)
     w = F.col(weight_col).cast("double")
     pri = F.pow(u, F.lit(1.0) / w)
     base = df.filter(w.isNotNull() & (w > 0)).withColumn("priority", pri)
-    part = Window.partitionBy(strata_col) if strata_col else Window.partitionBy()
-    win = part.orderBy(F.desc("priority"), F.col(id_col).asc())
+    order = [F.desc("priority"), F.col(id_col).asc()]
+    if strata_col is None:
+        # TakeOrderedAndProject: every partition keeps its local top-n,
+        # only n rows per partition reach the merge — never a full sort
+        top = base.orderBy(*order).limit(n)
+        win = Window.orderBy(*order)  # over ≤ n rows
+        return top.withColumn("rnk", F.row_number().over(win))
+    win = Window.partitionBy(strata_col).orderBy(*order)
     return base.withColumn("rnk", F.row_number().over(win)).filter(
         F.col("rnk") <= n
     )
