@@ -59,3 +59,17 @@ def test_media_queries_prune_scan_to_needed_columns(spark):
         read = plan.split("ReadSchema:")[1].splitlines()[0]
         assert "text" in read and "doc_id" in read, (name, read)
         assert "source" not in read and "lang" not in read, (name, read)
+
+
+def test_sketch_and_sample_queries_prune_scans(spark):
+    """q57 reads only (event_type, user_id) from events; q58 reads only
+    (doc_id, source, text) from documents."""
+    plan = _plan(spark, "q57_kmv_distinct")
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "event_type" in read and "user_id" in read
+    assert "props" not in read and "value" not in read, read
+
+    plan = _plan(spark, "q58_weighted_sample")
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read and "text" in read and "source" in read
+    assert "lang" not in read, read
