@@ -62,7 +62,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql.types import LongType
 
         if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # long ts can be epoch NANOS (legacy TIMESTAMP(NANOS) under
+            # nanosAsLong, ~1.7e18 for the 2024 era) or plain epoch
+            # MICROS (~1.7e15); a one-row probe disambiguates by
+            # magnitude (2^57 ≈ 1.4e17 sits between the eras)
+            probe = df.select("ts").filter(F.col("ts").isNotNull()).limit(1).collect()
+            if probe and abs(probe[0]["ts"]) < (1 << 57):
+                df = df.withColumn("ts", F.timestamp_micros(F.col("ts")))
+            else:
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         else:
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

@@ -73,10 +73,19 @@ def test_load_table_adapts_to_both_events_formats(spark, tmp_path):
         ns_dir / "events.parquet",
         store_schema=False,  # bare TIMESTAMP(NANOS), as the old generator wrote
     )
+    us_long_dir = tmp_path / "us_long_form"
+    us_long_dir.mkdir()
+    pq.write_table(
+        pa.table({**base, "ts": pa.array(micros, pa.int64())}),
+        us_long_dir / "events.parquet",  # plain int64 epoch micros
+    )
 
     a = load_table(spark, str(us_dir), "events")
     b = load_table(spark, str(ns_dir), "events")
-    assert str(a.schema["ts"].dataType) == str(b.schema["ts"].dataType) == "TimestampType()"
-    ea = [r["e"] for r in a.select(F.col("ts").cast("long").alias("e")).orderBy("e").collect()]
-    eb = [r["e"] for r in b.select(F.col("ts").cast("long").alias("e")).orderBy("e").collect()]
-    assert ea == eb == [m // 1_000_000 for m in micros]
+    c = load_table(spark, str(us_long_dir), "events")
+    for d in (a, b, c):
+        assert str(d.schema["ts"].dataType) == "TimestampType()"
+    want = [m // 1_000_000 for m in micros]
+    for d in (a, b, c):
+        got = [r["e"] for r in d.select(F.col("ts").cast("long").alias("e")).orderBy("e").collect()]
+        assert got == want
