@@ -34,6 +34,8 @@ __all__ = [
     "tokens_col",
     "minhash_signatures",
     "lsh_candidate_pairs",
+    "normalize_text_col",
+    "normalized_dedup",
     "connected_components",
     "dedup_clusters",
     "simhash",
@@ -344,4 +346,30 @@ def ngram_jaccard_pairs(
                 6,
             ).alias("jaccard"),
         )
+    )
+
+
+def normalize_text_col(text: Column) -> Column:
+    """Canonical text normalization for dedup: lowercase, collapse all
+    whitespace runs to single spaces, strip leading/trailing space, and
+    drop punctuation-class ASCII.  Pure Column expression (one codegen
+    stage, no UDF) with an exact SQL twin — near-identical documents
+    differing only in case/spacing/punctuation hash together."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[!-/:-@\[-`{-~]", "")  # ASCII punctuation
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def normalized_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup over NORMALIZED text — catches the near-duplicates
+    exact_dedup misses (case/whitespace/punctuation variants) at the
+    same one-shuffle cost.  Same output contract as exact_dedup with a
+    ``norm_hash`` column."""
+    h = F.md5(normalize_text_col(F.col(text_col))).alias("norm_hash")
+    w = Window.partitionBy("norm_hash")
+    return (
+        df.select(F.col(id_col), h)
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("is_canonical", (F.col(id_col) == F.col("canonical_id")).cast("int"))
     )

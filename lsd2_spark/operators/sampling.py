@@ -21,6 +21,7 @@ __all__ = [
     "stratified_sample",
     "assign_splits",
     "weighted_sample",
+    "cap_per_stratum",
 ]
 
 _DENOM = float(1 << 60)
@@ -126,4 +127,25 @@ def weighted_sample(
     win = Window.partitionBy(strata_col).orderBy(*order)
     return base.withColumn("rnk", F.row_number().over(win)).filter(
         F.col("rnk") <= n
+    )
+
+
+def cap_per_stratum(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    cap: int,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum quota: keep at most ``cap`` rows per stratum (e.g.
+    per source/domain — the over-represented-source guard of corpus
+    curation), chosen by the deterministic hash uniform so the kept set
+    is reproducible across engines and re-runs.  One shuffle on the
+    stratum key; adds ``kept_rank``."""
+    from pyspark.sql.window import Window
+
+    u = deterministic_uniform(F.col(id_col), salt)
+    w = Window.partitionBy(strata_col).orderBy(u.asc(), F.col(id_col).asc())
+    return df.withColumn("kept_rank", F.row_number().over(w)).filter(
+        F.col("kept_rank") <= cap
     )

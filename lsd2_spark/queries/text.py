@@ -816,3 +816,66 @@ def _weighted_sample_oracle() -> str:
 
 
 register("q58_weighted_sample", q58_weighted_sample, _weighted_sample_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Q59 — normalized-text exact dedup: case/whitespace/punctuation
+# variants hash together.  Q60 — per-source corpus quota via the
+# deterministic uniform (over-represented-source guard).
+# ---------------------------------------------------------------------------
+
+
+def q59_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.normalized_dedup(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+register(
+    "q59_normalized_dedup",
+    q59_normalized_dedup,
+    r"""
+    WITH n AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g'))) AS norm_hash
+      FROM documents
+    )
+    SELECT doc_id, norm_hash,
+           MIN(doc_id) OVER (PARTITION BY norm_hash) AS canonical_id,
+           CAST(doc_id = MIN(doc_id) OVER (PARTITION BY norm_hash) AS INTEGER)
+             AS is_canonical
+    FROM n
+    """,
+)
+
+
+_CAP_N = 30
+
+
+def q60_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lsd2_spark.operators.sampling import cap_per_stratum
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cap_per_stratum(docs, "doc_id", "source", _CAP_N).select(
+        "doc_id", "source", F.col("kept_rank").cast("int").alias("kept_rank")
+    )
+
+
+def _cap_oracle() -> str:
+    from lsd2_spark.operators.sampling import deterministic_uniform_sql
+
+    u = deterministic_uniform_sql("doc_id")
+    return f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY {u} ASC, doc_id ASC) AS kept_rank
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(kept_rank AS INTEGER) AS kept_rank
+    FROM r WHERE kept_rank <= {_CAP_N}
+    """
+
+
+register("q60_cap_per_source", q60_cap_per_source, _cap_oracle())

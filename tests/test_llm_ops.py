@@ -690,3 +690,30 @@ def test_weighted_sample_proportional_and_reproducible(spark):
     strat = weighted_sample(df, "doc_id", "wt", 50, strata_col="kind").toPandas()
     assert strat.groupby("kind").size().to_dict() == {"bad": 0, "heavy": 50, "light": 50} or \
            strat.groupby("kind").size().to_dict() == {"heavy": 50, "light": 50}
+
+
+def test_normalized_dedup_catches_formatting_variants(spark):
+    rows = [
+        (1, "Hello, World!  How are you?"),
+        (2, "hello world how are you"),        # same after normalization
+        (3, "HELLO   world,  how ARE you??"),  # same after normalization
+        (4, "entirely different content"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = dedup.exact_dedup(df, "text", "doc_id").toPandas()
+    assert exact["is_canonical"].sum() == 4  # exact dedup sees 4 distinct
+    norm = dedup.normalized_dedup(df, "text", "doc_id").toPandas().set_index("doc_id")
+    assert norm["is_canonical"].sum() == 2   # normalization collapses 1-3
+    assert norm.loc[2, "canonical_id"] == 1 and norm.loc[3, "canonical_id"] == 1
+
+
+def test_cap_per_stratum_quota_and_determinism(spark):
+    from lsd2_spark.operators.sampling import cap_per_stratum
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    got = cap_per_stratum(df, "doc_id", "src", 50).toPandas()
+    sizes = got.groupby("src").size().to_dict()
+    assert sizes == {"big": 50, "small": 50}  # big capped, small under cap
+    again = cap_per_stratum(df.repartition(11), "doc_id", "src", 50).toPandas()
+    assert set(got["doc_id"]) == set(again["doc_id"])  # deterministic
