@@ -73,3 +73,16 @@ def test_sketch_and_sample_queries_prune_scans(spark):
     read = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "doc_id" in read and "text" in read and "source" in read
     assert "lang" not in read, read
+
+
+def test_curation_queries_prune_scans(spark):
+    """q59 reads only (doc_id, text); q60 only (doc_id, source)."""
+    plan = _plan(spark, "q59_normalized_dedup")
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read and "text" in read
+    assert "source" not in read and "lang" not in read, read
+
+    plan = _plan(spark, "q60_cap_per_source")
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read and "source" in read
+    assert "text" not in read, read
