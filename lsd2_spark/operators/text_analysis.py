@@ -146,3 +146,14 @@ def _winnow_kernel(text: pd.Series) -> pd.Series:
 
 def winnow_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(F.col(id_col), _winnow_kernel(F.col(text_col)).alias("winnow_min"))
+
+
+def fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Content md5 + winnowing sketch in ONE pass over the text column
+    (single scan, zero shuffle — both are per-row expressions)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", "")
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fingerprint"),
+        _winnow_kernel(F.col(text_col)).alias("winnow_min"),
+    )

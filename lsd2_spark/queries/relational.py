@@ -803,60 +803,39 @@ register(
 
 
 # ---------------------------------------------------------------------------
-# Q51/Q52 — windowed analytics over event time: rolling aggregates and
-# lead/lag deltas (§2.5 breadth beyond the rank/top-k forms)
+# Q51 — windowed analytics over event time: rolling aggregate + lead/lag
+# deltas in ONE window spec (§2.5 breadth beyond the rank/top-k forms;
+# merged former q51/q52 — same grain, same partition/order, one shuffle)
 # ---------------------------------------------------------------------------
 
 
-def q51_rolling_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q51_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-4, Window.currentRow)
-    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = wo.rowsBetween(-4, Window.currentRow)
+    ts_l = F.col("ts").cast("timestamp").cast("long")
     return ev.select(
         "event_id",
         "user_id",
-        F.col("ts").cast("timestamp").cast("long").alias("ts_epoch"),
+        ts_l.alias("ts_epoch"),
         F.round(
-            F.sum(F.col("value").cast(DEC)).over(w).cast("double"), 6
+            F.sum(F.col("value").cast(DEC)).over(wr).cast("double"), 6
         ).alias("rolling_value_5"),
+        (ts_l - F.lag(ts_l).over(wo)).alias("secs_since_prev"),
+        (F.lead(ts_l).over(wo) - ts_l).alias("secs_to_next"),
+        F.lag("event_type").over(wo).alias("prev_type"),
     )
 
 
 register(
-    "q51_rolling_value",
-    q51_rolling_value,
+    "q51_event_windows",
+    q51_event_windows,
     """
     SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
            ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6)))
                       OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
-             AS rolling_value_5
-    FROM events
-    """,
-)
-
-
-def q52_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ts_l = F.col("ts").cast("timestamp").cast("long")
-    return ev.select(
-        "event_id",
-        "user_id",
-        (ts_l - F.lag(ts_l).over(w)).alias("secs_since_prev"),
-        (F.lead(ts_l).over(w) - ts_l).alias("secs_to_next"),
-        F.lag("event_type").over(w).alias("prev_type"),
-    )
-
-
-register(
-    "q52_event_deltas",
-    q52_event_deltas,
-    """
-    SELECT event_id, user_id,
+             AS rolling_value_5,
            CAST(floor(epoch(ts)) AS BIGINT)
              - LAG(CAST(floor(epoch(ts)) AS BIGINT))
                OVER (PARTITION BY user_id ORDER BY ts, event_id) AS secs_since_prev,

@@ -264,28 +264,15 @@ register(
 
 
 # ---------------------------------------------------------------------------
-# Q38 — content fingerprint; Q39 — winnowing sketch (non-SQL, rows-only)
+# Q38 — document fingerprints: content md5 + winnowing sketch in ONE scan
+# (merged former q38/q39 so both operators share a single gate row; the
+# underlying operators content_fingerprint / winnow_fingerprint remain
+# separate and unit-tested)
 # ---------------------------------------------------------------------------
 
 
-def q38_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_analysis.content_fingerprint(
-        load_table(spark, sf_dir, "documents"), "text", "doc_id"
-    )
-
-
-register(
-    "q38_fingerprint",
-    q38_fingerprint,
-    """
-    SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', '', 'g')) AS fingerprint
-    FROM documents
-    """,
-)
-
-
-def q39_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_analysis.winnow_fingerprint(
+def q38_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.fingerprints(
         load_table(spark, sf_dir, "documents"), "text", "doc_id"
     )
 
@@ -302,8 +289,8 @@ _WINNOW_TERMS = " + ".join(
 )
 
 register(
-    "q39_winnow_fingerprint",
-    q39_winnow_fingerprint,
+    "q38_fingerprints",
+    q38_fingerprints,
     f"""
     WITH pos AS (
       SELECT doc_id, i, CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT) AS c
@@ -319,7 +306,9 @@ register(
     m AS (
       SELECT doc_id, MIN(kh) AS winnow_min FROM h WHERE c_last IS NOT NULL GROUP BY doc_id
     )
-    SELECT d.doc_id, CAST(COALESCE(m.winnow_min, 0) AS BIGINT) AS winnow_min
+    SELECT d.doc_id,
+           md5(regexp_replace(lower(d.text), '\\s+', '', 'g')) AS fingerprint,
+           CAST(COALESCE(m.winnow_min, 0) AS BIGINT) AS winnow_min
     FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
     """,
 )

@@ -1,0 +1,90 @@
+"""Registry self-check — guards the driver correctness gate surface.
+
+Round 5 post-mortem: the driver's CORRECTNESS artifact truncates at 50
+entries, and with 52 registered queries the last two in registration
+order (q44/q45) silently fell off the gate.  The surface is now pinned
+at EXACTLY 50 queries, every one oracle-backed, with similarity (the
+block that dropped) registered first.  Any rename/add/remove that would
+silently change the gate surface fails here instead.
+"""
+
+from lsd2_spark.queries import all_oracles, all_queries
+
+# The 50 gate queries, in registration order (== driver run order).
+EXPECTED = [
+    # similarity first — insurance against artifact truncation
+    "q40_embedding_knn",
+    "q41_ivf_topk",
+    "q44_lsh_ann",
+    "q45_embedding_neardup",
+    # spatial
+    "q20_cone_search",
+    "q21_crossmatch_knn",
+    # relational
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_supplier_volume",
+    "q06_revenue_forecast",
+    "q07_window_topk",
+    "q08_rollup",
+    "q09_anti_join",
+    "q10_semi_join",
+    "q11_events_hourly",
+    "q12_sessionize",
+    "q15_asof_join",
+    "q16_cube",
+    "q17_intersect",
+    "q18_except",
+    "q19_median",
+    "q13_distinct_stats",
+    "q14_conditional_agg",
+    "q04_order_priority",
+    "q22_idle_customers",
+    "q47_asof_forward",
+    "q48_asof_nearest",
+    "q51_event_windows",  # merged former q51/q52
+    # text / LLM-pipeline
+    "q30_dedup_exact",
+    "q31_minhash_signatures",
+    "q32_lsh_pairs",
+    "q33_ngram_jaccard",
+    "q34_simhash",
+    "q35_token_stats",
+    "q36_quality_score",
+    "q37_lang_id",
+    "q38_fingerprints",  # merged former q38/q39
+    "q42_multimodal_blobs",
+    "q43_media_features",
+    "q53_ppm_pixel_features",
+    "q55_thumbnail_ppm",
+    "q56_frame_sample",
+    "q54_wav_audio_features",
+    "q46_dedup_clusters",
+    "q49_stratified_sample",
+    "q50_assign_splits",
+    "q57_kmv_distinct",
+    "q58_weighted_sample",
+    "q59_normalized_dedup",
+    "q60_cap_per_source",
+]
+
+
+def test_registry_is_exactly_the_50_gate_queries():
+    assert list(all_queries()) == EXPECTED
+    assert len(EXPECTED) == 50
+
+
+def test_every_query_has_an_oracle():
+    # full-fidelity gate: every registered query must have a DuckDB twin
+    assert set(all_oracles()) == set(all_queries())
+
+
+def test_registration_puts_similarity_first():
+    # the round-5 truncation dropped the LAST registered block; keep the
+    # historically-vulnerable similarity queries at the head
+    assert list(all_queries())[:4] == [
+        "q40_embedding_knn",
+        "q41_ivf_topk",
+        "q44_lsh_ann",
+        "q45_embedding_neardup",
+    ]
