@@ -390,7 +390,12 @@ class Catalog:
         high-water mark in place and the replayed batch re-runs the
         same dynamic partition overwrite — the touched cells are
         rewritten from (untouched existing ∪ batch), which converges to
-        the same bytes.
+        the same bytes.  The halo append happens BEFORE the metadata
+        commit (a torn halo write is retried idempotently on replay;
+        after the commit it could never be retried), and a write-ahead
+        intent marker records the pre-batch touched-cell row count so
+        ``n_sources`` stays exact even when the replay recounts cells
+        that already contain the torn-written batch.
         """
         spark = self.spark
         meta = self.meta
@@ -479,9 +484,43 @@ class Catalog:
         # replayed overwrite converge to the same bytes instead of
         # duplicating the batch.
         batch_ids = F.broadcast(df.select(meta.id_kw).distinct())
-        n_replaced = existing.join(batch_ids, meta.id_kw, "left_semi").count()
+        marked = existing.join(
+            batch_ids.withColumn("_inb", F.lit(1)), meta.id_kw, "left"
+        )
+        crow = marked.agg(
+            F.count(F.lit(1)).alias("n"), F.count("_inb").alias("r")
+        ).collect()[0]
+        disk_touched, n_replaced = int(crow["n"]), int(crow["r"])
         existing = existing.join(batch_ids, meta.id_kw, "left_anti")
         merged = existing.unionByName(assigned.select(*existing.columns))
+
+        # n_sources accounting must survive a torn-commit replay: after a
+        # crash between the data overwrite and the metadata commit, the
+        # batch rows are already on disk, so recounting the touched cells
+        # sees them and `n - n_replaced` would cancel the batch out of the
+        # total.  A write-ahead intent marker (atomic rename, keyed by
+        # batch_id) records the touched-cell row count BEFORE the first
+        # data write; replay reads the marker instead of trusting the
+        # (possibly torn) disk state, and
+        #   n_sources = committed + rows_after_touched - rows_before_touched
+        # is exact in every crash window.
+        pre_touched = disk_touched
+        intent_path = f"{self.path}/{meta.cat_name}_append_intent.json"
+        if batch_id is not None:
+            intent = None
+            if os.path.exists(intent_path):
+                try:
+                    with open(intent_path) as f:
+                        intent = json.loads(f.read())
+                except (OSError, ValueError):
+                    intent = None
+            if intent is not None and intent.get("batch_id") == batch_id:
+                pre_touched = int(intent["pre_touched"])
+            else:
+                tmp = intent_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump({"batch_id": batch_id, "pre_touched": disk_touched}, f)
+                os.replace(tmp, intent_path)
 
         from pyspark.sql.types import StructField, StructType
 
@@ -506,37 +545,32 @@ class Catalog:
         if new_leaves:
             hips.setdefault(order_k, [])
             hips[order_k] = sorted(set(hips[order_k]) | set(new_leaves))
+        # rows now on disk in the touched cells = (existing - replaced) + new
+        n_after_touched = disk_touched - n_replaced + n_new
         new_meta = CatalogMetadata(
             cat_name=meta.cat_name,
             ra_kw=meta.ra_kw,
             dec_kw=meta.dec_kw,
             id_kw=meta.id_kw,
-            n_sources=meta.n_sources + n_new - n_replaced,
+            n_sources=meta.n_sources + n_after_touched - pre_touched,
             pix_threshold=meta.pix_threshold,
             order_k=order_k,
             margin_threshold=meta.margin_threshold,
             hips=hips,
             last_batch_id=batch_id if batch_id is not None else meta.last_batch_id,
         )
-        # Atomic rename: the metadata file IS the commit record (it carries
-        # the streaming high-water mark), so it must never be observable
-        # half-written.
-        meta_path = f"{self.path}/{meta.cat_name}_meta.json"
-        tmp_path = f"{meta_path}.tmp"
-        with open(tmp_path, "w") as f:
-            f.write(new_meta.to_json())
-        os.replace(tmp_path, meta_path)
         cat = Catalog(spark, self.path, new_meta)
 
+        # The halo append must land BEFORE the metadata commit: once the
+        # high-water mark is committed a replay no-ops, so margin rows
+        # written after it would be lost forever on a crash in between.
+        # Written before, a torn halo write is simply retried on replay —
+        # the (id, Norder, Npix) anti-join makes the retry idempotent.
         if os.path.exists(f"{self.path}/neighbor"):
             from lsd2_spark.operators.margins import margin_rows
 
             halo = margin_rows(df, cat, ra_col=meta.ra_kw, dec_col=meta.dec_kw)
             if halo is not None:
-                # Idempotent under replay: the neighbor sink is append-mode,
-                # so drop halo rows already present (same source id, same
-                # halo cell) before writing.  Column-pruned read + broadcast
-                # anti-join on the batch-sized halo set.
                 prev_halo = spark.read.parquet(f"{self.path}/neighbor").select(
                     meta.id_kw, "Norder", "Npix"
                 )
@@ -552,6 +586,21 @@ class Catalog:
                     .partitionBy("Norder", "Dir", "Npix")
                     .parquet(f"{self.path}/neighbor")
                 )
+
+        # Atomic rename: the metadata file IS the commit record (it carries
+        # the streaming high-water mark), so it must never be observable
+        # half-written.  Everything above (data overwrite, halo append) is
+        # idempotent under replay; this rename is the commit point.
+        meta_path = f"{self.path}/{meta.cat_name}_meta.json"
+        tmp_path = f"{meta_path}.tmp"
+        with open(tmp_path, "w") as f:
+            f.write(new_meta.to_json())
+        os.replace(tmp_path, meta_path)
+        if batch_id is not None:
+            try:
+                os.remove(intent_path)
+            except FileNotFoundError:
+                pass
 
         over = (
             cat.df()

@@ -26,7 +26,21 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     ``samples`` is float64 in [-1, 1), shape (n_frames, n_channels):
     8-bit PCM is unsigned (offset 128), 16-bit is signed LE, per the
     public RIFF/WAVE spec.
+
+    Raises ValueError for EVERY malformed payload (truncated chunks,
+    zero channels, short buffers...), never struct.error/ZeroDivision —
+    a single fallback trigger, mirroring
+    :func:`lsd2_spark.sources.imagecodec.decode_image`.
     """
+    try:
+        return _decode_wav_impl(data)
+    except ValueError:
+        raise
+    except Exception as e:  # truncated chunk, short buffer, bad header...
+        raise ValueError(f"malformed WAV payload: {e}") from e
+
+
+def _decode_wav_impl(data: bytes) -> tuple[np.ndarray, int]:
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
@@ -38,6 +52,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         body = data[pos + 8 : pos + 8 + size]
         pos += 8 + size + (size & 1)  # chunks are word-aligned
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             raw = body
@@ -46,6 +62,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     audio_format, n_channels, sample_rate, _byte_rate, _block_align, bits = fmt
     if audio_format != 1:
         raise ValueError(f"unsupported WAV format code {audio_format} (PCM only)")
+    if n_channels < 1:
+        raise ValueError("WAV channel count must be >= 1")
     if bits == 8:
         samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
     elif bits == 16:

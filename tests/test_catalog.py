@@ -383,6 +383,85 @@ def test_append_replay_is_exactly_once(spark, tmp_path):
     assert reloaded.meta.last_batch_id == 1
 
 
+def test_genuine_torn_commit_replay_reconciles_everything(spark, tmp_path):
+    """A REAL torn commit: the append crashes at the metadata rename,
+    AFTER the data overwrite and halo append already landed.  The
+    committed metadata then predates the batch while the batch rows are
+    on disk — the case where naive recounting cancels the batch out of
+    n_sources.  Replay from the durable state must converge to exact
+    n_sources, no duplicate rows, and exactly-once halo rows."""
+    import os as _os
+
+    import lsd2_spark.catalog as catmod
+
+    rng = np.random.default_rng(47)
+    n = 3000
+    pdf = pd.DataFrame({
+        "sid": np.arange(n, dtype=np.int64),
+        "ra": rng.uniform(0, 360, n),
+        "dec": np.degrees(np.arcsin(rng.uniform(-1, 1, n))),
+    })
+    cat = partition_catalog(
+        spark.createDataFrame(pdf), str(tmp_path / "tc"), "tc",
+        ra_col="ra", dec_col="dec", id_col="sid",
+        threshold=800, order_k=6, write_margins=True,
+    )
+    # batch = random rows + rows AT known boundary positions (copied from
+    # the base ingest's halo rows) so the batch is guaranteed to produce
+    # margin rows — a uniform 300-row batch on coarse leaves usually
+    # produces none, which would leave the halo path unexercised
+    boundary = cat.margin_df().select("ra", "dec").toPandas().head(10)
+    n_b = 300 + len(boundary)
+    assert len(boundary) > 0
+    batch = pd.DataFrame({
+        "sid": np.arange(n, n + n_b, dtype=np.int64),
+        "ra": np.concatenate([rng.uniform(0, 360, 300), boundary["ra"].to_numpy()]),
+        "dec": np.concatenate([
+            np.degrees(np.arcsin(rng.uniform(-1, 1, 300))),
+            boundary["dec"].to_numpy(),
+        ]),
+    })
+    bdf = spark.createDataFrame(batch)
+
+    real_replace = _os.replace
+
+    def crash_at_commit(src, dst):
+        if str(dst).endswith("_meta.json"):
+            raise RuntimeError("injected crash at metadata commit")
+        return real_replace(src, dst)
+
+    catmod.os.replace = crash_at_commit
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            cat.append(bdf, batch_id=1)
+    finally:
+        catmod.os.replace = real_replace
+
+    # durable state: old metadata, torn-written data, intent marker present
+    reloaded = Catalog.load(spark, str(tmp_path / "tc"), "tc")
+    assert reloaded.meta.last_batch_id is None
+    assert reloaded.meta.n_sources == n  # metadata predates the batch
+    assert _os.path.exists(tmp_path / "tc" / "tc_append_intent.json")
+
+    # replay the SAME batch from the durable state (what foreachBatch does)
+    c2 = reloaded.append(bdf, batch_id=1)
+    assert c2.meta.last_batch_id == 1
+    assert c2.meta.n_sources == n + n_b  # exact despite torn disk state
+    assert c2.df().count() == n + n_b
+    assert c2.df().select("sid").distinct().count() == n + n_b
+    assert not _os.path.exists(tmp_path / "tc" / "tc_append_intent.json")
+
+    # halo rows for the batch landed exactly once (the torn run already
+    # appended them; the replay's anti-join must not duplicate)
+    halo = c2.margin_df().toPandas()
+    assert not halo.duplicated(["sid", "Norder", "Npix"]).any()
+    assert (halo["sid"] >= n).any()  # batch halo rows are present
+
+    reloaded2 = Catalog.load(spark, str(tmp_path / "tc"), "tc")
+    assert reloaded2.meta.n_sources == n + n_b
+    assert reloaded2.meta.last_batch_id == 1
+
+
 def test_order_k_driver_bound_guard(spark):
     """order_k is a driver-memory knob: the planning histogram collects
     up to 12*4^order_k cells, so out-of-range values must fail fast
