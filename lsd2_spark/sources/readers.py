@@ -31,6 +31,7 @@ def read_csv(
     header: bool = True,
     skiprows: int = 0,
     column_keys: dict[str, int] | None = None,
+    schema: str | None = None,
 ) -> DataFrame:
     """CSV/CSV.GZ scan (gz decompression is native).
 
@@ -47,9 +48,19 @@ def read_csv(
     parser.  (The previous form — a row_number window over
     ``monotonically_increasing_id`` with no partitionBy — funneled the
     whole input through one task: a hang at 100 TB.)
+
+    Schema contract on the ``skiprows`` path: the schema is inferred
+    from the first 1024 cleaned lines ONLY (a full-scan inference would
+    read the source twice).  Rows past the sample that don't fit the
+    inferred types FAIL the read loudly (``FAILFAST``) instead of being
+    silently nulled — when types may widen past the sample (ints then
+    floats, ``N/A`` sentinels...), pass an explicit DDL ``schema``
+    (e.g. ``"a INT, b STRING"``), which skips inference entirely.
     """
     if not skiprows:
-        df = spark.read.csv(path, header=header, inferSchema=True)
+        df = spark.read.csv(
+            path, header=header, schema=schema, inferSchema=schema is None
+        )
     else:
         txt = spark.read.text(path).select(
             "value",
@@ -78,22 +89,32 @@ def read_csv(
         # no RDD hop and no second inference scan over the input (the
         # previous form ran the strip+text scan twice: once for
         # inferSchema, once for the real read).
-        sample = [r["value"] for r in clean.limit(1024).collect()]
-        tiny = spark.read.csv(
-            spark.sparkContext.parallelize(sample or [""]),
-            header=header,
-            inferSchema=True,
-        )
-        ddl = ", ".join(
-            f"`{f.name}` {f.dataType.simpleString()}" for f in tiny.schema.fields
-        )
+        if header or schema is None:
+            sample = [r["value"] for r in clean.limit(1024).collect()]
+        else:
+            sample = []
+        if schema is not None:
+            ddl = schema
+        else:
+            tiny = spark.read.csv(
+                spark.sparkContext.parallelize(sample or [""]),
+                header=header,
+                inferSchema=True,
+            )
+            ddl = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in tiny.schema.fields
+            )
         body = clean
         if header and sample:
             # drop every line equal to the header — covers per-file
             # header repeats in multi-file globs, matching the native
             # parser's header handling
             body = clean.filter(F.col("value") != F.lit(sample[0]))
-        parsed = body.select(F.from_csv(F.col("value"), ddl).alias("_r"))
+        # FAILFAST: a row that doesn't fit the (sampled or explicit)
+        # schema must abort the read, not silently become nulls
+        parsed = body.select(
+            F.from_csv(F.col("value"), ddl, {"mode": "FAILFAST"}).alias("_r")
+        )
         df = parsed.select("_r.*")
     if column_keys:
         for name, idx in column_keys.items():

@@ -89,3 +89,50 @@ def test_load_table_adapts_to_both_events_formats(spark, tmp_path):
     for d in (a, b, c):
         got = [r["e"] for r in d.select(F.col("ts").cast("long").alias("e")).orderBy("e").collect()]
         assert got == want
+
+
+def test_load_table_leaves_session_conf_alone_and_memoizes_probe(
+    spark, tmp_path, monkeypatch
+):
+    """Round-5 regression: load_table set nanosAsLong on the SHARED
+    session for every events read (affecting unrelated parquet reads)
+    and ran a probe Spark job per call.  Now the footer probe is
+    driver-side, memoized per path, and the legacy conf is only touched
+    for genuinely TIMESTAMP(NANOS) data."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    import lsd2_spark.queries as q
+    from lsd2_spark.queries import load_table
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    micros = [1_704_067_200_000_000, 1_704_070_800_123_456]
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([1, 2], pa.int64()),
+            "user_id": pa.array([10, 20], pa.int64()),
+            "event_type": pa.array(["a", "b"]),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+            "props": pa.array(["{}", "{}"]),
+            "ts": pa.array(micros, pa.timestamp("us")),
+        }),
+        d / "events.parquet",
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    df = load_table(spark, str(d), "events")
+    df.collect()
+    # non-nanos data must not flip the session-global legacy conf
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "false"
+
+    # the probe is memoized: a second build must not re-probe
+    def boom(path):
+        raise AssertionError("probe re-ran for a cached path")
+
+    monkeypatch.setattr(q, "_probe_events_ts", boom)
+    df2 = load_table(spark, str(d), "events")
+    assert [r["e"] for r in df2.select(
+        F.col("ts").cast("long").alias("e")).orderBy("e").collect()
+    ] == [m // 1_000_000 for m in micros]

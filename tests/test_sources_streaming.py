@@ -92,6 +92,45 @@ def test_skiprows_with_header_multifile(spark, tmp_path):
     assert got["id"].tolist() == [0, 1, 2, 3, 10, 11, 12, 13]
 
 
+def test_skiprows_type_drift_past_sample_fails_loudly(spark, tmp_path):
+    """The skiprows path infers its schema from the first 1024 cleaned
+    lines; a value past the sample that doesn't fit the inferred type
+    must ABORT the read (FAILFAST), never silently become null."""
+    p = tmp_path / "drift.csv"
+    p.write_text(
+        "# preamble\nid,val\n"
+        + "\n".join(f"{i},{i}" for i in range(1500))
+        + "\n1500,N/A\n"  # string in an int-sampled column, past the sample
+    )
+    df = readers.read_csv(spark, str(p), header=True, skiprows=1)
+    with pytest.raises(Exception) as ei:
+        df.collect()  # materializes the parsed columns
+    msg = str(ei.value)
+    assert "Malformed" in msg or "FAILFAST" in msg or "BadRecord" in msg, msg
+
+    # escape hatch: an explicit schema skips inference and parses all rows
+    ok = readers.read_csv(
+        spark, str(p), header=True, skiprows=1, schema="id INT, val STRING"
+    )
+    got = ok.orderBy("id").toPandas()
+    assert len(got) == 1501
+    assert got["val"].iloc[-1] == "N/A"
+
+
+def test_explicit_schema_headerless_skiprows_skips_sampling(spark, tmp_path):
+    """header=False + explicit schema: no driver-side sample collect is
+    needed and positional renames still apply."""
+    p = tmp_path / "noheader.csv"
+    p.write_text("# meta\n" + "\n".join(f"{i},{i * 0.5}" for i in range(20)))
+    df = readers.read_csv(
+        spark, str(p), header=False, skiprows=1,
+        schema="`_c0` INT, `_c1` DOUBLE", column_keys={"id": 0, "x": 1},
+    )
+    got = df.orderBy("id").toPandas()
+    assert got["id"].tolist() == list(range(20))
+    assert got["x"].iloc[3] == pytest.approx(1.5)
+
+
 # -- FITS --------------------------------------------------------------------
 
 
