@@ -123,6 +123,39 @@ def main() -> None:
         t0 = time.perf_counter()
         cat.cone_search(45.0, 10.0, 10.0).count()
         times["catalog_cone_pruned"] = round(time.perf_counter() - t0, 3)
+
+        # streaming ingest throughput: micro-batched foreachBatch append
+        # into the standing catalog (exactly-once path), reported as
+        # rows/s so streaming regressions are visible like batch ones
+        from lsd2_spark.streaming import events as sev
+
+        ev = (
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .filter(F.col("event_id") % 10 == 0)
+            .select(
+                (F.col("event_id") + F.lit(1_000_000_000_000)).alias("sid"),
+                derive_ra(F.col("event_id")).alias("ra"),
+                derive_dec(F.col("event_id")).alias("dec"),
+            )
+        )
+        inbox = f"{tmp}/inbox"
+        ev.repartition(4).write.mode("overwrite").parquet(inbox)
+        n_stream_rows = ev.count()
+        stream = (
+            spark.readStream.schema("sid long, ra double, dec double")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(f"{inbox}/*.parquet")
+        )
+        writer = sev.stream_into_catalog(stream, cat)
+        t0 = time.perf_counter()
+        writer.run_available(f"{tmp}/ckpt")
+        stream_dt = time.perf_counter() - t0
+        times["streaming_ingest"] = round(stream_dt, 3)
+        streaming = {
+            "rows": int(n_stream_rows),
+            "micro_batches": 2,
+            "rows_per_sec": round(n_stream_rows / stream_dt, 1),
+        }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -134,6 +167,7 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
         "repeats": REPEATS,
+        "streaming": streaming,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }

@@ -44,18 +44,54 @@ EVENTS_SCHEMA = _events_schema(LongType())  # TIMESTAMP(NANOS) read as long
 
 
 def read_events_stream(
-    spark: SparkSession, directory: str, glob: str = "events.parquet"
+    spark: SparkSession,
+    directory: str,
+    glob: str = "events.parquet",
+    ts_type=None,
 ) -> DataFrame:
     """File-source stream over events parquet (the source monitors a
     directory; ``glob`` selects the files).  Timestamps are normalized
     to session-tz TimestampType exactly as the batch loader does,
-    adapting to either on-disk form (TIMESTAMP(NANOS) as long, or
-    timestamp[us] NTZ — the testdata generator has used both)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Streams need an explicit schema; probe the footer of whatever is
-    # already in the directory (metadata-only, no data scan).
-    probe = spark.read.option("pathGlobFilter", glob).parquet(directory)
-    ts_type = probe.schema["ts"].dataType
+    adapting to any on-disk era (TIMESTAMP(NANOS) as long, plain int64
+    epoch micros/nanos, or timestamp[us] NTZ — the testdata generator
+    has used all of them).
+
+    Streams need an explicit schema, so when files already exist the
+    footer of the first match is probed (pyarrow, driver-side, no Spark
+    job, memoized — same probe as the batch loader).  On an initially
+    EMPTY directory — the normal start-stream-then-deliver-files
+    pattern — the legacy ``EVENTS_SCHEMA`` (long ts, nanos semantics)
+    is assumed; pass ``ts_type`` explicitly when the files that will
+    arrive use a different era (e.g. ``TimestampNTZType()`` for the
+    current generator's timestamp[us] form).
+    """
+    import glob as _glob
+    import os as _os
+
+    if ts_type is not None:
+        # explicit schema: preserve the legacy contract (long ts means
+        # TIMESTAMP(NANOS)-as-long; anything else casts)
+        strat = "nanos_legacy" if isinstance(ts_type, LongType) else "native"
+    else:
+        matches = sorted(_glob.glob(_os.path.join(directory, glob)))
+        if matches:
+            from lsd2_spark.queries import _probe_events_ts
+
+            strat = _probe_events_ts(matches[0])
+        else:
+            strat = "nanos_legacy"  # empty dir: legacy default (see above)
+        if strat == "native":
+            # let Spark name the exact type (TimestampNTZType vs
+            # TimestampType) for timestamp-annotated files
+            probe = spark.read.option("pathGlobFilter", glob).parquet(directory)
+            ts_type = probe.schema["ts"].dataType
+        else:
+            ts_type = LongType()
+    if strat == "nanos_legacy":
+        # TIMESTAMP(NANOS) is only scannable with the legacy conversion
+        # on; the conf must outlive this (lazy) stream, so it cannot be
+        # scoped tighter.  The other eras leave the session untouched.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.format("parquet")
         .schema(_events_schema(ts_type))
@@ -63,7 +99,9 @@ def read_events_stream(
         .option("pathGlobFilter", glob)
         .load(directory)
     )
-    if isinstance(ts_type, LongType):
+    if strat == "micros_long":
+        return raw.withColumn("ts", F.timestamp_micros(F.col("ts")))
+    if strat in ("nanos_long", "nanos_legacy"):
         # Integer division — double division rounds at ~1.7e18 and shifts
         # ~1.5% of microsecond timestamps by 1us (see queries.load_table).
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

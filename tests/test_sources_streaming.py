@@ -385,6 +385,181 @@ def test_stream_into_catalog_incremental_ingest(spark, tmp_path):
     assert all_sids == set(range(3800))
 
 
+def test_stream_into_catalog_crash_mid_batch_restarts_exactly_once(spark, tmp_path):
+    """END-TO-END crash recovery: the foreachBatch sink dies AFTER the
+    batch's data overwrite + halo append but BEFORE the metadata
+    commit (injected exception at the metadata rename), the query
+    fails, and a fresh writer restarted from the SAME checkpoint must
+    replay the uncommitted batch and converge: exact n_sources, no
+    duplicate rows, exactly-once halo rows."""
+    import os as _os
+
+    import lsd2_spark.catalog as catmod
+    from lsd2_spark.catalog import Catalog, partition_catalog
+    from lsd2_spark.streaming import events as sev
+
+    rng = np.random.default_rng(53)
+    base = pd.DataFrame({
+        "sid": np.arange(3000, dtype=np.int64),
+        "ra": rng.uniform(0, 360, 3000),
+        "dec": np.degrees(np.arcsin(rng.uniform(-1, 1, 3000))),
+    })
+    cat = partition_catalog(
+        spark.createDataFrame(base), str(tmp_path / "cat"), "sc",
+        ra_col="ra", dec_col="dec", id_col="sid",
+        threshold=700, order_k=6, write_margins=True,
+    )
+    # two micro-batches; batch 1 includes rows AT known leaf-boundary
+    # positions (copied from the base halo) so it must produce margin
+    # rows — the at-risk payload for the crash window under test
+    boundary = cat.margin_df().select("ra", "dec").toPandas().head(8)
+    assert len(boundary) > 0
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    f0 = pd.DataFrame({
+        "sid": np.arange(3000, 3400, dtype=np.int64),
+        "ra": rng.uniform(0, 360, 400),
+        "dec": np.degrees(np.arcsin(rng.uniform(-1, 1, 400))),
+    })
+    n1 = 400 + len(boundary)
+    f1 = pd.DataFrame({
+        "sid": np.arange(3400, 3400 + n1, dtype=np.int64),
+        "ra": np.concatenate(
+            [rng.uniform(0, 360, 400), boundary["ra"].to_numpy()]),
+        "dec": np.concatenate([
+            np.degrees(np.arcsin(rng.uniform(-1, 1, 400))),
+            boundary["dec"].to_numpy(),
+        ]),
+    })
+    for j, f in enumerate([f0, f1]):
+        spark.createDataFrame(f).coalesce(1).write.mode("overwrite").parquet(
+            str(inbox / f"f{j}.parquet")
+        )
+
+    def make_stream():
+        return (
+            spark.readStream.schema("sid long, ra double, dec double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(inbox / "*.parquet"))
+        )
+
+    # run 1: allow the first metadata commit, crash at the second
+    real_replace = _os.replace
+    commits = {"n": 0}
+
+    def crash_second_commit(src, dst):
+        if str(dst).endswith("_meta.json"):
+            commits["n"] += 1
+            if commits["n"] >= 2:
+                raise RuntimeError("injected crash at metadata commit")
+        return real_replace(src, dst)
+
+    ckpt = str(tmp_path / "ckpt")
+    catmod.os.replace = crash_second_commit
+    try:
+        writer = sev.stream_into_catalog(make_stream(), cat)
+        q = writer.start(ckpt)
+        with pytest.raises(Exception, match="injected crash"):
+            q.processAllAvailable()
+        q.stop()
+    finally:
+        catmod.os.replace = real_replace
+
+    # restart: fresh writer over the durable state, SAME checkpoint —
+    # Structured Streaming redelivers the uncommitted batch
+    reloaded = Catalog.load(spark, str(tmp_path / "cat"), "sc")
+    assert reloaded.meta.n_sources == 3400  # only batch 0 committed
+    writer2 = sev.stream_into_catalog(make_stream(), reloaded)
+    writer2.run_available(ckpt)
+
+    got = writer2.catalog
+    total = 3400 + n1
+    assert got.meta.n_sources == total
+    assert got.df().count() == total
+    assert got.df().select("sid").distinct().count() == total
+    halo = got.margin_df().toPandas()
+    assert not halo.duplicated(["sid", "Norder", "Npix"]).any()
+    assert (halo["sid"] >= 3400).any()  # the at-risk batch-1 halo rows landed
+
+    # a second restart from the same checkpoint is a complete no-op
+    writer3 = sev.stream_into_catalog(
+        make_stream(), Catalog.load(spark, str(tmp_path / "cat"), "sc")
+    )
+    writer3.run_available(ckpt)
+    assert writer3.catalog.meta.n_sources == total
+    assert writer3.catalog.df().count() == total
+
+
+def test_read_events_stream_on_initially_empty_directory(spark, tmp_path):
+    """start-stream-then-deliver-files: defining the stream on an empty
+    directory must work (legacy long-ts schema fallback), and files
+    arriving after definition flow through with normalized timestamps."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lsd2_spark.streaming import events as sev
+
+    d = tmp_path / "inbox"
+    d.mkdir()
+    stream = sev.read_events_stream(spark, str(d), glob="*.parquet")  # empty now
+    assert str(stream.schema["ts"].dataType) == "TimestampType()"
+
+    micros = [1_704_067_200_000_000, 1_704_070_800_000_000]
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([m * 1000 for m in micros], pa.int64()),  # nanos
+            "user_id": pa.array([10, 20], pa.int64()),
+            "event_type": pa.array(["a", "b"]),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+            "props": pa.array(["{}", "{}"]),
+        }),
+        d / "late.parquet",
+    )
+    sev.run_to_memory_sink(
+        stream.select("event_id", "ts"), "empty_dir_stream", mode="append"
+    )
+    got = spark.sql(
+        "SELECT event_id, CAST(ts AS LONG) AS e FROM empty_dir_stream ORDER BY event_id"
+    ).toPandas()
+    assert got["e"].tolist() == [m // 1_000_000 for m in micros]
+
+
+def test_read_events_stream_explicit_ts_type_for_modern_files(spark, tmp_path):
+    """Explicit ts_type covers the empty-dir case when the arriving
+    files use the CURRENT generator era (timestamp[us] NTZ)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampNTZType
+
+    from lsd2_spark.streaming import events as sev
+
+    d = tmp_path / "inbox2"
+    d.mkdir()
+    stream = sev.read_events_stream(
+        spark, str(d), glob="*.parquet", ts_type=TimestampNTZType()
+    )
+    micros = [1_704_067_200_000_000, 1_704_070_800_000_000]
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(micros, pa.timestamp("us")),
+            "user_id": pa.array([10, 20], pa.int64()),
+            "event_type": pa.array(["a", "b"]),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+            "props": pa.array(["{}", "{}"]),
+        }),
+        d / "late.parquet",
+    )
+    sev.run_to_memory_sink(
+        stream.select("event_id", "ts"), "ntz_dir_stream", mode="append"
+    )
+    got = spark.sql(
+        "SELECT event_id, CAST(ts AS LONG) AS e FROM ntz_dir_stream ORDER BY event_id"
+    ).toPandas()
+    assert got["e"].tolist() == [m // 1_000_000 for m in micros]
+
+
 def test_read_media_files_feeds_multimodal_ops(spark, tmp_path):
     """binaryFile ingest → blob table → real decode: files on disk land
     as distributed payloads with stable ids, and the feature kernel
