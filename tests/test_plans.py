@@ -75,6 +75,48 @@ def test_sketch_and_sample_queries_prune_scans(spark):
     assert "lang" not in read, read
 
 
+def test_per_stratum_topk_gets_window_group_limit(spark):
+    """cap_per_stratum and stratified weighted_sample depend on Spark's
+    rank-limit pushdown (WindowGroupLimit) to avoid fully sorting a
+    mega-stratum — the exact skew corpus quotas exist for.  Assert the
+    rewrite actually fires, with a map-side (Partial) phase, on a
+    hot-stratum fixture where ONE source holds 50% of all rows."""
+    import numpy as np
+    import pandas as pd
+
+    from lsd2_spark.operators.sampling import cap_per_stratum, weighted_sample
+
+    n = 20_000
+    src = np.where(
+        np.arange(n) % 2 == 0, "hot", np.char.add("s", (np.arange(n) % 7).astype(str))
+    )
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": src,
+        "w": np.linspace(0.1, 1.0, n),
+    })
+    df = spark.createDataFrame(pdf)
+
+    capped = cap_per_stratum(df, "doc_id", "source", 100)
+    out = capped.groupBy("source").count().toPandas()
+    assert (out["count"] <= 100).all()
+    assert out.loc[out["source"] == "hot", "count"].iloc[0] == 100
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    # the Partial phase is the map-side top-k that keeps the hot
+    # stratum from funneling 10k rows into one sort
+    assert "Partial" in plan.split("WindowGroupLimit", 1)[1] or plan.count(
+        "WindowGroupLimit"
+    ) >= 2
+
+    ws = weighted_sample(df, "doc_id", "w", 50, strata_col="source")
+    got = ws.groupBy("source").count().toPandas()
+    assert (got["count"] <= 50).all()
+    plan = ws._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+
+
 def test_curation_queries_prune_scans(spark):
     """q59 reads only (doc_id, text); q60 only (doc_id, source)."""
     plan = _plan(spark, "q59_normalized_dedup")
