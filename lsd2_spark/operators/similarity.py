@@ -272,15 +272,20 @@ def kmeans_centroids(
       divided by the count in double — identical doubles in any engine;
     - empty lists keep their previous centroid.
 
-    Distributed shape: each iteration is one Arrow-UDF assignment pass
-    over the sample plus one posexplode + groupBy((list, dim)) shuffle
-    of sample×dim rows; only the n_lists×dim centroid table (plan-sized)
-    is ever collected.
+    Distributed shape: each iteration is ONE Arrow pass over the sample
+    that both assigns vectors and accumulates per-list partial sums
+    in-kernel (exact int64 micro-units — components are on the 1e-6
+    grid, so ×1e6 is integral and the sum is order-free like the
+    decimal sum it replaces); the shuffle then moves only
+    n_partitions×n_lists partial rows instead of sample×dim exploded
+    rows, and only the n_lists×dim centroid table (plan-sized) is ever
+    collected.  The exact-integer partials divided via DECIMAL yield
+    bit-identical doubles to the previous per-element decimal sums, so
+    the SQL oracle replay is unchanged.
     """
     spark = candidates.sparkSession
-    samp = _valid_vectors(
-        candidates, vec_col, _probe_dim(candidates, vec_col)
-    ).select(
+    dim = _probe_dim(candidates, vec_col)
+    samp = _valid_vectors(candidates, vec_col, dim).select(
         F.col(id_col).alias("_vid"),
         F.transform(F.col(vec_col), lambda x: F.round(x.cast("double"), 6)).alias("_v"),
     )
@@ -291,24 +296,49 @@ def kmeans_centroids(
     init_rows = samp.orderBy("_vid").limit(n_lists).collect()
     cents = np.array([r["_v"] for r in init_rows], dtype=np.float64)
 
-    from pyspark.sql.types import IntegerType
+    partial_schema = "_list int, _cnt long, _smicro array<long>"
 
     for _ in range(n_iters):
         bc = spark.sparkContext.broadcast(cents)
 
-        @F.pandas_udf(IntegerType())
-        def assign(v: pd.Series) -> pd.Series:
-            m = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
-            return pd.Series(np.argmin(_l2_assign(m, bc.value), axis=1).astype(np.int32))
+        def assign_and_sum(batches):
+            sums = np.zeros((n_lists, dim), dtype=np.int64)
+            cnts = np.zeros(n_lists, dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.stack(
+                    [np.asarray(x, dtype=np.float64) for x in pdf["_v"]]
+                )
+                a = np.argmin(_l2_assign(m, bc.value), axis=1)
+                # components are pre-rounded to 6 dp → ×1e6 is integral;
+                # rint snaps the double representation noise
+                np.add.at(sums, a, np.rint(m * 1e6).astype(np.int64))
+                cnts += np.bincount(a, minlength=n_lists)
+            keep = cnts > 0
+            yield pd.DataFrame(
+                {
+                    "_list": np.arange(n_lists, dtype=np.int32)[keep],
+                    "_cnt": cnts[keep],
+                    # object dtype: an EMPTY keep otherwise builds a
+                    # float64 column pyarrow can't cast to list<int64>
+                    "_smicro": pd.Series(list(sums[keep]), dtype=object),
+                }
+            )
 
         means = (
-            samp.withColumn("_list", assign(F.col("_v")))
-            .select("_list", F.posexplode(F.col("_v")).alias("_j", "_x"))
+            samp.select("_v")
+            .mapInPandas(assign_and_sum, partial_schema)
+            .select("_list", "_cnt", F.posexplode("_smicro").alias("_j", "_m"))
             .groupBy("_list", "_j")
             .agg(
                 (
-                    F.sum(F.col("_x").cast("decimal(28,6)")).cast("double")
-                    / F.count(F.lit(1))
+                    # exact: decimal division de-scales the micro-units,
+                    # then the correctly-rounded double matches the old
+                    # decimal(28,6)-sum → double cast bit-for-bit
+                    (F.sum("_m").cast("decimal(38,6)") / F.lit(1_000_000))
+                    .cast("double")
+                    / F.sum("_cnt")
                 ).alias("_w")
             )
             .collect()
