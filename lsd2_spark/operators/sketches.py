@@ -34,7 +34,7 @@ from pyspark.sql.window import Window
 
 from lsd2_spark.functions.portable_hash import hash64
 
-__all__ = ["kmv_distinct"]
+__all__ = ["kmv_distinct", "corpus_quantiles"]
 
 _TWO60 = float(1 << 60)
 
@@ -91,3 +91,41 @@ def kmv_distinct(
         F.lit(float(k - 1)) * F.lit(_TWO60) / F.col("_hk").cast("double")
     )
     return agg.select(*group_cols, "n_kept", est.alias("est_distinct"))
+
+
+def corpus_quantiles(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str] | None = None,
+    probs: list[float] = (0.5, 0.9, 0.99),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group approximate quantiles of a numeric column — the
+    "what's the p50/p99 document length of this corpus slice" statistic
+    an LLM-data pipeline computes before setting filter thresholds.
+
+    Deliberately NOT a hand-rolled sketch: Spark's native
+    ``percentile_approx`` is a JVM-side Greenwald-Khanna sketch with
+    map-side partial aggregation and a rank-error bound of
+    ``1/accuracy`` — at 100 TB the shuffle moves one bounded sketch
+    per group per partition, never the value stream.  (Contrast KMV
+    above, which is hand-rolled only because the estimate must be
+    engine-portable for the oracle gate; quantile estimates are
+    checked by rank-error bound instead.)
+    """
+    group_cols = list(group_cols or [])
+    agg = df.groupBy(*group_cols) if group_cols else df.groupBy()
+    out = agg.agg(
+        F.count(F.col(col)).alias("n"),
+        F.percentile_approx(
+            F.col(col), F.array(*[F.lit(p) for p in probs]), accuracy
+        ).alias("_q"),
+    )
+    return out.select(
+        *group_cols,
+        "n",
+        *[
+            F.col("_q")[i].alias("p" + format(p * 100, "g").replace(".", "_"))
+            for i, p in enumerate(probs)
+        ],
+    )

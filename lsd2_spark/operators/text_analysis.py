@@ -20,6 +20,9 @@ __all__ = [
     "lang_id",
     "content_fingerprint",
     "winnow_fingerprint",
+    "repetition_stats",
+    "redact_pii",
+    "PII_PATTERNS",
     "LANG_MARKERS",
 ]
 
@@ -105,6 +108,134 @@ def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             (F.col(f"hits_{lang}") == best) & (best > 0), lang
         ).otherwise(label)
     return out.withColumn("lang_pred", label)
+
+
+# PII scrub patterns, applied in order (email first — it contains
+# digit/dot runs the later patterns would otherwise partially match).
+# Plain Java-regex constructs only; replacement is a typed tag so
+# downstream dedup/fingerprints stay stable across redacted variants.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (
+        "phone",
+        r"(?:\+?\d{1,2}[-. ])?(?:\(\d{3}\)[-. ]?|\d{3}[-. ])\d{3}[-. ]\d{4}\b",
+        "<PHONE>",
+    ),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str) -> DataFrame:
+    """Scrub emails / IPv4s / SSN-shaped ids / US-style phone numbers
+    from ``text_col`` in place, adding per-class hit counts and a total
+    ``n_pii_redacted`` column — the standard pre-training privacy pass.
+
+    Pure Column ``regexp_count`` + ``regexp_replace`` chain: JVM-side,
+    whole-stage codegen, zero shuffle — the 100 TB plan is a map-only
+    scan."""
+    out = df
+    total = F.lit(0)
+    for name, pat, _ in PII_PATTERNS:
+        cnt = F.regexp_count(F.col(text_col), F.lit(pat))
+        out = out.withColumn(f"n_pii_{name}", cnt)
+        total = total + F.col(f"n_pii_{name}")
+    scrubbed = F.col(text_col)
+    for _, pat, tag in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, tag)
+    return out.withColumn(text_col, scrubbed).withColumn("n_pii_redacted", total)
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, §A1.1 quality
+    filters): per-document duplicate-line fraction, duplicate-line
+    character fraction, and the character share of the most frequent
+    word 2-gram — the standard "is this page boilerplate/spam" gates in
+    an LLM pretraining pipeline.
+
+    Definitions (deterministic, oracle-replayable):
+      - ``dup_line_frac``       = (n_lines - n_distinct_lines) / n_lines
+      - ``dup_line_char_frac``  = chars in line occurrences beyond the
+        first / total chars across all lines
+      - ``top_bigram_char_frac`` = top_bigram_n * len(top_bigram)
+        / len(text); ties broken toward the lexicographically greatest
+        bigram.
+
+    Scale shape: the line statistics are pure Column expressions — the
+    duplicate char mass comes from pairwise-comparing a sorted line
+    array (duplicates are adjacent), linear per row, zero shuffle.  The
+    top-bigram pass is explode → count groupBy → max(struct) — both
+    aggregations partial-aggregable (map-side combine), never O(n²)
+    per document, and the final join is on the document key.
+    """
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    s = F.array_sort(lines)
+    # char mass of occurrences beyond the first: sort makes duplicates
+    # adjacent, so zip s[0:n-1] with s[1:n] and sum lengths where equal
+    pair_dup = F.zip_with(
+        F.slice(s, 1, n_lines - 1),
+        F.slice(s, 2, n_lines - 1),
+        lambda a, b: F.when(a == b, F.length(b)).otherwise(F.lit(0)),
+    )
+    dup_chars = F.aggregate(pair_dup, F.lit(0), lambda acc, x: acc + x)
+    line_chars = F.aggregate(lines, F.lit(0), lambda acc, l: acc + F.length(l))
+
+    toks = _tokens(text)
+    n_t = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n_t - 1),
+        F.slice(toks, 2, n_t - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+    base = df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        F.round((n_lines - F.size(F.array_distinct(lines))).cast("double") / n_lines, 6).alias(
+            "dup_line_frac"
+        ),
+        F.round(
+            F.when(line_chars > 0, dup_chars.cast("double") / line_chars)
+            .when(text.isNotNull(), 0.0),
+            6,
+        ).alias("dup_line_char_frac"),
+        F.length(text).alias("_n_chars"),
+    )
+    top = (
+        df.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
+        .groupBy(id_col, "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max(F.struct(F.col("c").alias("c"), F.col("bigram").alias("bigram"))).alias("m"))
+        .select(
+            F.col(id_col),
+            F.col("m.bigram").alias("top_bigram"),
+            F.col("m.c").alias("top_bigram_n"),
+        )
+    )
+    return base.join(top, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_lines"),
+        F.col("dup_line_frac"),
+        F.col("dup_line_char_frac"),
+        F.col("top_bigram"),
+        F.when(F.col("n_lines").isNotNull(), F.coalesce(F.col("top_bigram_n"), F.lit(0))).alias(
+            "top_bigram_n"
+        ),
+        F.when(
+            F.col("n_lines").isNotNull(),
+            F.round(
+                F.coalesce(
+                    F.col("top_bigram_n") * F.length(F.col("top_bigram"))
+                    / F.nullif(F.col("_n_chars"), F.lit(0)),
+                    F.lit(0.0),
+                ),
+                6,
+            ),
+        ).alias("top_bigram_char_frac"),
+    )
 
 
 def content_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
