@@ -150,10 +150,13 @@ def main() -> None:
         t0 = time.perf_counter()
         writer.run_available(f"{tmp}/ckpt")
         stream_dt = time.perf_counter() - t0
-        times["streaming_ingest"] = round(stream_dt, 3)
+        # reported under "streaming", NOT summed into the headline
+        # total, so round-over-round totals stay comparable with the
+        # pre-streaming-bench rounds
         streaming = {
             "rows": int(n_stream_rows),
             "micro_batches": 2,
+            "wall_sec": round(stream_dt, 3),
             "rows_per_sec": round(n_stream_rows / stream_dt, 1),
         }
     finally:

@@ -5,13 +5,17 @@ or through the test suite.
 
 Stages (each one scan/shuffle-bounded; no driver row materialization):
 
-1. quality gate      — heuristic score ≥ cutoff (text_analysis)
-2. language filter   — n-gram language ID (text_analysis)
-3. exact dedup       — md5 canonical rows (dedup)
-4. fuzzy dedup       — LSH pairs → connected components → survivors
-5. source mixing     — deterministic stratified sampling (sampling)
-6. splits            — reproducible train/val/test assignment
-7. accounting        — token totals per split (token_stats)
+1. PII scrub         — email/IP/SSN/phone redaction (before dedup, so
+                       documents differing only in PII dedup together)
+2. quality gate      — heuristic score ≥ cutoff AND Gopher repetition
+                       caps (dup-line / top-bigram fractions)
+3. language filter   — n-gram language ID (text_analysis)
+4. exact dedup       — md5 canonical rows (dedup)
+5. fuzzy dedup       — LSH pairs → connected components → survivors
+6. source mixing     — deterministic stratified sampling (sampling)
+7. splits            — reproducible train/val/test assignment
+8. accounting        — token totals per split (token_stats) +
+                       p50/p90/p99 document-length quantiles (sketches)
 
 A multimodal side-branch (``media_features``) shows the image/audio
 path: blob table → real decode (PNG/PPM/WAV, pure-NumPy codecs) →
@@ -28,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lsd2_spark.operators import dedup, multimodal, sampling, text_analysis
+from lsd2_spark.operators import dedup, multimodal, sampling, sketches, text_analysis
 
 
 def build_training_corpus(
@@ -38,16 +42,28 @@ def build_training_corpus(
     languages: tuple[str, ...] = ("en",),
     min_jaccard: float = 0.9,
     source_fractions: "dict[str, float] | float" = 1.0,
+    max_dup_line_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.2,
 ) -> DataFrame:
     """documents(text, doc_id, source) → (doc_id, text, source, split)."""
+    docs = text_analysis.redact_pii(docs, "text").select(*docs.columns)
     quality = text_analysis.quality_score(docs, "text", "doc_id").select(
         "doc_id", "quality"
+    )
+    rep = text_analysis.repetition_stats(docs, "text", "doc_id").select(
+        "doc_id", "dup_line_frac", "top_bigram_char_frac"
     )
     lang = text_analysis.lang_id(docs, "text", "doc_id").select("doc_id", "lang_pred")
     kept = (
         docs.join(quality, "doc_id")
+        .join(rep, "doc_id")
         .join(lang, "doc_id")
-        .filter((F.col("quality") >= quality_cutoff) & F.col("lang_pred").isin(*languages))
+        .filter(
+            (F.col("quality") >= quality_cutoff)
+            & (F.col("dup_line_frac") <= max_dup_line_frac)
+            & (F.col("top_bigram_char_frac") <= max_top_bigram_frac)
+            & F.col("lang_pred").isin(*languages)
+        )
         .select(*docs.columns)
     )
     exact = dedup.exact_dedup(kept, "text", "doc_id").filter("is_canonical = 1")
@@ -101,4 +117,7 @@ if __name__ == "__main__":
     corpus.cache()
     print(f"corpus rows: {corpus.count()} (from {docs.count()})")
     token_accounting(corpus).show()
+    sketches.corpus_quantiles(
+        corpus.withColumn("n_chars", F.length("text")), "n_chars", ["split"]
+    ).orderBy("split").show()
     spark.stop()
