@@ -19,6 +19,7 @@ from lsd2_spark.functions.portable_hash import hash64, hash64_sql
 __all__ = [
     "deterministic_uniform",
     "stratified_sample",
+    "stratified_keep",
     "assign_splits",
     "weighted_sample",
     "cap_per_stratum",
@@ -53,6 +54,17 @@ def stratified_sample(
     dict with ``strata_col`` set (absent strata default to 0 — an
     explicit mixture spec, the "source mixing" primitive of training
     corpora)."""
+    return df.filter(stratified_keep(id_col, fractions, strata_col, salt))
+
+
+def stratified_keep(
+    id_col: str,
+    fractions: "dict[str, float] | float",
+    strata_col: str | None = None,
+    salt: str = "",
+) -> Column:
+    """The keep-decision of :func:`stratified_sample` as a boolean
+    Column — usable as a flag in a wider projection without a join."""
     u = deterministic_uniform(F.col(id_col), salt)
     if isinstance(fractions, dict):
         assert strata_col is not None, "strata_col required with a fractions dict"
@@ -61,7 +73,7 @@ def stratified_sample(
             frac = F.when(F.col(strata_col) == value, F.lit(float(f))).otherwise(frac)
     else:
         frac = F.lit(float(fractions))
-    return df.filter(u < frac)
+    return u < frac
 
 
 def assign_splits(

@@ -466,8 +466,11 @@ register(
 )
 
 
-def q17_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers holding both an open and a finished order."""
+def q17_order_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT and EXCEPT gated in one row (merged former q17/q18 —
+    same grain, same inputs): customers holding both an open and a
+    finished order, tagged ``both``, and customers with open orders but
+    no finished ones, tagged ``open_only``."""
     orders = load_table(spark, sf_dir, "orders")
     open_c = orders.filter(F.col("o_orderstatus") == "O").select(
         F.col("o_custkey").alias("c_custkey")
@@ -475,39 +478,24 @@ def q17_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     done_c = orders.filter(F.col("o_orderstatus") == "F").select(
         F.col("o_custkey").alias("c_custkey")
     )
-    return open_c.intersect(done_c)
+    return open_c.intersect(done_c).withColumn("setop", F.lit("both")).unionByName(
+        open_c.subtract(done_c).withColumn("setop", F.lit("open_only"))
+    )
 
 
 register(
-    "q17_intersect",
-    q17_intersect,
+    "q17_order_setops",
+    q17_order_setops,
     """
-    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
-    INTERSECT
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-    """,
-)
-
-
-def q18_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with open orders but no finished ones."""
-    orders = load_table(spark, sf_dir, "orders")
-    open_c = orders.filter(F.col("o_orderstatus") == "O").select(
-        F.col("o_custkey").alias("c_custkey")
-    )
-    done_c = orders.filter(F.col("o_orderstatus") == "F").select(
-        F.col("o_custkey").alias("c_custkey")
-    )
-    return open_c.subtract(done_c)  # EXCEPT DISTINCT semantics
-
-
-register(
-    "q18_except",
-    q18_except,
-    """
-    SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
-    EXCEPT
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    SELECT c_custkey, 'both' AS setop FROM (
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    UNION ALL
+    SELECT c_custkey, 'open_only' AS setop FROM (
+      SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
     """,
 )
 
@@ -713,10 +701,7 @@ def q47_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "q47_asof_forward",
-    q47_asof_forward,
-    """
+_Q47_FORWARD_SQL = """
     WITH clicks AS (
       SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
     ), purchases AS (
@@ -731,8 +716,7 @@ register(
            p.event_id AS purchase_id, p.value AS purchase_value
     FROM clicks c ASOF LEFT JOIN purchases p
       ON c.user_id = p.user_id AND p.ts >= c.ts
-    """,
-)
+    """
 
 
 def q48_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -762,10 +746,7 @@ def q48_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "q48_asof_nearest",
-    q48_asof_nearest,
-    """
+_Q48_NEAREST_SQL = """
     WITH clicks AS (
       SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
     ), purchases AS (
@@ -798,6 +779,25 @@ register(
                      < floor(epoch(b.cts)) - floor(epoch(b.b_ts)) THEN f.f_value
                 ELSE b.b_value END AS purchase_value
     FROM bwd b JOIN fwd f ON f.click_id = b.click_id
+    """
+
+
+def q47_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward and nearest as-of joins gated in one row (merged former
+    q47/q48 — identical schema, same inputs), tagged by ``direction``.
+    The backward variant keeps its own gate row (q15_asof_join)."""
+    fwd = q47_asof_forward(spark, sf_dir).withColumn("direction", F.lit("forward"))
+    nst = q48_asof_nearest(spark, sf_dir).withColumn("direction", F.lit("nearest"))
+    return fwd.unionByName(nst)
+
+
+register(
+    "q47_asof_directions",
+    q47_asof_directions,
+    f"""
+    SELECT *, 'forward' AS direction FROM ({_Q47_FORWARD_SQL})
+    UNION ALL
+    SELECT *, 'nearest' AS direction FROM ({_Q48_NEAREST_SQL})
     """,
 )
 

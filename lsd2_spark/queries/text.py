@@ -205,43 +205,15 @@ register(
 _STOP_SQL = ", ".join(f"'{s}'" for s in text_analysis.STOPWORDS)
 
 
-def q36_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_analysis.quality_score(load_table(spark, sf_dir, "documents"), "text", "doc_id")
-
-
-register(
-    "q36_quality_score",
-    q36_quality_score,
-    f"""
-    WITH t AS (
-      SELECT doc_id,
-             regexp_split_to_array(text, '\\s+') AS toks
-      FROM documents
-    ), m AS (
-      SELECT doc_id,
-             CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE) / len(toks) AS stop_share,
-             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS diversity,
-             CASE WHEN len(toks) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END AS length_ok
-      FROM t
-    )
-    SELECT doc_id,
-           ROUND(stop_share, 6) AS stopword_share,
-           ROUND(diversity, 6) AS lexical_diversity,
-           ROUND(40.0 * diversity + 30.0 * stop_share + 30.0 * length_ok, 6) AS quality,
-           CASE WHEN ROUND(40.0 * diversity + 30.0 * stop_share + 30.0 * length_ok, 6) >= 60 THEN 'good'
-                WHEN ROUND(40.0 * diversity + 30.0 * stop_share + 30.0 * length_ok, 6) >= 30 THEN 'ok'
-                ELSE 'spam' END AS bucket
-    FROM m
-    """,
-)
-
-
-def q37_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_analysis.lang_id(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+def q36_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality score + language ID in one scan (merged former q36/q37 —
+    both per-doc pure-Column passes over the same tokenization; the
+    standalone operators quality_score / lang_id remain unit-tested)."""
+    return text_analysis.doc_profile(load_table(spark, sf_dir, "documents"), "text", "doc_id")
 
 
 _hit_cols = ",\n           ".join(
-    f"len(list_filter(toks, x -> x IN ({', '.join(repr(m) for m in ms)}))) AS hits_{l}"
+    f"len(list_filter(ltoks, x -> x IN ({', '.join(repr(m) for m in ms)}))) AS hits_{l}"
     for l, ms in text_analysis.LANG_MARKERS.items()
 )
 _langs = list(text_analysis.LANG_MARKERS)
@@ -250,15 +222,32 @@ _label = "'und'"
 for _l in reversed(_langs):
     _label = f"CASE WHEN hits_{_l} = {_best} AND {_best} > 0 THEN '{_l}' ELSE {_label} END"
 register(
-    "q37_lang_id",
-    q37_lang_id,
+    "q36_doc_profile",
+    q36_doc_profile,
     f"""
     WITH t AS (
-      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents
-    ), h AS (
-      SELECT doc_id, {_hit_cols} FROM t
+      SELECT doc_id,
+             regexp_split_to_array(text, '\\s+') AS toks,
+             regexp_split_to_array(lower(text), '\\s+') AS ltoks
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE) / len(toks) AS stop_share,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS diversity,
+             CASE WHEN len(toks) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END AS length_ok,
+             {_hit_cols}
+      FROM t
     )
-    SELECT doc_id, {', '.join('hits_' + l for l in _langs)}, {_label} AS lang_pred FROM h
+    SELECT doc_id,
+           ROUND(stop_share, 6) AS stopword_share,
+           ROUND(diversity, 6) AS lexical_diversity,
+           ROUND(40.0 * diversity + 30.0 * stop_share + 30.0 * length_ok, 6) AS quality,
+           CASE WHEN ROUND(40.0 * diversity + 30.0 * stop_share + 30.0 * length_ok, 6) >= 60 THEN 'good'
+                WHEN ROUND(40.0 * diversity + 30.0 * stop_share + 30.0 * length_ok, 6) >= 30 THEN 'ok'
+                ELSE 'spam' END AS bucket,
+           {', '.join('hits_' + l for l in _langs)},
+           {_label} AS lang_pred
+    FROM m
     """,
 )
 
@@ -672,46 +661,45 @@ _SAMPLE_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 _SPLIT_WEIGHTS = {"test": 0.05, "train": 0.9, "val": 0.05}
 
 
-def q49_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from lsd2_spark.operators.sampling import stratified_sample
+def q49_sample_and_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified-sample membership + train/val/test assignment in one
+    per-doc projection (merged former q49/q50 — both are zero-shuffle
+    Column decisions over the same deterministic uniform)."""
+    from lsd2_spark.operators.sampling import assign_splits, stratified_keep
 
     docs = load_table(spark, sf_dir, "documents")
-    return stratified_sample(
-        docs, "doc_id", _SAMPLE_FRACTIONS, strata_col="source"
-    ).select("doc_id", "source")
+    return assign_splits(docs, "doc_id", _SPLIT_WEIGHTS).select(
+        "doc_id",
+        "source",
+        "split",
+        stratified_keep("doc_id", _SAMPLE_FRACTIONS, strata_col="source").alias(
+            "in_sample"
+        ),
+    )
 
 
-def q50_assign_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from lsd2_spark.operators.sampling import assign_splits
-
-    docs = load_table(spark, sf_dir, "documents")
-    return assign_splits(docs, "doc_id", _SPLIT_WEIGHTS).select("doc_id", "split")
-
-
-def _sampling_oracles() -> tuple[str, str]:
+def _sampling_oracle() -> str:
     from lsd2_spark.operators.sampling import deterministic_uniform_sql
 
     u = deterministic_uniform_sql("doc_id")
     frac = "CASE " + " ".join(
         f"WHEN source = '{v}' THEN {f}" for v, f in sorted(_SAMPLE_FRACTIONS.items())
     ) + " ELSE 0.0 END"
-    q49 = f"SELECT doc_id, source FROM documents WHERE {u} < {frac}"
 
     cases, cum = [], 0.0
     names = sorted(_SPLIT_WEIGHTS)
     for name in names:
         cum += _SPLIT_WEIGHTS[name]
         cases.append(f"WHEN {u} < {cum!r} THEN '{name}'")
-    q50 = (
-        f"SELECT doc_id, CASE {' '.join(cases)} ELSE '{names[-1]}' END AS split "
+    return (
+        f"SELECT doc_id, source, "
+        f"CASE {' '.join(cases)} ELSE '{names[-1]}' END AS split, "
+        f"{u} < {frac} AS in_sample "
         "FROM documents"
     )
-    return q49, q50
 
 
-_Q49_SQL, _Q50_SQL = _sampling_oracles()
-register("q49_stratified_sample", q49_stratified_sample, _Q49_SQL)
-register("q50_assign_splits", q50_assign_splits, _Q50_SQL)
+register("q49_sample_and_split", q49_sample_and_split, _sampling_oracle())
 
 
 # ---------------------------------------------------------------------------
@@ -868,3 +856,217 @@ def _cap_oracle() -> str:
 
 
 register("q60_cap_per_source", q60_cap_per_source, _cap_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Q61 — PII scrub.  The corpus carries no organic PII, so the query
+# plants deterministic email/IP/SSN/phone payloads (derived from
+# doc_id, reproducible in both engines) before scrubbing — the regex
+# chain itself is what's hash-gated, via the md5 of the scrubbed text.
+# ---------------------------------------------------------------------------
+
+
+def q61_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tail = F.concat(
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 ssn 123-45-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" call 415-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    aug = docs.select("doc_id", F.concat(F.col("text"), tail).alias("text"))
+    out = text_analysis.redact_pii(aug, "text")
+    return out.select(
+        "doc_id",
+        "n_pii_email",
+        "n_pii_ipv4",
+        "n_pii_ssn",
+        "n_pii_phone",
+        "n_pii_redacted",
+        F.md5(F.col("text").cast("binary")).alias("scrubbed_md5"),
+    )
+
+
+def _pii_oracle() -> str:
+    pats = {name: pat for name, pat, _ in text_analysis.PII_PATTERNS}
+    counts = ",\n             ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS INTEGER) AS n_pii_{n}"
+        for n, p in pats.items()
+    )
+    scrubbed = "text"
+    for _, pat, tag in text_analysis.PII_PATTERNS:
+        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{tag}', 'g')"
+    return f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.7 ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS text
+      FROM documents
+    ), c AS (
+      SELECT doc_id, text,
+             {counts}
+      FROM aug
+    )
+    SELECT doc_id, n_pii_email, n_pii_ipv4, n_pii_ssn, n_pii_phone,
+           n_pii_email + n_pii_ipv4 + n_pii_ssn + n_pii_phone AS n_pii_redacted,
+           md5({scrubbed}) AS scrubbed_md5
+    FROM c
+    """
+
+
+register("q61_pii_scrub", q61_pii_scrub, _pii_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Q62 — Gopher-style repetition stats.  The corpus is single-line, so
+# the query derives a multi-line view (space -> newline, deterministic
+# in both engines) to exercise the duplicate-line mass for real; the
+# top-bigram pass runs over the unchanged whitespace tokenization.
+# ---------------------------------------------------------------------------
+
+
+def q62_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.translate(F.col("text"), " ", "\n").alias("text")
+    )
+    return text_analysis.repetition_stats(docs, "text", "doc_id")
+
+
+_Q62_SQL = """
+    WITH d AS (
+      SELECT doc_id, replace(text, ' ', chr(10)) AS text FROM documents
+    ), l AS (
+      SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM d
+    ), lc AS (
+      SELECT doc_id, line, COUNT(*) AS c FROM l GROUP BY doc_id, line
+    ), ls AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS INTEGER) AS n_lines,
+             ROUND(CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c), 6) AS dup_line_frac,
+             SUM((c - 1) * length(line)) AS dup_chars,
+             SUM(c * length(line)) AS line_chars
+      FROM lc GROUP BY doc_id
+    ), tok AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t, length(text) AS n_chars
+      FROM d
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]))
+               AS bigram
+      FROM tok
+    ), bc AS (
+      SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram
+    ), tb AS (
+      SELECT doc_id, bigram AS top_bigram, CAST(c AS INTEGER) AS top_bigram_n
+      FROM (SELECT doc_id, bigram, c,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY c DESC, bigram DESC) AS rn
+            FROM bc)
+      WHERE rn = 1
+    )
+    SELECT ls.doc_id, ls.n_lines, ls.dup_line_frac,
+           ROUND(CASE WHEN ls.line_chars > 0
+                      THEN CAST(ls.dup_chars AS DOUBLE) / ls.line_chars
+                      ELSE 0.0 END, 6) AS dup_line_char_frac,
+           tb.top_bigram,
+           COALESCE(tb.top_bigram_n, 0) AS top_bigram_n,
+           ROUND(COALESCE(CAST(tb.top_bigram_n * length(tb.top_bigram) AS DOUBLE)
+                          / nullif(tok.n_chars, 0), 0.0), 6) AS top_bigram_char_frac
+    FROM ls
+    LEFT JOIN tb ON tb.doc_id = ls.doc_id
+    JOIN tok ON tok.doc_id = ls.doc_id
+    """
+
+register("q62_repetition", q62_repetition, _Q62_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q63 — benchmark decontamination: docs with doc_id % 20 == 0 act as
+# the held-out eval set; every other doc is scanned for exact 5-gram
+# overlap against the broadcast eval n-gram set.
+# ---------------------------------------------------------------------------
+
+_DECONTAM_N = 5
+
+
+def q63_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lsd2_spark.operators.decontam import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    tr = docs.filter(F.col("doc_id") % 20 != 0)
+    return decontaminate(tr, ev, "text", "doc_id", n=_DECONTAM_N)
+
+
+_Q63_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+    ), ng AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - {_DECONTAM_N - 2}, 1)),
+                                   i -> array_to_string(list_slice(t, i, i + {_DECONTAM_N - 1}), ' ')))
+               AS ngram
+      FROM tok
+    ), ev AS (
+      SELECT DISTINCT ngram FROM ng WHERE doc_id % 20 = 0
+    ), tr AS (
+      SELECT doc_id, ngram FROM ng WHERE doc_id % 20 <> 0
+    ), hits AS (
+      SELECT doc_id, COUNT(DISTINCT tr.ngram) AS n_eval_ngram_hits,
+             MAX(tr.ngram) AS worst_ngram
+      FROM tr JOIN ev USING (ngram) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_eval_ngram_hits, 0) AS n_eval_ngram_hits,
+           h.worst_ngram,
+           COALESCE(h.n_eval_ngram_hits, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+    LEFT JOIN hits h USING (doc_id)
+    """
+
+register("q63_decontaminate", q63_decontaminate, _Q63_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q64 — sequence packing: concatenate-and-chunk manifest, packed per
+# source shard in doc_id order at a 512-token sequence length.
+# ---------------------------------------------------------------------------
+
+_SEQ_LEN = 512
+
+
+def q64_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lsd2_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, "doc_id", F.size(F.split(F.col("text"), r"\s+")), _SEQ_LEN, "source"
+    )
+
+
+_Q64_SQL = f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tok
+      FROM documents
+    ), a AS (
+      SELECT source, doc_id, n_tok,
+             CAST(floor((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING) - n_tok)
+                        / {_SEQ_LEN}.0) AS BIGINT) AS seq_id
+      FROM t
+    )
+    SELECT source, seq_id, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
+           ROUND(SUM(n_tok) / {_SEQ_LEN}.0, 6) AS fill_frac,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM a GROUP BY source, seq_id
+    """
+
+register("q64_pack_sequences", q64_pack_sequences, _Q64_SQL)

@@ -1,0 +1,148 @@
+"""Unit tests for benchmark decontamination and sequence packing —
+hand-built corpora with known answers, plus plan-shape asserts (the
+eval side of decontamination must broadcast; packing must not sort
+globally)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_flags_exact_ngram_overlap(spark):
+    from lsd2_spark.operators.decontam import decontaminate
+
+    eval_df = _docs(spark, [(100, "the quick brown fox jumps over the lazy dog")])
+    train = _docs(
+        spark,
+        [
+            # contains "the quick brown fox jumps" (and one more shifted 5-gram)
+            (1, "see the quick brown fox jumps over a fence"),
+            # same words, different order: no shared 5-gram
+            (2, "fox brown quick the jumps dog lazy the over"),
+            # too short for any 5-gram
+            (3, "tiny doc"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(train, eval_df, "text", "doc_id", n=5).collect()
+    }
+    assert out[1]["contaminated"] and out[1]["n_eval_ngram_hits"] == 2
+    assert not out[2]["contaminated"] and out[2]["n_eval_ngram_hits"] == 0
+    assert not out[3]["contaminated"]
+    assert out[1]["worst_ngram"] == "the quick brown fox jumps"
+
+
+def test_decontaminate_is_case_insensitive_and_counts_distinct(spark):
+    from lsd2_spark.operators.decontam import decontaminate
+
+    eval_df = _docs(spark, [(9, "A B C D E")])
+    # the eval 5-gram appears twice in the train doc — counted once
+    train = _docs(spark, [(1, "a b c d e and a b c d e")])
+    row = decontaminate(train, eval_df, "text", "doc_id", n=5).collect()[0]
+    assert row["n_eval_ngram_hits"] == 1
+
+
+def test_decontaminate_broadcasts_the_eval_side(spark):
+    from lsd2_spark.operators.decontam import decontaminate
+
+    eval_df = _docs(spark, [(9, "a b c d e")])
+    train = _docs(spark, [(1, "a b c d e f")])
+    plan = decontaminate(train, eval_df, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_manifest(spark):
+    from lsd2_spark.operators.packing import pack_sequences
+
+    rows = [
+        # shard s: 3 + 4 + 5 tokens, seq_len 8 -> docs 1,2 start in seq 0
+        # (offsets 0 and 3), doc 3 starts at offset 7 -> still seq 0
+        ("s", 1, "a b c"),
+        ("s", 2, "a b c d"),
+        ("s", 3, "a b c d e"),
+        # shard t: 10 tokens then 2: doc 5 starts at offset 10 -> seq 1
+        ("t", 4, "a b c d e f g h i j"),
+        ("t", 5, "a b"),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    out = {
+        (r["source"], r["seq_id"]): r
+        for r in pack_sequences(
+            df, "doc_id", F.size(F.split(F.col("text"), r"\s+")), 8, "source"
+        ).collect()
+    }
+    assert out[("s", 0)]["n_docs"] == 3
+    assert out[("s", 0)]["n_tokens"] == 12
+    assert out[("s", 0)]["fill_frac"] == pytest.approx(1.5)
+    assert out[("s", 0)]["first_doc"] == 1 and out[("s", 0)]["last_doc"] == 3
+    assert out[("t", 0)]["n_docs"] == 1 and out[("t", 0)]["n_tokens"] == 10
+    assert out[("t", 1)]["n_docs"] == 1 and out[("t", 1)]["first_doc"] == 5
+    assert len(out) == 3
+
+
+def test_pack_sequences_has_no_global_sort(spark):
+    """Packing orders WITHIN shards (window partitionBy) — a global
+    Sort with no partitioning would serialize the corpus on one
+    partition at 100 TB."""
+    from lsd2_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [("s", 1, "a b"), ("t", 2, "c d")], "source string, doc_id long, text string"
+    )
+    out = pack_sequences(
+        df, "doc_id", F.size(F.split(F.col("text"), r"\s+")), 8, "source"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the only Sort allowed is the window's per-partition (local) sort
+    for line in plan.splitlines():
+        if "Sort " in line and "global=true" in line:
+            raise AssertionError(f"global sort in packing plan: {line}")
+
+
+def test_doc_profile_matches_standalone_operators(spark):
+    from lsd2_spark.operators.text_analysis import doc_profile, lang_id, quality_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and the dog is here now then"),
+            (2, "el la de que es el la de que es"),
+            (3, "x"),
+        ],
+        "doc_id long, text string",
+    )
+    prof = {r["doc_id"]: r for r in doc_profile(df, "text", "doc_id").collect()}
+    q = {r["doc_id"]: r for r in quality_score(df, "text", "doc_id").collect()}
+    l = {r["doc_id"]: r for r in lang_id(df, "text", "doc_id").collect()}
+    for i in (1, 2, 3):
+        assert prof[i]["quality"] == q[i]["quality"]
+        assert prof[i]["bucket"] == q[i]["bucket"]
+        assert prof[i]["lang_pred"] == l[i]["lang_pred"]
+    assert prof[2]["lang_pred"] == "es"
+
+
+def test_stratified_keep_flag_agrees_with_filter(spark):
+    from lsd2_spark.operators.sampling import stratified_keep, stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "src0" if i % 2 else "src1") for i in range(200)],
+        "doc_id long, source string",
+    )
+    fr = {"src0": 0.5, "src1": 0.25}
+    kept = {
+        r["doc_id"]
+        for r in stratified_sample(df, "doc_id", fr, strata_col="source").collect()
+    }
+    flagged = {
+        r["doc_id"]
+        for r in df.select(
+            "doc_id", stratified_keep("doc_id", fr, strata_col="source").alias("k")
+        ).collect()
+        if r["k"]
+    }
+    assert kept == flagged and 0 < len(kept) < 200

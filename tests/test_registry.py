@@ -33,15 +33,13 @@ EXPECTED = [
     "q12_sessionize",
     "q15_asof_join",
     "q16_cube",
-    "q17_intersect",
-    "q18_except",
+    "q17_order_setops",  # merged former q17/q18
     "q19_median",
     "q13_distinct_stats",
     "q14_conditional_agg",
     "q04_order_priority",
     "q22_idle_customers",
-    "q47_asof_forward",
-    "q48_asof_nearest",
+    "q47_asof_directions",  # merged former q47/q48
     "q51_event_windows",  # merged former q51/q52
     # text / LLM-pipeline
     "q30_dedup_exact",
@@ -50,8 +48,7 @@ EXPECTED = [
     "q33_ngram_jaccard",
     "q34_simhash",
     "q35_token_stats",
-    "q36_quality_score",
-    "q37_lang_id",
+    "q36_doc_profile",  # merged former q36/q37
     "q38_fingerprints",  # merged former q38/q39
     "q42_multimodal_blobs",
     "q43_media_features",
@@ -60,12 +57,15 @@ EXPECTED = [
     "q56_frame_sample",
     "q54_wav_audio_features",
     "q46_dedup_clusters",
-    "q49_stratified_sample",
-    "q50_assign_splits",
+    "q49_sample_and_split",  # merged former q49/q50
     "q57_kmv_distinct",
     "q58_weighted_sample",
     "q59_normalized_dedup",
     "q60_cap_per_source",
+    "q61_pii_scrub",
+    "q62_repetition",
+    "q63_decontaminate",
+    "q64_pack_sequences",
 ]
 
 
