@@ -41,6 +41,9 @@ HEADLINE = [
     "q40_embedding_knn",
     "q41_ivf_topk",
     "q45_embedding_neardup",
+    "q62_repetition",
+    "q63_decontaminate",
+    "q64_pack_sequences",
 ]
 
 

@@ -12,9 +12,13 @@ Stages (each one scan/shuffle-bounded; no driver row materialization):
 3. language filter   — n-gram language ID (text_analysis)
 4. exact dedup       — md5 canonical rows (dedup)
 5. fuzzy dedup       — LSH pairs → connected components → survivors
-6. source mixing     — deterministic stratified sampling (sampling)
-7. splits            — reproducible train/val/test assignment
-8. accounting        — token totals per split (token_stats) +
+6. decontamination   — drop docs sharing word-5-grams with the
+                       held-out eval set (decontam; broadcast join)
+7. source mixing     — deterministic stratified sampling (sampling)
+8. splits            — reproducible train/val/test assignment
+9. packing           — concat-and-chunk sequence manifest per source
+                       shard (packing; prefix-sum window, no global sort)
+10. accounting       — token totals per split (token_stats) +
                        p50/p90/p99 document-length quantiles (sketches)
 
 A multimodal side-branch (``media_features``) shows the image/audio
@@ -32,7 +36,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lsd2_spark.operators import dedup, multimodal, sampling, sketches, text_analysis
+from lsd2_spark.operators import (
+    decontam,
+    dedup,
+    multimodal,
+    packing,
+    sampling,
+    sketches,
+    text_analysis,
+)
 
 
 def build_training_corpus(
@@ -44,6 +56,7 @@ def build_training_corpus(
     source_fractions: "dict[str, float] | float" = 1.0,
     max_dup_line_frac: float = 0.3,
     max_top_bigram_frac: float = 0.2,
+    eval_docs: DataFrame | None = None,
 ) -> DataFrame:
     """documents(text, doc_id, source) → (doc_id, text, source, split)."""
     docs = text_analysis.redact_pii(docs, "text").select(*docs.columns)
@@ -72,6 +85,11 @@ def build_training_corpus(
     kept = kept.join(
         fuzzy.filter("is_canonical = 1").select("doc_id"), "doc_id", "left_semi"
     )
+    if eval_docs is not None:
+        contam = decontam.decontaminate(kept, eval_docs, "text", "doc_id")
+        kept = kept.join(
+            contam.filter("NOT contaminated").select("doc_id"), "doc_id", "left_semi"
+        )
     mixed = sampling.stratified_sample(
         kept, "doc_id", source_fractions,
         strata_col="source" if isinstance(source_fractions, dict) else None,
@@ -113,11 +131,23 @@ if __name__ == "__main__":
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark(app_name="training_pipeline")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    corpus = build_training_corpus(spark, docs, quality_cutoff=30)
+    corpus = build_training_corpus(
+        spark,
+        docs,
+        quality_cutoff=30,
+        eval_docs=docs.filter(F.col("doc_id") % 20 == 0),
+    )
     corpus.cache()
     print(f"corpus rows: {corpus.count()} (from {docs.count()})")
     token_accounting(corpus).show()
     sketches.corpus_quantiles(
         corpus.withColumn("n_chars", F.length("text")), "n_chars", ["split"]
     ).orderBy("split").show()
+    packing.pack_sequences(
+        corpus.filter("split = 'train'"),
+        "doc_id",
+        F.size(F.split(F.col("text"), r"\s+")),
+        512,
+        "source",
+    ).orderBy("source", "seq_id").show(8)
     spark.stop()

@@ -411,14 +411,29 @@ def test_training_pipeline_example(spark):
     _sys.path.insert(0, "/root/repo")
     from examples.training_pipeline import build_training_corpus, token_accounting
 
+    from pyspark.sql import functions as SF
+
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    corpus = build_training_corpus(spark, docs, quality_cutoff=30)
+    corpus = build_training_corpus(
+        spark, docs, quality_cutoff=30,
+        eval_docs=docs.filter(SF.col("doc_id") % 20 == 0),
+    )
     n_in, n_out = docs.count(), corpus.count()
     assert 0 < n_out < n_in
+    # the eval docs themselves are self-contaminated by construction
+    assert corpus.filter(SF.col("doc_id") % 20 == 0).count() == 0
     acct = token_accounting(corpus).toPandas().set_index("split")
     assert acct["n_docs"].sum() == n_out
     assert (acct["n_bpe_tokens"] > 0).all()
     assert set(acct.index) <= {"train", "val", "test"}
+
+    from examples.training_pipeline import packing
+
+    manifest = packing.pack_sequences(
+        corpus.filter("split = 'train'"), "doc_id",
+        SF.size(SF.split(SF.col("text"), r"\s+")), 512, "source",
+    ).toPandas()
+    assert len(manifest) > 0 and (manifest["n_tokens"] > 0).all()
 
 
 def test_connected_components_long_chain_converges(spark):
