@@ -475,15 +475,17 @@ class Catalog:
             .withColumn("Dir", _dir_of(F.col("Npix")))
         ).cache()
 
+        # ONE plan-sized collect (cell → count) yields the touched-cell
+        # list, the batch row count, and — by subtracting the known leaf
+        # set — the new leaves; previously three separate driver jobs
+        # per batch, a real latency tax on streaming micro-batches.
+        cell_counts = assigned.groupBy("Norder", "Npix").count().collect()
+        touched = [(int(r["Norder"]), int(r["Npix"])) for r in cell_counts]
+        n_new = int(sum(r["count"] for r in cell_counts))
+        existing_k = set(meta.hips.get(order_k, []))
         new_leaves = [
-            (int(r["Npix"]))
-            for r in missed.select("Npix").distinct().collect()
+            p for o, p in touched if o == order_k and p not in existing_k
         ]
-        touched = [
-            (int(r["Norder"]), int(r["Npix"]))
-            for r in assigned.select("Norder", "Npix").distinct().collect()
-        ]
-        n_new = assigned.count()
 
         # merge touched cells' existing rows (pruned read) with the new
         # ones; the encoded (order, pixel) key is a deterministic
