@@ -256,6 +256,7 @@ def kmeans_centroids(
     n_lists: int,
     n_iters: int = 2,
     sample_stride: int = 1,
+    dim: int | None = None,
 ) -> np.ndarray:
     """Deterministic Lloyd's k-means over raw vectors — every step is
     engine-agnostic so a SQL oracle can replay it bit-for-bit:
@@ -284,7 +285,8 @@ def kmeans_centroids(
     the SQL oracle replay is unchanged.
     """
     spark = candidates.sparkSession
-    dim = _probe_dim(candidates, vec_col)
+    if dim is None:  # callers that already probed pass it through
+        dim = _probe_dim(candidates, vec_col)
     samp = _valid_vectors(candidates, vec_col, dim).select(
         F.col(id_col).alias("_vid"),
         F.transform(F.col(vec_col), lambda x: F.round(x.cast("double"), 6)).alias("_v"),
@@ -446,7 +448,9 @@ def ivf_topk(
     cents = (
         centroids
         if centroids is not None
-        else kmeans_centroids(candidates, vec_col, id_col, n_lists, n_iters, sample_stride)
+        else kmeans_centroids(
+            candidates, vec_col, id_col, n_lists, n_iters, sample_stride, dim=dim
+        )
     )
     spark = candidates.sparkSession
     bc = spark.sparkContext.broadcast(cents)
