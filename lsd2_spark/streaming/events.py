@@ -300,3 +300,43 @@ def session_window_stats(
             "n_events",
         )
     )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    window_min: int = 30,
+    watermark_min: int = 60,
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pair each left event
+    with right events for the same ``key`` whose timestamp falls in
+    ``[left.ts, left.ts + window_min)`` — the click→purchase
+    attribution shape, incremental.
+
+    Both sides carry a ``watermark_min`` event-time watermark and the
+    join condition is time-BOUNDED in both directions, so Spark can
+    expire buffered state: per-key state is capped at
+    watermark + window, never the full stream.  (An unbounded
+    condition would force indefinite buffering — the classic
+    stream-stream join OOM at scale.)
+
+    Columns are prefixed per side (``l_``/``r_``); the join is INNER
+    (stream-stream outer joins emit only on watermark expiry, which
+    tests can't drive deterministically with processAllAvailable).
+    """
+    lcols = [F.col(c).alias(f"{left_prefix}{c}") for c in left.columns]
+    rcols = [F.col(c).alias(f"{right_prefix}{c}") for c in right.columns]
+    lw = left.select(*lcols).withWatermark(f"{left_prefix}ts", f"{watermark_min} minutes")
+    rw = right.select(*rcols).withWatermark(f"{right_prefix}ts", f"{watermark_min} minutes")
+    lk, rk = F.col(f"{left_prefix}{key}"), F.col(f"{right_prefix}{key}")
+    lts, rts = F.col(f"{left_prefix}ts"), F.col(f"{right_prefix}ts")
+    return lw.join(
+        rw,
+        (lk == rk)
+        & (rts >= lts)
+        & (rts < lts + F.expr(f"INTERVAL {window_min} MINUTES")),
+        "inner",
+    )

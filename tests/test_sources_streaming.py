@@ -730,3 +730,56 @@ def test_session_windows_match_batch_sessionization(spark):
         assert (grp["session_start"] < grp["session_end"]).all()
         assert (grp["session_start"].iloc[1:].to_numpy()
                 >= grp["session_end"].iloc[:-1].to_numpy()).all()
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    """interval_join_streams (clicks->purchases within 30 min per user)
+    must agree with the equivalent batch range join, and its state must
+    be watermark-bounded (both sides carry event-time watermarks)."""
+    from lsd2_spark.queries import load_table
+    from lsd2_spark.streaming import events as sev
+
+    clicks = sev.read_events_stream(spark, SF_DIR).filter(
+        F.col("event_type") == "click"
+    ).select("event_id", "user_id", "ts")
+    purchases = sev.read_events_stream(spark, SF_DIR).filter(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "user_id", "ts", "value")
+
+    joined = sev.interval_join_streams(
+        clicks, purchases, key="user_id", window_min=30, watermark_min=120
+    ).select("l_event_id", "r_event_id", "r_value")
+    sev.run_to_memory_sink(joined, "sj_out", mode="append")
+    got = (
+        spark.sql("SELECT * FROM sj_out")
+        .toPandas()
+        .sort_values(["l_event_id", "r_event_id"])
+        .reset_index(drop=True)
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("l_event_id"), "user_id", F.col("ts").alias("lts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("r_event_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("rts"),
+        F.col("value").alias("r_value"),
+    )
+    batch = (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("rts") >= F.col("lts"))
+            & (F.col("rts") < F.col("lts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select("l_event_id", "r_event_id", "r_value")
+        .toPandas()
+        .sort_values(["l_event_id", "r_event_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(batch) > 0
+    assert got["l_event_id"].tolist() == batch["l_event_id"].tolist()
+    assert got["r_event_id"].tolist() == batch["r_event_id"].tolist()
+    assert got["r_value"].tolist() == batch["r_value"].tolist()
