@@ -41,30 +41,55 @@ def decontaminate(
     text_col: str,
     id_col: str,
     n: int = 5,
+    hashed: bool = False,
+    force_broadcast: bool = True,
 ) -> DataFrame:
     """Per-training-document contamination report against ``eval_df``.
 
     Returns one row per train document: ``n_eval_ngram_hits`` (distinct
     eval n-grams found in the document), ``worst_ngram`` (lexicographic
-    max hit, for auditability), and ``contaminated`` (any hit).
+    max hit, for auditability — null in hashed mode), and
+    ``contaminated`` (any hit).
+
+    Scale knobs:
+    - ``hashed=True`` joins on a 60-bit portable hash of each n-gram
+      instead of the string — ~8 bytes/row instead of tens, shrinking
+      the broadcast (or shuffle) by an order of magnitude.  Collisions
+      can only ADD false contamination flags (never miss one), at
+      ~(pairs)/2^60 probability — the conservative direction for
+      decontamination.
+    - ``force_broadcast=False`` leaves the join strategy to Catalyst —
+      the right call when the eval set is too large to broadcast
+      (AQE picks a shuffle join, and the per-doc aggregation is
+      unchanged).
     """
-    ev = (
-        eval_df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("ngram"))
-        .distinct()
+    from lsd2_spark.functions.portable_hash import hash64
+
+    join_col = "_ngh" if hashed else "ngram"
+    ev = eval_df.select(
+        F.explode(word_ngrams(F.col(text_col), n)).alias("ngram")
     )
     tr = train.select(
         F.col(id_col),
         F.explode(word_ngrams(F.col(text_col), n)).alias("ngram"),
     )
-    # broadcast-join FIRST: the join filters the exploded stream down to
-    # actual hits (a sliver of the corpus) before anything shuffles, so
-    # the per-document distinct-count aggregation moves only hit rows.
+    if hashed:
+        ev = ev.select(hash64(F.col("ngram")).alias(join_col))
+        tr = tr.select(id_col, hash64(F.col("ngram")).alias(join_col))
+    ev = ev.distinct()
+    if force_broadcast:
+        ev = F.broadcast(ev)
+    # join FIRST: it filters the exploded stream down to actual hits (a
+    # sliver of the corpus) before anything shuffles, so the
+    # per-document distinct-count aggregation moves only hit rows.
     hits = (
-        tr.join(F.broadcast(ev), "ngram")
+        tr.join(ev, join_col)
         .groupBy(id_col)
         .agg(
-            F.count_distinct(F.col("ngram")).alias("n_eval_ngram_hits"),
-            F.max("ngram").alias("worst_ngram"),
+            F.count_distinct(F.col(join_col)).alias("n_eval_ngram_hits"),
+            F.max(
+                F.lit(None).cast("string") if hashed else F.col("ngram")
+            ).alias("worst_ngram"),
         )
     )
     return (

@@ -28,6 +28,8 @@ __all__ = [
     "hyperplane_lsh_topk",
     "embedding_neardup_pairs",
     "kmeans_centroids",
+    "save_ivf_index",
+    "load_ivf_index",
 ]
 
 
@@ -495,3 +497,31 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "cand_id", "sim", "rnk")
     )
+
+
+def save_ivf_index(centroids: np.ndarray, path: str) -> None:
+    """Persist a centroid table (from :func:`kmeans_centroids`) as a
+    plain parquet table ``(list_id int, centroid array<double>)`` — the
+    build-once/search-many index survives the session and is readable
+    by any engine (the oracle included), not just this library."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "list_id": pa.array(range(len(centroids)), pa.int32()),
+            "centroid": pa.array(
+                [list(map(float, c)) for c in centroids], pa.list_(pa.float64())
+            ),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def load_ivf_index(path: str) -> np.ndarray:
+    """Load a centroid table written by :func:`save_ivf_index`; pass
+    the result to ``ivf_topk(..., centroids=...)``."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path).sort_by("list_id")
+    return np.array([np.asarray(c, dtype=np.float64) for c in t["centroid"].to_pylist()])

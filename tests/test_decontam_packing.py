@@ -146,3 +146,35 @@ def test_stratified_keep_flag_agrees_with_filter(spark):
         if r["k"]
     }
     assert kept == flagged and 0 < len(kept) < 200
+
+
+def test_decontaminate_hashed_and_shuffle_modes_agree(spark, sf_dir):
+    """The hashed-join and let-catalyst-choose variants must flag the
+    same documents as the exact broadcast-string form (hash collisions
+    at 2^-60 are unobservable here)."""
+    from lsd2_spark.operators.decontam import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    tr = docs.filter(F.col("doc_id") % 20 != 0)
+
+    def flags(**kw):
+        return {
+            r["doc_id"]: r["n_eval_ngram_hits"]
+            for r in decontaminate(tr, ev, "text", "doc_id", **kw).collect()
+        }
+
+    exact = flags()
+    hashed = flags(hashed=True)
+    shuffled = flags(hashed=True, force_broadcast=False)
+    assert exact == hashed == shuffled
+    assert any(v > 0 for v in exact.values())
+
+
+def test_decontaminate_hashed_has_null_worst_ngram(spark):
+    from lsd2_spark.operators.decontam import decontaminate
+
+    ev = _docs(spark, [(9, "a b c d e")])
+    tr = _docs(spark, [(1, "x a b c d e y")])
+    row = decontaminate(tr, ev, "text", "doc_id", hashed=True).collect()[0]
+    assert row["contaminated"] and row["worst_ngram"] is None

@@ -732,3 +732,27 @@ def test_cap_per_stratum_quota_and_determinism(spark):
     assert sizes == {"big": 50, "small": 50}  # big capped, small under cap
     again = cap_per_stratum(df.repartition(11), "doc_id", "src", 50).toPandas()
     assert set(got["doc_id"]) == set(again["doc_id"])  # deterministic
+
+
+def test_ivf_index_roundtrips_and_serves(spark, tmp_path):
+    """save/load of the IVF centroid table must be exact, and a loaded
+    index must serve identical top-k to the in-memory one."""
+    import numpy as np
+
+    from lsd2_spark.operators.similarity import (
+        ivf_topk, kmeans_centroids, load_ivf_index, save_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = kmeans_centroids(emb, "embedding", "vec_id", n_lists=8, n_iters=1)
+    p = str(tmp_path / "ivf.parquet")
+    save_ivf_index(cents, p)
+    loaded = load_ivf_index(p)
+    assert np.array_equal(cents, loaded)
+
+    q = emb.limit(20)
+    a = ivf_topk(emb, q, "embedding", "vec_id", k=3, n_lists=8, nprobe=2,
+                 centroids=cents).toPandas().sort_values(["query_id", "rnk"])
+    b = ivf_topk(emb, q, "embedding", "vec_id", k=3, n_lists=8, nprobe=2,
+                 centroids=loaded).toPandas().sort_values(["query_id", "rnk"])
+    assert a.values.tolist() == b.values.tolist() and len(a) > 0
