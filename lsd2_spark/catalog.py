@@ -58,6 +58,11 @@ def _dir_of(pix: Column) -> Column:
     return (pix / 10_000).cast("long") * 10_000
 
 
+def _dir_value(pix: int) -> int:
+    """Scalar twin of :func:`_dir_of` for driver-side path building."""
+    return (pix // 10_000) * 10_000
+
+
 @dataclass
 class CatalogMetadata:
     cat_name: str
@@ -649,6 +654,158 @@ class Catalog:
             )
         assigned.unpersist()
         return cat
+
+    def delete(self, predicate: "str | Column") -> "Catalog":
+        """Delete matching rows (the privacy / right-to-be-forgotten
+        pass a training-data catalog needs; the reference can only
+        re-import).  Only cells containing matches are re-read,
+        re-ranked, and rewritten via dynamic partition overwrite;
+        fully-emptied cells have their partition directories removed
+        (dynamic overwrite cannot clear a partition it emits no rows
+        for) and leave the coverage map.  Matching sources' halo rows
+        are purged from ``neighbor/`` the same way.
+
+        Deletes are naturally idempotent (a replayed predicate matches
+        nothing), so there is no batch/commit machinery; the metadata
+        rewrite is still an atomic rename, last.  A crash between data
+        rewrite and metadata commit leaves ``n_sources`` overcounting
+        until the delete is re-run or the catalog re-imported.
+        """
+        spark = self.spark
+        meta = self.meta
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+
+        # plan-sized: per-cell match counts → touched cells + n_deleted
+        match_counts = (
+            self.df().filter(pred).groupBy("Norder", "Npix").count().collect()
+        )
+        if not match_counts:
+            return self
+        touched = [(int(r["Norder"]), int(r["Npix"])) for r in match_counts]
+        n_deleted = int(sum(r["count"] for r in match_counts))
+
+        cell_key = F.col("Norder").cast("long") * F.lit(1 << 40) + F.col(
+            "Npix"
+        ).cast("long")
+        touched_pred = cell_key.isin([(o << 40) + p for o, p in touched])
+        keep = self.df().filter(touched_pred).filter(~pred)
+        data_cols = [
+            c for c in keep.columns if c not in ("Norder", "Dir", "Npix", "_ID")
+        ]
+        keep = keep.select(
+            *data_cols,
+            F.col("Norder").cast("int").alias("Norder"),
+            F.col("Npix").cast("long").alias("Npix"),
+            F.col("Dir").cast("long").alias("Dir"),
+        )
+        from pyspark.sql.types import StructField, StructType
+
+        out_schema = StructType(
+            list(keep.schema.fields) + [StructField("_ID", LongType(), False)]
+        )
+        indexed = keep.groupBy("Norder", "Npix").applyInPandas(
+            _index_and_sort_kernel(meta.ra_kw, meta.dec_kw), out_schema
+        )
+        # which touched cells still have rows after the delete?
+        survivors = {
+            (int(r["Norder"]), int(r["Npix"]))
+            for r in keep.groupBy("Norder", "Npix").count().collect()
+        }
+        prev_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                indexed.write.mode("overwrite")
+                .partitionBy("Norder", "Dir", "Npix")
+                .parquet(f"{self.path}/catalog")
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+        import shutil
+
+        hips = {o: sorted(ps) for o, ps in meta.hips.items()}
+        for o, p in touched:
+            if (o, p) in survivors:
+                continue
+            d = int(_dir_value(p))
+            shutil.rmtree(
+                f"{self.path}/catalog/Norder={o}/Dir={d}/Npix={p}",
+                ignore_errors=True,
+            )
+            if o in hips and p in hips[o]:
+                hips[o] = [x for x in hips[o] if x != p]
+                if not hips[o]:
+                    del hips[o]
+
+        # purge halo rows of deleted sources (their ids no longer exist)
+        if os.path.exists(f"{self.path}/neighbor"):
+            neigh = spark.read.parquet(f"{self.path}/neighbor")
+            live_ids = self.df([meta.id_kw]).select(meta.id_kw)
+            halo_touched = [
+                (int(r["Norder"]), int(r["Npix"]))
+                for r in neigh.join(live_ids, meta.id_kw, "left_anti")
+                .select("Norder", "Npix")
+                .distinct()
+                .collect()
+            ]
+            if halo_touched:
+                hk = F.col("Norder").cast("long") * F.lit(1 << 40) + F.col(
+                    "Npix"
+                ).cast("long")
+                hpred = hk.isin([(o << 40) + p for o, p in halo_touched])
+                halo_keep = (
+                    neigh.filter(hpred)
+                    .join(live_ids, meta.id_kw, "left_semi")
+                    .withColumn("Dir", F.col("Dir").cast("long"))
+                )
+                halo_survivors = {
+                    (int(r["Norder"]), int(r["Npix"]))
+                    for r in halo_keep.groupBy("Norder", "Npix")
+                    .count()
+                    .collect()
+                }
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                )
+                try:
+                    (
+                        halo_keep.write.mode("overwrite")
+                        .partitionBy("Norder", "Dir", "Npix")
+                        .parquet(f"{self.path}/neighbor")
+                    )
+                finally:
+                    spark.conf.set(
+                        "spark.sql.sources.partitionOverwriteMode", prev_mode
+                    )
+                for o, p in halo_touched:
+                    if (o, p) not in halo_survivors:
+                        d = int(_dir_value(p))
+                        shutil.rmtree(
+                            f"{self.path}/neighbor/Norder={o}/Dir={d}/Npix={p}",
+                            ignore_errors=True,
+                        )
+
+        new_meta = CatalogMetadata(
+            cat_name=meta.cat_name,
+            ra_kw=meta.ra_kw,
+            dec_kw=meta.dec_kw,
+            id_kw=meta.id_kw,
+            n_sources=meta.n_sources - n_deleted,
+            pix_threshold=meta.pix_threshold,
+            order_k=meta.order_k,
+            margin_threshold=meta.margin_threshold,
+            hips=hips,
+            last_batch_id=meta.last_batch_id,
+        )
+        meta_path = f"{self.path}/{meta.cat_name}_meta.json"
+        tmp_path = f"{meta_path}.tmp"
+        with open(tmp_path, "w") as f:
+            f.write(new_meta.to_json())
+        os.replace(tmp_path, meta_path)
+        return Catalog(spark, self.path, new_meta)
 
     def create_view(self, name: str | None = None) -> str:
         """Register the catalog as a Spark SQL temp view so the full

@@ -28,6 +28,7 @@ __all__ = [
     "hyperplane_lsh_topk",
     "embedding_neardup_pairs",
     "kmeans_centroids",
+    "kmeans_assign",
     "save_ivf_index",
     "load_ivf_index",
 ]
@@ -525,3 +526,40 @@ def load_ivf_index(path: str) -> np.ndarray:
 
     t = pq.read_table(path).sort_by("list_id")
     return np.array([np.asarray(c, dtype=np.float64) for c in t["centroid"].to_pylist()])
+
+
+def kmeans_assign(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: np.ndarray,
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (same rounded-L2,
+    ties-to-smaller-list rule as the k-means build) — the corpus
+    clustering primitive: cluster-balanced sampling, per-topic
+    accounting, routing.  One Arrow pass, no shuffle; invalid vectors
+    (null/ragged/zero-dim) get ``cluster_id = NULL`` instead of being
+    dropped, so the operator is total over real corpora."""
+    from pyspark.sql.types import IntegerType
+
+    spark = df.sparkSession
+    dim = centroids.shape[1]
+    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    @F.pandas_udf(IntegerType())
+    def nearest(v: pd.Series) -> pd.Series:
+        ok = v.map(
+            lambda x: x is not None and len(x) == dim
+        ).to_numpy(dtype=bool)
+        out = np.full(len(v), -1, dtype=np.int64)
+        if ok.any():
+            m = np.asarray([np.asarray(x, dtype=np.float64) for x in v[ok]])
+            m = np.round(m, 6)
+            out[ok] = np.argmin(_l2_assign(m, bc.value), axis=1)
+        res = pd.Series(out).astype("object")
+        res[~ok] = None
+        return res.astype("Int32")
+
+    return df.select(
+        F.col(id_col), nearest(F.col(vec_col)).alias("cluster_id")
+    )

@@ -530,3 +530,69 @@ def test_ingest_rejects_null_coordinates_clearly(spark, tmp_path):
         partition_catalog(spark.createDataFrame(pdf), str(tmp_path / "n"), "n",
                           ra_col="ra", dec_col="dec", id_col="sid",
                           threshold=10, order_k=4, write_margins=False)
+
+
+def test_delete_rows_rewrites_only_touched_cells(spark, tmp_path):
+    """Catalog.delete: matching rows disappear, survivors keep valid
+    contiguous _ID ranks, n_sources/coverage update, emptied cells'
+    directories vanish, halo rows of deleted ids are purged, and the
+    delete is idempotent."""
+    import os
+
+    pdf = _make_catalog_pdf(4000)
+    df = spark.createDataFrame(pdf)
+    cat = partition_catalog(
+        df, str(tmp_path / "cat"), "delcat",
+        ra_col="ra", dec_col="dec", id_col="source_id",
+        threshold=800, order_k=4, write_margins=True,
+    )
+    n0 = cat.meta.n_sources
+    before_cells = {
+        (r["Norder"], r["Npix"])
+        for r in cat.df().select("Norder", "Npix").distinct().collect()
+    }
+
+    # delete a contiguous id range plus one ENTIRE cell
+    some_cell = sorted(before_cells)[0]
+    victim_pred = (
+        f"(source_id < 500) OR (Norder = {some_cell[0]} AND Npix = {some_cell[1]})"
+    )
+    n_victims = cat.df().filter(victim_pred).count()
+    assert n_victims > 0
+    cat2 = cat.delete(victim_pred)
+
+    assert cat2.meta.n_sources == n0 - n_victims
+    assert cat2.df().filter(victim_pred).count() == 0
+    assert cat2.df().count() == n0 - n_victims
+
+    # survivors in touched cells were re-ranked: _ID ranks contiguous per pixel
+    import pandas as pd
+    rows = cat2.df().select("_ID").toPandas()
+    pix19 = rows["_ID"].to_numpy() >> 21
+    ranks = rows["_ID"].to_numpy() & ((1 << 21) - 1)
+    s = pd.DataFrame({"p": pix19, "r": ranks}).sort_values(["p", "r"])
+    for _, grp in s.groupby("p"):
+        assert grp["r"].tolist() == list(range(len(grp)))
+
+    # the fully-deleted cell is gone from disk and the coverage map
+    o, p = some_cell
+    d = (p // 10_000) * 10_000
+    assert not os.path.exists(
+        f"{tmp_path}/cat/catalog/Norder={o}/Dir={d}/Npix={p}"
+    )
+    assert p not in cat2.meta.hips.get(o, [])
+
+    # halo rows of deleted sources are gone; survivors' remain
+    m = cat2.margin_df()
+    if m is not None:
+        assert m.filter("source_id < 500").count() == 0
+
+    # idempotent: re-running the same predicate is a no-op
+    cat3 = cat2.delete(victim_pred)
+    assert cat3.meta.n_sources == cat2.meta.n_sources
+    assert cat3.df().count() == cat2.df().count()
+
+    # reload from disk sees the committed state
+    reloaded = Catalog.load(spark, str(tmp_path / "cat"), "delcat")
+    assert reloaded.meta.n_sources == cat2.meta.n_sources
+    assert reloaded.df().count() == n0 - n_victims

@@ -756,3 +756,33 @@ def test_ivf_index_roundtrips_and_serves(spark, tmp_path):
     b = ivf_topk(emb, q, "embedding", "vec_id", k=3, n_lists=8, nprobe=2,
                  centroids=loaded).toPandas().sort_values(["query_id", "rnk"])
     assert a.values.tolist() == b.values.tolist() and len(a) > 0
+
+
+def test_kmeans_assign_matches_build_assignment(spark):
+    """kmeans_assign must reproduce the build's own assignment rule and
+    be total over null/ragged vectors (NULL cluster, row kept)."""
+    import numpy as np
+
+    from lsd2_spark.operators.similarity import kmeans_assign, kmeans_centroids
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = kmeans_centroids(emb, "embedding", "vec_id", n_lists=4, n_iters=1)
+    got = kmeans_assign(emb, "embedding", "vec_id", cents).toPandas()
+    assert len(got) == emb.count()
+    assert got["cluster_id"].notna().all()
+
+    # python reference on a sample
+    sample = emb.limit(50).toPandas()
+    m = np.round(np.stack([np.asarray(v, dtype=np.float64) for v in sample["embedding"]]), 6)
+    d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    ref = np.argmin(np.round(d2, 6), axis=1)
+    gm = got.set_index("vec_id").loc[sample["vec_id"]]["cluster_id"].to_numpy()
+    assert (gm == ref).all()
+
+    from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+    bad = spark.createDataFrame(
+        [(1, None), (2, [1.0, 2.0])],
+        StructType([StructField("vec_id", LongType()), StructField("embedding", ArrayType(FloatType()))]),
+    )
+    b = {r["vec_id"]: r["cluster_id"] for r in kmeans_assign(bad, "embedding", "vec_id", cents).collect()}
+    assert b[1] is None and b[2] is None  # null + wrong-dim -> NULL, kept
