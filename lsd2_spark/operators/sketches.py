@@ -34,7 +34,7 @@ from pyspark.sql.window import Window
 
 from lsd2_spark.functions.portable_hash import hash64
 
-__all__ = ["kmv_distinct", "corpus_quantiles"]
+__all__ = ["kmv_distinct", "corpus_quantiles", "profile_table"]
 
 _TWO60 = float(1 << 60)
 
@@ -128,4 +128,50 @@ def corpus_quantiles(
             F.col("_q")[i].alias("p" + format(p * 100, "g").replace(".", "_"))
             for i, p in enumerate(probs)
         ],
+    )
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """One-pass data profile: per column, the null fraction, an
+    approximate distinct count (native HLL++ — this is a diagnostic,
+    not an oracle-gated value), and min/max rendered as strings —
+    the "what is actually in this table" report run before designing
+    filters for a new corpus drop.
+
+    ONE aggregation job total: all columns' statistics are computed in
+    a single partial-aggregable pass (no per-column jobs), then
+    unpivoted driver-side from the single result row.  At 100 TB the
+    shuffle carries one sketch+4 scalars per column per partition.
+    """
+    cols = columns or df.columns
+    types = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        col = F.col(c)
+        # maps are not orderable in Spark — profile them without min/max
+        ordered = not types[c].startswith("map<")
+        aggs += [
+            F.sum(col.isNull().cast("long")).alias(f"_nn_{c}"),
+            F.approx_count_distinct(col).alias(f"_d_{c}"),
+            (F.min(col).cast("string") if ordered else F.lit(None).cast("string")).alias(f"_mn_{c}"),
+            (F.max(col).cast("string") if ordered else F.lit(None).cast("string")).alias(f"_mx_{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    n = row["_n"] or 0
+    spark = df.sparkSession
+    out = [
+        (
+            c,
+            types[c],
+            float(row[f"_nn_{c}"] / n) if n else 0.0,
+            int(row[f"_d_{c}"]),
+            row[f"_mn_{c}"],
+            row[f"_mx_{c}"],
+        )
+        for c in cols
+    ]
+    return spark.createDataFrame(
+        out,
+        "column string, dtype string, null_frac double, "
+        "approx_distinct long, min string, max string",
     )

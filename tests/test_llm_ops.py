@@ -786,3 +786,24 @@ def test_kmeans_assign_matches_build_assignment(spark):
     )
     b = {r["vec_id"]: r["cluster_id"] for r in kmeans_assign(bad, "embedding", "vec_id", cents).collect()}
     assert b[1] is None and b[2] is None  # null + wrong-dim -> NULL, kept
+
+
+def test_profile_table_one_pass(spark):
+    from lsd2_spark.operators.sketches import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 1.5), (3, "a", 2.5), (4, None, 3.5)],
+        "id long, s string, v double",
+    )
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert prof["id"]["null_frac"] == 0.0 and prof["id"]["approx_distinct"] == 4
+    assert prof["s"]["null_frac"] == 0.25 and prof["s"]["approx_distinct"] == 2
+    assert prof["v"]["null_frac"] == 0.25
+    assert prof["id"]["min"] == "1" and prof["id"]["max"] == "4"
+    assert prof["s"]["dtype"] == "string"
+
+    # real corpus smoke: one row per column, sane fractions
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = profile_table(docs).toPandas()
+    assert set(p["column"]) == set(docs.columns)
+    assert ((p["null_frac"] >= 0) & (p["null_frac"] <= 1)).all()
