@@ -431,6 +431,22 @@ class Catalog:
         """
         spark = self.spark
         meta = self.meta
+        # Fail fast on schema drift: the touched-cell rewrite writes
+        # (existing ∪ batch) projected to the BATCH's columns, so a
+        # batch missing a column would silently drop that column from
+        # every rewritten cell, and an extra column fails later with a
+        # cryptic resolve error.  Additive evolution is a re-import.
+        cat_cols = [
+            c for c in self.df().columns if c not in ("Norder", "Dir", "Npix", "_ID")
+        ]
+        missing = [c for c in cat_cols if c not in df.columns]
+        extra = [c for c in df.columns if c not in cat_cols]
+        if missing or extra:
+            raise ValueError(
+                f"append schema mismatch vs catalog '{meta.cat_name}': "
+                f"missing columns {missing}, unexpected columns {extra}; "
+                f"expected exactly {cat_cols}"
+            )
         if batch_id is not None:
             committed = Catalog.load(spark, self.path, meta.cat_name).meta
             if (

@@ -596,3 +596,29 @@ def test_delete_rows_rewrites_only_touched_cells(spark, tmp_path):
     reloaded = Catalog.load(spark, str(tmp_path / "cat"), "delcat")
     assert reloaded.meta.n_sources == cat2.meta.n_sources
     assert reloaded.df().count() == n0 - n_victims
+
+
+def test_append_rejects_schema_drift(spark, tmp_path):
+    """A batch missing a catalog column would silently drop that column
+    from every rewritten cell (the merge projects to the batch's
+    columns) — append must fail fast on missing OR extra columns."""
+    pdf = _make_catalog_pdf(1500)
+    cat = partition_catalog(
+        spark.createDataFrame(pdf), str(tmp_path / "cat"), "drift",
+        ra_col="ra", dec_col="dec", id_col="source_id",
+        threshold=800, order_k=4, write_margins=False,
+    )
+    batch = _make_catalog_pdf(100)
+    batch["source_id"] += 1_000_000
+
+    with pytest.raises(ValueError, match="missing columns \\['mag'\\]"):
+        cat.append(spark.createDataFrame(batch.drop(columns=["mag"])))
+
+    batch2 = batch.copy()
+    batch2["surprise"] = 1.0
+    with pytest.raises(ValueError, match="unexpected columns \\['surprise'\\]"):
+        cat.append(spark.createDataFrame(batch2))
+
+    # conforming batch still appends
+    cat2 = cat.append(spark.createDataFrame(batch))
+    assert cat2.meta.n_sources == cat.meta.n_sources + 100
