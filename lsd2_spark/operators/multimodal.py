@@ -41,6 +41,8 @@ __all__ = [
     "decode_image",
     "resize_images",
     "sample_frames",
+    "image_dhash",
+    "image_neardup_pairs",
 ]
 
 
@@ -320,4 +322,107 @@ def sample_frames(blobs: DataFrame, every_n: int = 1) -> DataFrame:
 
     return spread_partitions(blobs.select("media_id", "payload")).mapInPandas(
         kernel, _FRAME_SCHEMA
+    )
+
+
+def image_dhash(blobs: DataFrame, hash_w: int = 8, hash_h: int = 8) -> DataFrame:
+    """64-bit difference hash (dHash) per image payload: decode,
+    grayscale, nearest-resize to (hash_w+1)×hash_h, then one bit per
+    horizontal gradient sign — the standard perceptual fingerprint for
+    image near-dup detection (small distortions flip few bits).
+
+    Total over arbitrary payloads: undecodable blobs get a NULL hash
+    (row kept).  One ``mapInPandas`` pass, shuffle-free."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from lsd2_spark.sources.imagecodec import decode_image as _decode
+        from lsd2_spark.sources.imagecodec import resize_nearest
+
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                try:
+                    a = _decode(bytes(p or b""))
+                except ValueError:
+                    out.append(None)
+                    continue
+                if a.ndim == 3:
+                    a = a.astype(np.float64).mean(axis=2)
+                g = resize_nearest(a.astype(np.float64), hash_w + 1, hash_h)
+                bits = (g[:, 1:] > g[:, :-1]).ravel()
+                weights = 1 << np.arange(bits.size, dtype=np.uint64)
+                v = np.uint64(bits.astype(np.uint64) @ weights)
+                # reinterpret as signed so bit 63 survives the LongType cast
+                out.append(int(v.astype(np.int64)))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "dhash": pd.Series(out, dtype="object")}
+            )
+
+    return blobs.mapInPandas(kernel, "media_id long, dhash long")
+
+
+def image_neardup_pairs(
+    blobs: DataFrame,
+    max_hamming: int = 6,
+    hash_w: int = 8,
+    hash_h: int = 8,
+) -> DataFrame:
+    """Image near-duplicate pairs by dHash hamming distance ≤
+    ``max_hamming``, banded so it never goes all-pairs: the 64-bit
+    hash splits into ``max_hamming+1`` bands — by pigeonhole, any pair
+    within the distance budget agrees exactly on at least one band —
+    candidates equi-join on (band index, band value) and survive an
+    exact popcount filter.  Same bucketed-join scale shape as the
+    MinHash-LSH text path."""
+    n_bands = max_hamming + 1
+    bits = hash_w * hash_h
+    band_bits = bits // n_bands
+    h = image_dhash(blobs, hash_w, hash_h).filter(F.col("dhash").isNotNull())
+
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                # final band absorbs the remainder bits
+                F.shiftrightunsigned(F.col("dhash"), b * band_bits)
+                .bitwiseAND(
+                    F.lit(
+                        (1 << (bits - b * band_bits)) - 1
+                        if b == n_bands - 1
+                        else (1 << band_bits) - 1
+                    )
+                )
+                .alias("val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = h.select(
+        "media_id", "dhash", F.explode(bands).alias("_b")
+    ).select(
+        "media_id", "dhash",
+        F.col("_b.band").alias("band"), F.col("_b.val").alias("val"),
+    )
+    l = banded.alias("l")
+    r = banded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.media_id") < F.col("r.media_id")),
+        )
+        .select(
+            F.col("l.media_id").alias("id1"),
+            F.col("r.media_id").alias("id2"),
+            F.col("l.dhash").alias("h1"),
+            F.col("r.dhash").alias("h2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
     )

@@ -1,0 +1,99 @@
+"""Image perceptual-hash dedup: dHash stability under small
+distortions, banded near-dup pair recovery, totality over junk."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lsd2_spark.sources.imagecodec import encode_ppm
+
+
+def _img(seed: int, h: int = 32, w: int = 32) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    # block-structured random content: distinct seeds give uncorrelated
+    # gradient signs (a plain ramp would hash to all-ones)
+    img = rng.integers(30, 225, (h, w, 3))
+    return img.astype(np.uint8)
+
+
+def _blobs(spark, items):
+    from pyspark.sql.types import (
+        BinaryType, LongType, StructField, StructType,
+    )
+
+    return spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in items],
+        StructType(
+            [
+                StructField("media_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+
+
+def test_dhash_identical_and_perturbed(spark):
+    from lsd2_spark.operators.multimodal import image_dhash
+
+    a = _img(1)
+    bright = np.clip(a.astype(np.int16) + 8, 0, 255).astype(np.uint8)  # global shift
+    other = _img(99)
+    df = _blobs(
+        spark,
+        [
+            (1, encode_ppm(a)),
+            (2, encode_ppm(a)),        # exact duplicate
+            (3, encode_ppm(bright)),   # brightness shift: gradients preserved
+            (4, encode_ppm(other)),    # unrelated
+            (5, b"not an image"),      # junk -> NULL hash, row kept
+        ],
+    )
+    got = {r["media_id"]: r["dhash"] for r in image_dhash(df).collect()}
+    assert got[1] == got[2]
+    assert got[5] is None
+
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    assert ham(got[1], got[3]) <= 6          # perturbed copy stays close
+    assert ham(got[1], got[4]) > 10          # unrelated is far
+
+
+def test_image_neardup_pairs_banded(spark):
+    from lsd2_spark.operators.multimodal import image_neardup_pairs
+
+    a = _img(2)
+    bright = np.clip(a.astype(np.int16) + 8, 0, 255).astype(np.uint8)
+    df = _blobs(
+        spark,
+        [
+            (1, encode_ppm(a)),
+            (2, encode_ppm(a)),
+            (3, encode_ppm(bright)),
+            (4, encode_ppm(_img(123))),
+            (5, encode_ppm(_img(456))),
+        ],
+    )
+    pairs = {
+        (r["id1"], r["id2"]): r["hamming"]
+        for r in image_neardup_pairs(df, max_hamming=6).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 6
+    assert (1, 4) not in pairs and (1, 5) not in pairs
+
+    # pigeonhole guarantee: every reported pair's hamming is within budget
+    assert all(v <= 6 for v in pairs.values())
+
+
+def test_image_neardup_never_all_pairs(spark):
+    """The candidate join must be a banded equi-join, not a cartesian
+    product."""
+    from lsd2_spark.operators.multimodal import image_neardup_pairs
+
+    df = _blobs(spark, [(i, encode_ppm(_img(i))) for i in range(6)])
+    plan = (
+        image_neardup_pairs(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
