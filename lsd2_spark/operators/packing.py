@@ -66,3 +66,103 @@ def pack_sequences(
             F.col("last_doc"),
         )
     )
+
+
+def split_passages(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_tokens: int = 128,
+    stride: int | None = None,
+) -> DataFrame:
+    """Explode documents into token-windowed passages — the RAG/index
+    preparation step: each passage carries its parent id, ordinal, the
+    token span it covers, and the passage text.
+
+    ``stride`` (default ``max_tokens``, i.e. disjoint windows) < 
+    ``max_tokens`` yields overlapping windows.  Pure Column work:
+    tokenize once, slice per window via ``transform`` over a computed
+    window-start sequence — one projection + explode, no shuffle, no
+    Python.
+    """
+    stride = stride or max_tokens
+    if stride <= 0 or max_tokens <= 0:
+        raise ValueError("max_tokens and stride must be positive")
+    toks = F.split(F.col(text_col), r"\s+")
+    n = F.size(toks)
+    # window starts: 1, 1+stride, ... while start <= n (empty doc -> one
+    # empty passage is NOT emitted: sequence(1, 0) would descend, guard)
+    starts = F.when(
+        n >= 1, F.sequence(F.lit(1), n, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    passages = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("passage_idx"),
+            s.alias("tok_start"),
+            F.least(s + max_tokens - 1, n).alias("tok_end"),
+            F.concat_ws(" ", F.slice(toks, s, max_tokens)).alias("passage"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.explode(passages).alias("_p")
+    ).select(
+        F.col(id_col),
+        F.col("_p.passage_idx").cast("int").alias("passage_idx"),
+        F.col("_p.tok_start").cast("int").alias("tok_start"),
+        F.col("_p.tok_end").cast("int").alias("tok_end"),
+        F.col("_p.passage").alias("passage"),
+    )
+
+
+def write_packed_corpus(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    seq_len: int,
+    strata_col: str,
+) -> DataFrame:
+    """Materialize the packed corpus: concatenate each sequence's
+    documents (in ``id_col`` order) into one training-example text row
+    and write parquet partitioned by the shard column.
+
+    Same prefix-sum assignment as :func:`pack_sequences`; the
+    concatenation is ``array_sort(collect_list(struct(id, text)))`` so
+    order is deterministic inside the one per-shard shuffle.  Returns
+    the written DataFrame (source, seq_id, n_docs, n_tokens, text).
+    """
+    toks = F.size(F.split(F.col(text_col), r"\s+")).cast("long")
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned = df.select(
+        F.col(strata_col),
+        F.col(id_col),
+        F.col(text_col),
+        toks.alias("_n_tok"),
+        F.floor((F.sum(toks).over(w) - toks) / F.lit(seq_len)).alias("seq_id"),
+    )
+    packed = (
+        assigned.groupBy(strata_col, "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_n_tok").alias("n_tokens"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(text_col).alias("t")))
+            ).alias("_docs"),
+        )
+        .select(
+            F.col(strata_col),
+            "seq_id",
+            "n_docs",
+            "n_tokens",
+            F.concat_ws(
+                "\n\n", F.transform(F.col("_docs"), lambda d: d["t"])
+            ).alias("text"),
+        )
+    )
+    packed.write.mode("overwrite").partitionBy(strata_col).parquet(path)
+    return packed

@@ -178,3 +178,65 @@ def test_decontaminate_hashed_has_null_worst_ngram(spark):
     tr = _docs(spark, [(1, "x a b c d e y")])
     row = decontaminate(tr, ev, "text", "doc_id", hashed=True).collect()[0]
     assert row["contaminated"] and row["worst_ngram"] is None
+
+
+def test_split_passages_disjoint_and_overlapping(spark):
+    from lsd2_spark.operators.packing import split_passages
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = _docs(spark, [(1, text), (2, "solo")])
+
+    # disjoint windows of 4: [w0..w3] [w4..w7] [w8..w9]
+    got = sorted(
+        (r["doc_id"], r["passage_idx"], r["tok_start"], r["tok_end"], r["passage"])
+        for r in split_passages(df, "text", "doc_id", max_tokens=4).collect()
+    )
+    assert got == [
+        (1, 0, 1, 4, "w0 w1 w2 w3"),
+        (1, 1, 5, 8, "w4 w5 w6 w7"),
+        (1, 2, 9, 10, "w8 w9"),
+        (2, 0, 1, 1, "solo"),
+    ]
+
+    # stride 2 < max_tokens 4: overlapping windows
+    over = [
+        r["passage"]
+        for r in split_passages(
+            df.filter("doc_id = 1"), "text", "doc_id", max_tokens=4, stride=2
+        ).collect()
+    ]
+    assert over[0] == "w0 w1 w2 w3" and over[1] == "w2 w3 w4 w5"
+    assert len(over) == 5
+
+    with pytest.raises(ValueError):
+        split_passages(df, "text", "doc_id", max_tokens=0)
+
+
+def test_write_packed_corpus_roundtrip(spark, tmp_path, sf_dir):
+    from lsd2_spark.operators.packing import pack_sequences, write_packed_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        "source in ('src1', 'src2')"
+    )
+    out = str(tmp_path / "packed")
+    write_packed_corpus(docs, out, "doc_id", "text", 512, "source")
+    back = spark.read.parquet(out)
+
+    # manifest agreement: same (shard, seq) grain and token accounting
+    manifest = pack_sequences(
+        docs, "doc_id", F.size(F.split(F.col("text"), r"\s+")), 512, "source"
+    ).toPandas().set_index(["source", "seq_id"]).sort_index()
+    got = back.toPandas().set_index(["source", "seq_id"]).sort_index()
+    assert got.index.tolist() == manifest.index.tolist()
+    assert got["n_tokens"].tolist() == manifest["n_tokens"].tolist()
+
+    # each written example is exactly the id-ordered doc concatenation
+    pdf = docs.toPandas().sort_values("doc_id")
+    for (src, _seq), row in got.iterrows():
+        sub = pdf[pdf["source"] == src]
+        # rebuild this sequence's membership from the prefix sums
+        ntok = sub["text"].str.split().str.len().to_numpy()
+        seqs = (ntok.cumsum() - ntok) // 512
+        members = sub[seqs == _seq]
+        assert row["text"] == "\n\n".join(members["text"].tolist())
+        assert row["n_docs"] == len(members)
