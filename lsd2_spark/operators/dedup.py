@@ -36,6 +36,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "normalize_text_col",
     "normalized_dedup",
+    "hamming_neardup_pairs",
     "connected_components",
     "dedup_clusters",
     "simhash",
@@ -372,4 +373,78 @@ def normalized_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         df.select(F.col(id_col), h)
         .withColumn("canonical_id", F.min(id_col).over(w))
         .withColumn("is_canonical", (F.col(id_col) == F.col("canonical_id")).cast("int"))
+    )
+
+
+def hamming_neardup_pairs(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int = 64,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Generic near-dup pairs over an integer fingerprint column (a
+    simhash, image dHash, audio fingerprint...): pairs within
+    ``max_hamming`` bits, found without all-pairs work.
+
+    Pigeonhole banding: the ``bits``-bit hash splits into
+    ``max_hamming + 1`` bands, so any pair within budget agrees EXACTLY
+    on at least one band; candidates equi-join on (band index, band
+    value) and survive an exact popcount filter.  Same bucketed-join
+    scale shape as the MinHash-LSH text path — one shuffle on the band
+    key, skew handled by AQE like any hot bucket.
+    """
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    if band_bits < 1:
+        raise ValueError(f"max_hamming={max_hamming} too large for {bits}-bit hashes")
+    h = hashes.select(F.col(id_col), F.col(hash_col)).filter(
+        F.col(hash_col).isNotNull()
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col(hash_col), b * band_bits)
+                .bitwiseAND(
+                    F.lit(
+                        -1  # final band absorbs remainder incl. bit 63
+                        if b == n_bands - 1 and bits - b * band_bits >= 64
+                        else (1 << (bits - b * band_bits)) - 1
+                        if b == n_bands - 1
+                        else (1 << band_bits) - 1
+                    )
+                )
+                .alias("val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = h.select(
+        F.col(id_col), F.col(hash_col), F.explode(bands).alias("_b")
+    ).select(
+        F.col(id_col), F.col(hash_col),
+        F.col("_b.band").alias("band"), F.col("_b.val").alias("val"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id1"),
+            F.col(f"r.{id_col}").alias("id2"),
+            F.col(f"l.{hash_col}").alias("h1"),
+            F.col(f"r.{hash_col}").alias("h2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
     )

@@ -43,6 +43,8 @@ __all__ = [
     "sample_frames",
     "image_dhash",
     "image_neardup_pairs",
+    "audio_fingerprint",
+    "audio_neardup_pairs",
 ]
 
 
@@ -368,61 +370,88 @@ def image_neardup_pairs(
     hash_h: int = 8,
 ) -> DataFrame:
     """Image near-duplicate pairs by dHash hamming distance ≤
-    ``max_hamming``, banded so it never goes all-pairs: the 64-bit
-    hash splits into ``max_hamming+1`` bands — by pigeonhole, any pair
-    within the distance budget agrees exactly on at least one band —
-    candidates equi-join on (band index, band value) and survive an
-    exact popcount filter.  Same bucketed-join scale shape as the
-    MinHash-LSH text path."""
-    n_bands = max_hamming + 1
-    bits = hash_w * hash_h
-    band_bits = bits // n_bands
-    h = image_dhash(blobs, hash_w, hash_h).filter(F.col("dhash").isNotNull())
+    ``max_hamming`` — the pigeonhole-banded join from
+    :func:`lsd2_spark.operators.dedup.hamming_neardup_pairs`, never
+    all-pairs."""
+    from lsd2_spark.operators.dedup import hamming_neardup_pairs
 
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                # final band absorbs the remainder bits
-                F.shiftrightunsigned(F.col("dhash"), b * band_bits)
-                .bitwiseAND(
-                    F.lit(
-                        (1 << (bits - b * band_bits)) - 1
-                        if b == n_bands - 1
-                        else (1 << band_bits) - 1
-                    )
-                )
-                .alias("val"),
+    return hamming_neardup_pairs(
+        image_dhash(blobs, hash_w, hash_h),
+        "media_id",
+        "dhash",
+        bits=hash_w * hash_h,
+        max_hamming=max_hamming,
+    )
+
+
+def audio_fingerprint(
+    blobs: DataFrame, n_frames: int = 9, n_bands: int = 9
+) -> DataFrame:
+    """64-bit spectral fingerprint per WAV payload (chromaprint-style):
+    split the signal into ``n_frames`` windows, compute ``n_bands``
+    FFT band energies per window, and emit one bit per
+    frame-over-frame band-energy-difference sign —
+    ``(n_frames-1) × (n_bands-1)`` bits (default 8×8 = 64).  Robust to
+    gain changes (energy RATIOS drive the signs, and differences of
+    differences cancel level shifts).
+
+    Total over arbitrary payloads (undecodable → NULL hash); one
+    shuffle-free ``mapInPandas`` pass, like :func:`image_dhash`."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from lsd2_spark.sources.audiocodec import decode_wav
+
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                try:
+                    samples, _sr = decode_wav(bytes(p or b""))
+                except ValueError:
+                    out.append(None)
+                    continue
+                mono = samples.mean(axis=1) if samples.ndim == 2 else samples
+                if mono.size < n_frames * 2 * n_bands:
+                    out.append(None)  # too short for a stable spectrum
+                    continue
+                frame_len = mono.size // n_frames
+                frames = mono[: frame_len * n_frames].reshape(n_frames, frame_len)
+                spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+                # log-ish band pooling over the positive spectrum
+                edges = np.linspace(1, spec.shape[1], n_bands + 1).astype(int)
+                e = np.stack(
+                    [spec[:, a:b].sum(axis=1) for a, b in zip(edges[:-1], edges[1:])],
+                    axis=1,
+                )  # (n_frames, n_bands)
+                # plain log (not log1p): a gain change scales every band
+                # energy by the same factor, which becomes an additive
+                # constant in log domain and cancels exactly in the band
+                # difference — true gain invariance up to PCM quantization
+                d = np.diff(np.log(e + 1e-12), axis=1)  # band gradients
+                bits = (np.diff(d, axis=0) > 0).ravel()  # frame deltas
+                weights = 1 << np.arange(bits.size, dtype=np.uint64)
+                v = np.uint64(bits.astype(np.uint64) @ weights)
+                out.append(int(v.astype(np.int64)))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "afp": pd.Series(out, dtype="object")}
             )
-            for b in range(n_bands)
-        ]
-    )
-    banded = h.select(
-        "media_id", "dhash", F.explode(bands).alias("_b")
-    ).select(
-        "media_id", "dhash",
-        F.col("_b.band").alias("band"), F.col("_b.val").alias("val"),
-    )
-    l = banded.alias("l")
-    r = banded.alias("r")
-    pairs = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.val") == F.col("r.val"))
-            & (F.col("l.media_id") < F.col("r.media_id")),
-        )
-        .select(
-            F.col("l.media_id").alias("id1"),
-            F.col("r.media_id").alias("id2"),
-            F.col("l.dhash").alias("h1"),
-            F.col("r.dhash").alias("h2"),
-        )
-        .dropDuplicates(["id1", "id2"])
-    )
-    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
-    return (
-        pairs.withColumn("hamming", ham)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id1", "id2", "hamming")
+
+    return blobs.mapInPandas(kernel, "media_id long, afp long")
+
+
+def audio_neardup_pairs(
+    blobs: DataFrame,
+    max_hamming: int = 6,
+    n_frames: int = 9,
+    n_bands: int = 9,
+) -> DataFrame:
+    """Audio near-duplicate pairs by fingerprint hamming distance —
+    the same pigeonhole-banded join as the image path."""
+    from lsd2_spark.operators.dedup import hamming_neardup_pairs
+
+    return hamming_neardup_pairs(
+        audio_fingerprint(blobs, n_frames, n_bands),
+        "media_id",
+        "afp",
+        bits=(n_frames - 1) * (n_bands - 1),
+        max_hamming=max_hamming,
     )

@@ -97,3 +97,58 @@ def test_image_neardup_never_all_pairs(spark):
         image_neardup_pairs(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def _tone(freq: float, seconds: float = 0.5, sr: int = 8000, gain: float = 0.5):
+    t = np.arange(int(sr * seconds)) / sr
+    return gain * np.sin(2 * np.pi * freq * t)
+
+
+def test_audio_fingerprint_gain_invariant_and_discriminative(spark):
+    from lsd2_spark.operators.multimodal import audio_fingerprint
+    from lsd2_spark.sources.audiocodec import encode_wav
+
+    rng = np.random.default_rng(3)
+    noise = rng.normal(0, 0.2, 4000)
+    sweep = np.sin(2 * np.pi * np.cumsum(np.linspace(50, 900, 4000)) / 8000)
+    df = _blobs(
+        spark,
+        [
+            (1, encode_wav(sweep, 8000)),
+            (2, encode_wav(sweep, 8000)),            # exact duplicate
+            (3, encode_wav(0.5 * sweep, 8000)),      # gain change
+            (4, encode_wav(noise, 8000)),            # unrelated
+            (5, b"not audio"),                        # junk -> NULL
+        ],
+    )
+    got = {r["media_id"]: r["afp"] for r in audio_fingerprint(df).collect()}
+    assert got[1] == got[2]
+    assert got[5] is None
+
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    assert ham(got[1], got[3]) <= 8    # gain shift barely moves the signs
+    assert ham(got[1], got[4]) > 12    # noise is far from the sweep
+
+
+def test_audio_neardup_pairs(spark):
+    from lsd2_spark.operators.multimodal import audio_neardup_pairs
+    from lsd2_spark.sources.audiocodec import encode_wav
+
+    rng = np.random.default_rng(4)
+    sweep = np.sin(2 * np.pi * np.cumsum(np.linspace(80, 1200, 4000)) / 8000)
+    df = _blobs(
+        spark,
+        [
+            (1, encode_wav(sweep, 8000)),
+            (2, encode_wav(0.6 * sweep, 8000)),
+            (3, encode_wav(rng.normal(0, 0.2, 4000), 8000)),
+        ],
+    )
+    pairs = {
+        (r["id1"], r["id2"]): r["hamming"]
+        for r in audio_neardup_pairs(df, max_hamming=8).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 8
+    assert (1, 3) not in pairs and (2, 3) not in pairs
