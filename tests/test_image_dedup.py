@@ -4,7 +4,6 @@ distortions, banded near-dup pair recovery, totality over junk."""
 from __future__ import annotations
 
 import numpy as np
-import pytest
 
 from lsd2_spark.sources.imagecodec import encode_ppm
 
@@ -97,11 +96,6 @@ def test_image_neardup_never_all_pairs(spark):
         image_neardup_pairs(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
-
-
-def _tone(freq: float, seconds: float = 0.5, sr: int = 8000, gain: float = 0.5):
-    t = np.arange(int(sr * seconds)) / sr
-    return gain * np.sin(2 * np.pi * freq * t)
 
 
 def test_audio_fingerprint_gain_invariant_and_discriminative(spark):

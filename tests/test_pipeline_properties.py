@@ -3,8 +3,6 @@ Python references on randomized corpora."""
 
 from __future__ import annotations
 
-import math
-
 import pyspark.sql.functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
