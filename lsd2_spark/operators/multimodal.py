@@ -45,6 +45,7 @@ __all__ = [
     "image_neardup_pairs",
     "audio_fingerprint",
     "audio_neardup_pairs",
+    "video_neardup_pairs",
 ]
 
 
@@ -454,4 +455,53 @@ def audio_neardup_pairs(
         "afp",
         bits=(n_frames - 1) * (n_bands - 1),
         max_hamming=max_hamming,
+    )
+
+
+def video_neardup_pairs(
+    blobs: DataFrame,
+    every_n: int = 1,
+    max_hamming: int = 6,
+    min_shared_frames: int = 2,
+) -> DataFrame:
+    """Video near-duplicate pairs over concatenated-PPM streams:
+    sample every ``every_n``-th frame, dHash each frame, find
+    near-identical frame pairs across videos with the banded hamming
+    join, and report video pairs sharing at least
+    ``min_shared_frames`` distinct near-identical frames — the
+    composition that makes re-encoded / brightness-shifted copies of
+    the same footage collide while unrelated clips don't.
+
+    Scale shape: frame explode + per-frame hash are shuffle-free; the
+    only joins are the banded frame-hash equi-join and the final
+    per-video-pair count — never all-pairs over videos OR frames.
+    """
+    from lsd2_spark.operators.dedup import hamming_neardup_pairs
+
+    frames = sample_frames(blobs, every_n=every_n).select(
+        "media_id", "frame_idx", "payload"
+    )
+    # unique per-frame key: video id in the high bits, frame idx low
+    fkey = (F.col("media_id") * F.lit(1 << 20) + F.col("frame_idx")).alias(
+        "frame_key"
+    )
+    fh = image_dhash(frames.select(fkey, "payload").withColumnRenamed(
+        "frame_key", "media_id"
+    ))
+    fpairs = hamming_neardup_pairs(
+        fh, "media_id", "dhash", bits=64, max_hamming=max_hamming
+    )
+    v1 = F.shiftrightunsigned(F.col("id1"), 20).alias("vid1")
+    v2 = F.shiftrightunsigned(F.col("id2"), 20).alias("vid2")
+    return (
+        fpairs.select(v1, v2, "id1", "id2")
+        .filter(F.col("vid1") != F.col("vid2"))
+        .select(
+            F.least("vid1", "vid2").alias("vid1"),
+            F.greatest("vid1", "vid2").alias("vid2"),
+            "id1",
+        )
+        .groupBy("vid1", "vid2")
+        .agg(F.count_distinct("id1").alias("n_shared_frames"))
+        .filter(F.col("n_shared_frames") >= min_shared_frames)
     )

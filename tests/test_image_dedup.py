@@ -146,3 +146,28 @@ def test_audio_neardup_pairs(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] <= 8
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_video_neardup_pairs(spark):
+    """Two videos sharing brightness-shifted copies of the same frames
+    must pair; an unrelated clip must not."""
+    from lsd2_spark.operators.multimodal import video_neardup_pairs
+
+    def stream(frames):
+        return b"".join(encode_ppm(f) for f in frames)
+
+    base = [_img(s) for s in (10, 11, 12, 13)]
+    shifted = [
+        np.clip(f.astype(np.int16) + 8, 0, 255).astype(np.uint8) for f in base
+    ]
+    other = [_img(s) for s in (90, 91, 92, 93)]
+    df = _blobs(
+        spark,
+        [(1, stream(base)), (2, stream(shifted)), (3, stream(other))],
+    )
+    pairs = {
+        (r["vid1"], r["vid2"]): r["n_shared_frames"]
+        for r in video_neardup_pairs(df, min_shared_frames=2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 3
+    assert (1, 3) not in pairs and (2, 3) not in pairs
