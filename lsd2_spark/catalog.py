@@ -823,6 +823,105 @@ class Catalog:
         os.replace(tmp_path, meta_path)
         return Catalog(spark, self.path, new_meta)
 
+    def fsck(self, repair: bool = False) -> dict:
+        """Consistency check between the metadata commit record and the
+        bytes on disk — the audit to run after a crash, a partial
+        delete, or an operator mistake.  Checks:
+
+        - coverage map vs on-disk partition directories (both ways);
+        - ``n_sources`` vs the actual row count;
+        - duplicate ids;
+        - spatial-index integrity (``_ID`` ranks contiguous from 0
+          within every order-19 pixel);
+        - orphaned halo rows (``neighbor/`` ids with no catalog row).
+
+        Everything driver-side is plan-sized (cell lists, scalar
+        counts).  ``repair=True`` rewrites the metadata (atomic
+        rename) so ``n_sources`` and the coverage map match the disk —
+        it never touches data files.  Returns the report dict; after a
+        repair the report reflects the PRE-repair state plus
+        ``repaired=True``.
+        """
+        meta = self.meta
+        meta_cells = {(o, p) for o, ps in meta.hips.items() for p in ps}
+        disk = self.df().groupBy("Norder", "Npix").count().collect()
+        disk_cells = {(int(r["Norder"]), int(r["Npix"])) for r in disk}
+        n_rows = int(sum(r["count"] for r in disk))
+
+        idc = F.col(meta.id_kw)
+        dup_ids = int(
+            self.df([meta.id_kw])
+            .groupBy(idc)
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        rank_bad = int(
+            self.df()
+            .select(
+                F.shiftright(F.col("_ID"), RANK_BITS).alias("_p19"),
+                (F.col("_ID") % (1 << RANK_BITS)).alias("_r"),
+            )
+            .groupBy("_p19")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("_r").alias("mx"), F.min("_r").alias("mn"))
+            .filter((F.col("mx") != F.col("n") - 1) | (F.col("mn") != 0))
+            .count()
+        )
+        orphan_halo = 0
+        if os.path.exists(f"{self.path}/neighbor"):
+            neigh = self.spark.read.parquet(f"{self.path}/neighbor")
+            orphan_halo = int(
+                neigh.join(
+                    self.df([meta.id_kw]).select(meta.id_kw),
+                    meta.id_kw,
+                    "left_anti",
+                ).count()
+            )
+
+        report = {
+            "n_sources_meta": meta.n_sources,
+            "n_rows_disk": n_rows,
+            "cells_meta_only": sorted(meta_cells - disk_cells),
+            "cells_disk_only": sorted(disk_cells - meta_cells),
+            "duplicate_ids": dup_ids,
+            "bad_rank_pixels": rank_bad,
+            "orphan_halo_rows": orphan_halo,
+            "consistent": (
+                meta.n_sources == n_rows
+                and meta_cells == disk_cells
+                and dup_ids == 0
+                and rank_bad == 0
+                and orphan_halo == 0
+            ),
+            "repaired": False,
+        }
+        if repair and (
+            meta.n_sources != n_rows or meta_cells != disk_cells
+        ):
+            hips: dict[int, list[int]] = {}
+            for o, p in sorted(disk_cells):
+                hips.setdefault(o, []).append(p)
+            new_meta = CatalogMetadata(
+                cat_name=meta.cat_name,
+                ra_kw=meta.ra_kw,
+                dec_kw=meta.dec_kw,
+                id_kw=meta.id_kw,
+                n_sources=n_rows,
+                pix_threshold=meta.pix_threshold,
+                order_k=meta.order_k,
+                margin_threshold=meta.margin_threshold,
+                hips=hips,
+                last_batch_id=meta.last_batch_id,
+            )
+            meta_path = f"{self.path}/{meta.cat_name}_meta.json"
+            tmp_path = f"{meta_path}.tmp"
+            with open(tmp_path, "w") as f:
+                f.write(new_meta.to_json())
+            os.replace(tmp_path, meta_path)
+            self.meta = new_meta
+            report["repaired"] = True
+        return report
+
     def create_view(self, name: str | None = None) -> str:
         """Register the catalog as a Spark SQL temp view so the full
         ``spark.sql`` surface composes with it (partition pruning on

@@ -622,3 +622,47 @@ def test_append_rejects_schema_drift(spark, tmp_path):
     # conforming batch still appends
     cat2 = cat.append(spark.createDataFrame(batch))
     assert cat2.meta.n_sources == cat.meta.n_sources + 100
+
+
+def test_fsck_detects_and_repairs_metadata_drift(spark, tmp_path):
+    """fsck must pass on a healthy catalog, flag metadata drift
+    (wrong n_sources, stale coverage entry), and repair it from disk
+    without touching data files."""
+    import json
+    import os
+
+    pdf = _make_catalog_pdf(2000)
+    cat = partition_catalog(
+        spark.createDataFrame(pdf), str(tmp_path / "cat"), "fsckcat",
+        ra_col="ra", dec_col="dec", id_col="source_id",
+        threshold=800, order_k=4, write_margins=True,
+    )
+    rep = cat.fsck()
+    assert rep["consistent"], rep
+    assert rep["n_sources_meta"] == rep["n_rows_disk"] == 2000
+
+    # corrupt the commit record: wrong count + a phantom cell
+    meta_path = f"{tmp_path}/cat/fsckcat_meta.json"
+    d = json.loads(open(meta_path).read())
+    d["n_sources"] = 1234
+    first_order = sorted(d["hips"])[0]
+    d["hips"][first_order] = d["hips"][first_order] + [999_999]
+    open(meta_path, "w").write(json.dumps(d))
+
+    broken = Catalog.load(spark, str(tmp_path / "cat"), "fsckcat")
+    rep2 = broken.fsck()
+    assert not rep2["consistent"]
+    assert rep2["n_sources_meta"] == 1234 and rep2["n_rows_disk"] == 2000
+    assert (int(first_order), 999_999) in [
+        tuple(c) for c in rep2["cells_meta_only"]
+    ]
+    assert rep2["duplicate_ids"] == 0 and rep2["bad_rank_pixels"] == 0
+
+    rep3 = broken.fsck(repair=True)
+    assert rep3["repaired"]
+    fixed = Catalog.load(spark, str(tmp_path / "cat"), "fsckcat")
+    assert fixed.meta.n_sources == 2000
+    assert 999_999 not in fixed.meta.hips.get(int(first_order), [])
+    assert fixed.fsck()["consistent"]
+    # data untouched by repair
+    assert fixed.df().count() == 2000
