@@ -246,20 +246,43 @@ def dedup_clusters(
     min_jaccard: float = 0.9,
     n_steps: int = 50,
     bands: int = 4,
+    score_col: str | None = None,
 ) -> DataFrame:
     """End-to-end fuzzy dedup: LSH candidate pairs → jaccard threshold
     → connected components (run to fixpoint; ``n_steps`` caps the
-    rounds) → canonical survivor per cluster (the minimum id).
+    rounds) → canonical survivor per cluster.
     ``filter(is_canonical = 1)`` is the deduplicated corpus with
-    transitive near-duplicates collapsed."""
+    transitive near-duplicates collapsed.
+
+    Canonical selection: the minimum id by default; with ``score_col``
+    the HIGHEST-scoring member wins (ties → smaller id) — the
+    keep-the-best-quality-duplicate policy of corpus curation (pair
+    with ``text_analysis.quality_score``).  The score path adds one
+    partial-aggregable max per cluster — same shuffle count."""
     edges = lsh_candidate_pairs(df, text_col, id_col, bands).filter(
         F.col("jaccard_est") >= min_jaccard
     )
     cc = connected_components(df.select(id_col), edges, id_col, n_steps)
-    return cc.select(
+    if score_col is None:
+        return cc.select(
+            F.col(id_col),
+            "cluster_id",
+            (F.col(id_col) == F.col("cluster_id")).cast("int").alias("is_canonical"),
+        )
+    scored = cc.join(df.select(id_col, score_col), id_col)
+    # argmax(score, then min id) per cluster via one max(struct) —
+    # negate the id so the struct max prefers the SMALLER id on ties
+    best = scored.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(
+                F.col(score_col).alias("s"), (-F.col(id_col)).alias("negid")
+            )
+        ).alias("_m")
+    ).select("cluster_id", (-F.col("_m.negid")).alias("_best_id"))
+    return scored.join(best, "cluster_id").select(
         F.col(id_col),
         "cluster_id",
-        (F.col(id_col) == F.col("cluster_id")).cast("int").alias("is_canonical"),
+        (F.col(id_col) == F.col("_best_id")).cast("int").alias("is_canonical"),
     )
 
 

@@ -23,6 +23,7 @@ __all__ = [
     "assign_splits",
     "weighted_sample",
     "cap_per_stratum",
+    "temperature_mixture",
 ]
 
 _DENOM = float(1 << 60)
@@ -160,4 +161,50 @@ def cap_per_stratum(
     w = Window.partitionBy(strata_col).orderBy(u.asc(), F.col(id_col).asc())
     return df.withColumn("kept_rank", F.row_number().over(w)).filter(
         F.col("kept_rank") <= cap
+    )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    alpha: float = 0.7,
+    target_rows: int | None = None,
+    salt: str = "",
+) -> "tuple[DataFrame, dict[str, float]]":
+    """Temperature-scaled source mixing (the multinomial ``p_i ∝
+    n_i^alpha`` re-weighting used to up-sample small sources in
+    pre-training mixtures): compute per-stratum keep fractions so the
+    sampled corpus approaches the alpha-tempered distribution, then
+    apply the deterministic stratified sample.
+
+    ``alpha=1`` keeps natural proportions; ``alpha→0`` approaches
+    uniform across sources.  ``target_rows`` caps the expected output
+    size (default: as many rows as the tempered weights allow without
+    up-sampling any stratum past fraction 1.0).
+
+    Driver work is one plan-sized groupBy-count collect (#strata
+    rows); the sample itself is the zero-shuffle Column decision from
+    :func:`stratified_sample`.  Returns ``(sampled_df, fractions)`` so
+    the mixture spec can be logged/persisted.
+    """
+    counts = {
+        r[strata_col]: int(r["n"])
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not counts:
+        return df, {}
+    weights = {s: n**alpha for s, n in counts.items()}
+    z = sum(weights.values())
+    # expected rows per stratum = target * w_i/Z, capped at the stratum
+    # size; without a target, scale so the most-constrained stratum
+    # just reaches fraction 1.0 (pure down-sampling elsewhere)
+    if target_rows is None:
+        target_rows = int(min(counts[s] * z / w for s, w in weights.items()))
+    fractions = {
+        s: min(1.0, (target_rows * weights[s] / z) / counts[s]) for s in counts
+    }
+    return (
+        stratified_sample(df, id_col, fractions, strata_col=strata_col, salt=salt),
+        fractions,
     )

@@ -807,3 +807,60 @@ def test_profile_table_one_pass(spark):
     p = profile_table(docs).toPandas()
     assert set(p["column"]) == set(docs.columns)
     assert ((p["null_frac"] >= 0) & (p["null_frac"] <= 1)).all()
+
+
+def test_temperature_mixture_tempers_source_shares(spark):
+    """alpha=1 keeps natural proportions; alpha<1 shifts share toward
+    small sources; the mixture is deterministic and the fractions
+    reproducible."""
+    from lsd2_spark.operators.sampling import temperature_mixture
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    flat, fr1 = temperature_mixture(df, "doc_id", "source", alpha=1.0)
+    assert fr1["big"] == pytest.approx(1.0) and fr1["small"] == pytest.approx(1.0)
+
+    temp, fr = temperature_mixture(df, "doc_id", "source", alpha=0.5)
+    # small source keeps everything; big source is down-sampled
+    assert fr["small"] == pytest.approx(1.0)
+    assert fr["big"] < 0.5
+    pdf = temp.groupBy("source").count().toPandas().set_index("source")["count"]
+    assert pdf["small"] == 100  # fraction 1.0 -> all kept
+    # big share after tempering ~ sqrt(900)/ (sqrt(900)+sqrt(100)) = 0.75
+    got_share = pdf["big"] / (pdf["big"] + pdf["small"])
+    assert 0.6 < got_share < 0.85
+    # deterministic: re-run identical
+    again, fr_again = temperature_mixture(df, "doc_id", "source", alpha=0.5)
+    assert fr == fr_again
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+        r["doc_id"] for r in temp.collect()
+    )
+
+    capped, frc = temperature_mixture(df, "doc_id", "source", alpha=0.5, target_rows=200)
+    assert capped.count() < 320  # expected ~200 with hash variance
+
+
+def test_dedup_clusters_keep_best_score(spark):
+    """score_col flips canonical selection from min-id to argmax-score
+    (ties to the smaller id); cluster membership is unchanged."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", 10.0),
+        (2, "alpha beta gamma delta epsilon zeta", 95.0),   # best dup
+        (3, "alpha beta gamma delta epsilon zeta", 95.0),   # tie -> id 2 wins
+        (4, "totally different text over here now", 50.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, quality double")
+
+    byid = dedup.dedup_clusters(df, "text", "doc_id", min_jaccard=0.8)
+    canon_byid = {r["doc_id"]: r["is_canonical"] for r in byid.collect()}
+    assert canon_byid[1] == 1 and canon_byid[2] == 0
+
+    best = dedup.dedup_clusters(
+        df, "text", "doc_id", min_jaccard=0.8, score_col="quality"
+    )
+    canon = {r["doc_id"]: r["is_canonical"] for r in best.collect()}
+    assert canon[2] == 1 and canon[1] == 0 and canon[3] == 0
+    assert canon[4] == 1  # singleton keeps itself
+    clusters = {r["doc_id"]: r["cluster_id"] for r in best.collect()}
+    assert clusters[1] == clusters[2] == clusters[3] != clusters[4]
