@@ -34,7 +34,7 @@ HEADLINE = [
     "q15_asof_join",
     "q20_cone_search",
     "q21_crossmatch_knn",
-    "q30_dedup_exact",
+    "q30_dedup_variants",
     "q31_minhash_signatures",
     "q32_lsh_pairs",
     "q35_token_stats",

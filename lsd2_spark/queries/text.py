@@ -23,18 +23,47 @@ _TOKH_SQL = f"{hash64_sql('tok')} % {MOD}"
 # ---------------------------------------------------------------------------
 
 
-def q30_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+def q30_dedup_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact and normalized-text dedup gated in one row (merged former
+    q30/q59 — same grain), tagged by ``variant``."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = dedup.exact_dedup(docs, "text", "doc_id").select(
+        "doc_id",
+        F.col("text_hash").alias("hash"),
+        "canonical_id",
+        "is_canonical",
+        F.lit("exact").alias("variant"),
+    )
+    no = dedup.normalized_dedup(docs, "text", "doc_id").select(
+        "doc_id",
+        F.col("norm_hash").alias("hash"),
+        "canonical_id",
+        "is_canonical",
+        F.lit("normalized").alias("variant"),
+    )
+    return ex.unionByName(no)
 
 
 register(
-    "q30_dedup_exact",
-    q30_dedup_exact,
-    """
-    SELECT doc_id, md5(text) AS text_hash,
+    "q30_dedup_variants",
+    q30_dedup_variants,
+    r"""
+    SELECT doc_id, md5(text) AS hash,
            MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
-           CAST(doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS INTEGER) AS is_canonical
+           CAST(doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS INTEGER) AS is_canonical,
+           'exact' AS variant
     FROM documents
+    UNION ALL
+    SELECT doc_id, norm_hash AS hash,
+           MIN(doc_id) OVER (PARTITION BY norm_hash) AS canonical_id,
+           CAST(doc_id = MIN(doc_id) OVER (PARTITION BY norm_hash) AS INTEGER) AS is_canonical,
+           'normalized' AS variant
+    FROM (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g'))) AS norm_hash
+      FROM documents
+    )
     """,
 )
 
@@ -92,7 +121,7 @@ _Q32_SQL = f"""
       SELECT doc_id, {_mh_aggs} FROM hashes GROUP BY doc_id
     ), sig AS (
       SELECT *, {_bucket_exprs} FROM sig0
-    ), banded AS ({_band_union}),
+    ), banded AS MATERIALIZED ({_band_union}),
     pairs AS (
       SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
              ({_agree}) AS agree
@@ -314,24 +343,16 @@ def _blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.to_blob_table(docs, "text", "doc_id", "text/fake")
 
 
-def q42_multimodal_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _blobs(spark, sf_dir).select("media_id", "media_type", "n_bytes", "payload_md5")
-
-
-register(
-    "q42_multimodal_blobs",
-    q42_multimodal_blobs,
-    """
-    SELECT doc_id AS media_id, 'text/fake' AS media_type,
-           octet_length(encode(text)) AS n_bytes,
-           md5(text) AS payload_md5
-    FROM documents
-    """,
-)
-
-
-def q43_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return multimodal.extract_features(_blobs(spark, sf_dir))
+def q42_media_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob metadata + extracted features in one row per payload
+    (merged former q42/q43 — same media_id grain, one blob scan each,
+    joined on the key)."""
+    blobs = _blobs(spark, sf_dir)
+    meta = blobs.select("media_id", "media_type", "n_bytes", "payload_md5")
+    feats = multimodal.extract_features(blobs).select(
+        "media_id", "feat_mean", "feat_entropy", "sketch"
+    )
+    return meta.join(feats, "media_id")
 
 
 # Text payloads are not images, so the feature kernel's decode dispatch
@@ -340,8 +361,8 @@ def q43_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mean byte, Shannon entropy over byte frequencies, md5 prefix.  The
 # REAL-decode path is gate-checked by q53 (PPM pixels) and pytest (PNG).
 register(
-    "q43_media_features",
-    q43_media_features,
+    "q42_media_profile",
+    q42_media_profile,
     """
     WITH chars AS (
       SELECT doc_id, CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT) AS c
@@ -357,8 +378,9 @@ register(
         ON d.doc_id = f.doc_id
       GROUP BY f.doc_id
     )
-    SELECT d.doc_id AS media_id,
-           CAST(length(d.text) AS INTEGER) AS n_bytes,
+    SELECT d.doc_id AS media_id, 'text/fake' AS media_type,
+           octet_length(encode(d.text)) AS n_bytes,
+           md5(d.text) AS payload_md5,
            COALESCE(s.feat_mean, 0.0) AS feat_mean,
            COALESCE(s.feat_entropy, 0.0) AS feat_entropy,
            substr(md5(d.text), 1, 16) AS sketch
@@ -802,31 +824,6 @@ register("q58_weighted_sample", q58_weighted_sample, _weighted_sample_oracle())
 # ---------------------------------------------------------------------------
 
 
-def q59_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.normalized_dedup(
-        load_table(spark, sf_dir, "documents"), "text", "doc_id"
-    )
-
-
-register(
-    "q59_normalized_dedup",
-    q59_normalized_dedup,
-    r"""
-    WITH n AS (
-      SELECT doc_id,
-             md5(trim(regexp_replace(regexp_replace(lower(text),
-                 '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g'))) AS norm_hash
-      FROM documents
-    )
-    SELECT doc_id, norm_hash,
-           MIN(doc_id) OVER (PARTITION BY norm_hash) AS canonical_id,
-           CAST(doc_id = MIN(doc_id) OVER (PARTITION BY norm_hash) AS INTEGER)
-             AS is_canonical
-    FROM n
-    """,
-)
-
-
 _CAP_N = 30
 
 
@@ -1070,3 +1067,88 @@ _Q64_SQL = f"""
     """
 
 register("q64_pack_sequences", q64_pack_sequences, _Q64_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q65 — passage windowing (RAG prep): 32-token windows, stride 24
+# (overlapping), exact strings and spans in both engines.
+# ---------------------------------------------------------------------------
+
+_P_MAX, _P_STRIDE = 32, 24
+
+
+def q65_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lsd2_spark.operators.packing import split_passages
+
+    return split_passages(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id",
+        max_tokens=_P_MAX, stride=_P_STRIDE,
+    )
+
+
+register(
+    "q65_passages",
+    q65_passages,
+    f"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+    ), st AS (
+      SELECT doc_id, t, unnest(range(1, len(t) + 1, {_P_STRIDE})) AS s FROM tok
+    )
+    SELECT doc_id,
+           CAST((s - 1) / {_P_STRIDE} AS INTEGER) AS passage_idx,
+           CAST(s AS INTEGER) AS tok_start,
+           CAST(least(s + {_P_MAX} - 1, len(t)) AS INTEGER) AS tok_end,
+           array_to_string(list_slice(t, s, least(s + {_P_MAX} - 1, len(t))), ' ')
+             AS passage
+    FROM st
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Q66 — banded hamming near-dup join over the 16-bit simhash: integer
+# domain end-to-end, so the generic pigeonhole-banded join is
+# hash-gated exactly (4 bands of 4 bits, distance budget 3).
+# ---------------------------------------------------------------------------
+
+_HAM_MAX = 3
+
+
+def q66_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dedup.simhash(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", bits=_SH_BITS
+    )
+    return dedup.hamming_neardup_pairs(
+        sh, "doc_id", "simhash", bits=_SH_BITS, max_hamming=_HAM_MAX
+    )
+
+
+_q66_bands = " UNION ALL ".join(
+    f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * (_SH_BITS // (_HAM_MAX + 1))}) & {(1 << (_SH_BITS // (_HAM_MAX + 1))) - 1} AS val FROM sh"
+    for b in range(_HAM_MAX + 1)
+)
+register(
+    "q66_simhash_neardup",
+    q66_simhash_neardup,
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), hashes AS (
+      SELECT doc_id, {hash64_sql('tok')} AS h FROM toks
+    ), sums AS (
+      SELECT doc_id, {_sh_sums} FROM hashes GROUP BY doc_id
+    ), sh AS MATERIALIZED (
+      SELECT d.doc_id, COALESCE(CAST({_sh_pack} AS BIGINT), 0) AS simhash
+      FROM documents d LEFT JOIN sums s ON s.doc_id = d.doc_id
+    ), banded AS MATERIALIZED ({_q66_bands}),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+             l.simhash AS h1, r.simhash AS h2
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.val = r.val AND l.doc_id < r.doc_id
+    )
+    SELECT id1, id2, CAST(bit_count(CAST(xor(h1, h2) AS BIGINT)) AS BIGINT) AS hamming
+    FROM pairs WHERE bit_count(CAST(xor(h1, h2) AS BIGINT)) <= {_HAM_MAX}
+    """,
+)

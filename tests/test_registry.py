@@ -42,7 +42,7 @@ EXPECTED = [
     "q47_asof_directions",  # merged former q47/q48
     "q51_event_windows",  # merged former q51/q52
     # text / LLM-pipeline
-    "q30_dedup_exact",
+    "q30_dedup_variants",  # merged former q30/q59
     "q31_minhash_signatures",
     "q32_lsh_pairs",
     "q33_ngram_jaccard",
@@ -50,8 +50,7 @@ EXPECTED = [
     "q35_token_stats",
     "q36_doc_profile",  # merged former q36/q37
     "q38_fingerprints",  # merged former q38/q39
-    "q42_multimodal_blobs",
-    "q43_media_features",
+    "q42_media_profile",  # merged former q42/q43
     "q53_ppm_pixel_features",
     "q55_thumbnail_ppm",
     "q56_frame_sample",
@@ -60,12 +59,13 @@ EXPECTED = [
     "q49_sample_and_split",  # merged former q49/q50
     "q57_kmv_distinct",
     "q58_weighted_sample",
-    "q59_normalized_dedup",
     "q60_cap_per_source",
     "q61_pii_scrub",
     "q62_repetition",
     "q63_decontaminate",
     "q64_pack_sequences",
+    "q65_passages",
+    "q66_simhash_neardup",
 ]
 
 
