@@ -118,8 +118,9 @@ def test_per_stratum_topk_gets_window_group_limit(spark):
 
 
 def test_curation_queries_prune_scans(spark):
-    """q59 reads only (doc_id, text); q60 only (doc_id, source)."""
-    plan = _plan(spark, "q59_normalized_dedup")
+    """q30 (dedup variants) reads only (doc_id, text); q60 only
+    (doc_id, source)."""
+    plan = _plan(spark, "q30_dedup_variants")
     read = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "doc_id" in read and "text" in read
     assert "source" not in read and "lang" not in read, read
