@@ -8,13 +8,16 @@ Stages (each one scan/shuffle-bounded; no driver row materialization):
 1. PII scrub         — email/IP/SSN/phone redaction (before dedup, so
                        documents differing only in PII dedup together)
 2. quality gate      — heuristic score ≥ cutoff AND Gopher repetition
-                       caps (dup-line / top-bigram fractions)
+                       caps (dup-line / top-bigram fractions); the
+                       score also picks each near-dup cluster's
+                       canonical survivor (keep-best, not min-id)
 3. language filter   — n-gram language ID (text_analysis)
 4. exact dedup       — md5 canonical rows (dedup)
 5. fuzzy dedup       — LSH pairs → connected components → survivors
 6. decontamination   — drop docs sharing word-5-grams with the
                        held-out eval set (decontam; broadcast join)
-7. source mixing     — deterministic stratified sampling (sampling)
+7. source mixing     — deterministic stratified sampling, or a
+                       p∝n^alpha temperature mixture (sampling)
 8. splits            — reproducible train/val/test assignment
 9. packing           — concat-and-chunk sequence manifest per source
                        shard (packing; prefix-sum window, no global sort)
@@ -53,7 +56,7 @@ def build_training_corpus(
     quality_cutoff: int = 40,
     languages: tuple[str, ...] = ("en",),
     min_jaccard: float = 0.9,
-    source_fractions: "dict[str, float] | float" = 1.0,
+    source_fractions: "dict[str, float] | float | str" = 1.0,
     max_dup_line_frac: float = 0.3,
     max_top_bigram_frac: float = 0.2,
     eval_docs: DataFrame | None = None,
@@ -81,7 +84,12 @@ def build_training_corpus(
     )
     exact = dedup.exact_dedup(kept, "text", "doc_id").filter("is_canonical = 1")
     kept = kept.join(exact.select("doc_id"), "doc_id", "left_semi")
-    fuzzy = dedup.dedup_clusters(kept, "text", "doc_id", min_jaccard=min_jaccard)
+    # fuzzy dedup keeps the HIGHEST-quality member of each near-dup
+    # cluster (not the smallest id): join the quality score back in
+    scored = kept.join(quality, "doc_id")
+    fuzzy = dedup.dedup_clusters(
+        scored, "text", "doc_id", min_jaccard=min_jaccard, score_col="quality"
+    )
     kept = kept.join(
         fuzzy.filter("is_canonical = 1").select("doc_id"), "doc_id", "left_semi"
     )
@@ -90,10 +98,16 @@ def build_training_corpus(
         kept = kept.join(
             contam.filter("NOT contaminated").select("doc_id"), "doc_id", "left_semi"
         )
-    mixed = sampling.stratified_sample(
-        kept, "doc_id", source_fractions,
-        strata_col="source" if isinstance(source_fractions, dict) else None,
-    )
+    if source_fractions == "temperature":
+        # p ∝ n^0.7 tempered mixture computed from the surviving corpus
+        mixed, _fractions = sampling.temperature_mixture(
+            kept, "doc_id", "source", alpha=0.7
+        )
+    else:
+        mixed = sampling.stratified_sample(
+            kept, "doc_id", source_fractions,
+            strata_col="source" if isinstance(source_fractions, dict) else None,
+        )
     return sampling.assign_splits(mixed, "doc_id")
 
 
