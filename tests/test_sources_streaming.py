@@ -783,3 +783,54 @@ def test_stream_stream_interval_join_matches_batch(spark):
     assert got["l_event_id"].tolist() == batch["l_event_id"].tolist()
     assert got["r_event_id"].tolist() == batch["r_event_id"].tolist()
     assert got["r_value"].tolist() == batch["r_value"].tolist()
+
+
+def test_text_curation_ops_compose_on_streams(spark, tmp_path):
+    """The curation operators are pure Column expressions, so the SAME
+    functions run unchanged on a readStream and agree with batch — the
+    incremental corpus-curation path needs no separate code."""
+    from lsd2_spark.operators import text_analysis
+    from lsd2_spark.operators.packing import split_passages
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    d = tmp_path / "docs_stream"
+    docs.repartition(3).write.mode("overwrite").parquet(str(d))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*.parquet")
+    )
+
+    from lsd2_spark.streaming import events as sev
+
+    def curate_stream(df):
+        # scrub -> inline quality columns (pure projection, no join,
+        # so the identical plan is legal on both stream and batch) ->
+        # threshold -> passage windows
+        scrubbed = text_analysis.redact_pii(df, "text")
+        from lsd2_spark.operators.text_analysis import _quality_cols
+
+        keep = scrubbed.select(
+            "doc_id", "text", *_quality_cols("text")
+        ).filter("quality >= 30")
+        return split_passages(keep, "text", "doc_id", max_tokens=32, stride=32)
+
+    sev.run_to_memory_sink(curate_stream(stream), "curated_passages", mode="append")
+    got = (
+        spark.sql("SELECT doc_id, passage_idx, passage FROM curated_passages")
+        .toPandas()
+        .sort_values(["doc_id", "passage_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        curate_stream(docs)
+        .select("doc_id", "passage_idx", "passage")
+        .toPandas()
+        .sort_values(["doc_id", "passage_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert got.equals(want)
