@@ -6,7 +6,10 @@ or through the test suite.
 Stages (each one scan/shuffle-bounded; no driver row materialization):
 
 1. PII scrub         — email/IP/SSN/phone redaction (before dedup, so
-                       documents differing only in PII dedup together)
+                       documents differing only in PII dedup together);
+                       optional token blocklist gate
+1b. LM gate          — optional char-trigram LM score vs a reference
+                       corpus (perplexity-proxy threshold)
 2. quality gate      — heuristic score ≥ cutoff AND Gopher repetition
                        caps (dup-line / top-bigram fractions); the
                        score also picks each near-dup cluster's
@@ -60,9 +63,16 @@ def build_training_corpus(
     max_dup_line_frac: float = 0.3,
     max_top_bigram_frac: float = 0.2,
     eval_docs: DataFrame | None = None,
+    blocklist: "list[str] | None" = None,
+    lm_reference: DataFrame | None = None,
+    min_avg_logp: float = -6.0,
 ) -> DataFrame:
     """documents(text, doc_id, source) → (doc_id, text, source, split)."""
     docs = text_analysis.redact_pii(docs, "text").select(*docs.columns)
+    if blocklist:
+        docs = text_analysis.blocklist_filter(
+            docs, "text", "doc_id", blocklist
+        ).select(*docs.columns)
     quality = text_analysis.quality_score(docs, "text", "doc_id").select(
         "doc_id", "quality"
     )
@@ -93,6 +103,14 @@ def build_training_corpus(
     kept = kept.join(
         fuzzy.filter("is_canonical = 1").select("doc_id"), "doc_id", "left_semi"
     )
+    if lm_reference is not None:
+        from lsd2_spark.operators import lm_score as lm
+
+        model = lm.train_char_lm(lm_reference, "text")
+        ok = lm.lm_score(kept, model, "text", "doc_id").filter(
+            F.col("avg_logp") >= min_avg_logp
+        )
+        kept = kept.join(ok.select("doc_id"), "doc_id", "left_semi")
     if eval_docs is not None:
         contam = decontam.decontaminate(kept, eval_docs, "text", "doc_id")
         kept = kept.join(

@@ -23,6 +23,7 @@ __all__ = [
     "winnow_fingerprint",
     "repetition_stats",
     "redact_pii",
+    "blocklist_filter",
     "PII_PATTERNS",
     "LANG_MARKERS",
 ]
@@ -302,4 +303,27 @@ def fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col(id_col),
         F.md5(norm).alias("fingerprint"),
         _winnow_kernel(F.col(text_col)).alias("winnow_min"),
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    terms: list[str],
+    max_hits: int = 0,
+) -> DataFrame:
+    """Token-level blocklist gate (the NSFW/bad-words filter of corpus
+    curation): count exact lower-cased token matches against ``terms``
+    and keep documents with at most ``max_hits``.  Adds
+    ``n_blocked_hits``.  Pure Column expression (array intersection
+    over one tokenization) — map-only scan, no shuffle, no regex
+    pathologies from user-supplied terms."""
+    if not terms:
+        raise ValueError("empty blocklist")
+    t = _tokens(F.lower(F.col(text_col)))
+    lowered = [x.lower() for x in terms]
+    hits = F.size(F.filter(t, lambda x: x.isin(lowered)))
+    return df.withColumn("n_blocked_hits", hits).filter(
+        F.col("n_blocked_hits") <= max_hits
     )

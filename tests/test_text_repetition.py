@@ -111,3 +111,29 @@ def test_repetition_stats_matches_oracle(spark):
     got = text_analysis.repetition_stats(docs, "text", "doc_id")
     con = duck_connection(SF_DIR)
     compare(got, con, REPETITION_ORACLE_SQL, "repetition_stats")
+
+
+def test_blocklist_filter_counts_and_gates(spark):
+    from lsd2_spark.operators.text_analysis import blocklist_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "a clean document about cats"),
+            (2, "this BADWORD document has badword twice"),
+            (3, "borderline with one badword only"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"]: r["n_blocked_hits"] for r in blocklist_filter(
+        df, "text", "doc_id", ["badword", "slur"]
+    ).collect()}
+    assert kept == {1: 0}  # case-insensitive, both occurrences counted
+
+    lenient = {r["doc_id"]: r["n_blocked_hits"] for r in blocklist_filter(
+        df, "text", "doc_id", ["badword"], max_hits=1
+    ).collect()}
+    assert lenient == {1: 0, 3: 1}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        blocklist_filter(df, "text", "doc_id", [])
