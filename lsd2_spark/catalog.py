@@ -63,6 +63,22 @@ def _dir_value(pix: int) -> int:
     return (pix // 10_000) * 10_000
 
 
+def _order_probes(kpix_col: Column, orders: list[int], order_k: int) -> Column:
+    """One (Norder, Npix) probe struct per leaf order, derived from the
+    order-``order_k`` pixel by hierarchy shift — the shared leaf-probe
+    construct of both the initial ingest and the append path (explode
+    this array and equi-join the broadcast leaf table)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(o).cast("int").alias("Norder"),
+                F.shiftright(kpix_col, 2 * (order_k - o)).alias("Npix"),
+            )
+            for o in orders
+        ]
+    )
+
+
 @dataclass
 class CatalogMetadata:
     cat_name: str
@@ -243,15 +259,6 @@ def partition_catalog(
             "Norder int, Npix long",
         )
     )
-    probes_of = lambda kpix_col: F.array(  # noqa: E731
-        *[
-            F.struct(
-                F.lit(o).cast("int").alias("Norder"),
-                F.shiftright(kpix_col, 2 * (order_k - o)).alias("Npix"),
-            )
-            for o in orders
-        ]
-    )
     # spread the write-path scan too: the map side of the groupBy
     # shuffle (Arrow pixelization + probe join) otherwise runs in
     # however few tasks the input arrived as — a no-op at scale,
@@ -259,7 +266,7 @@ def partition_catalog(
     assigned = (
         spread_partitions(df)
         .withColumn("_kpix", ang2pix_udf(order_k, ra, dec))
-        .withColumn("_pr", F.explode(probes_of(F.col("_kpix"))))
+        .withColumn("_pr", F.explode(_order_probes(F.col("_kpix"), orders, order_k)))
         .select(
             *df.columns,
             F.col("_pr.Norder").alias("Norder"),
@@ -468,16 +475,9 @@ class Catalog:
             )
         )
         withk = df.withColumn("_kpix", ang2pix_udf(order_k, ra, dec))
-        probes = F.array(
-            *[
-                F.struct(
-                    F.lit(o).cast("int").alias("Norder"),
-                    F.shiftright(F.col("_kpix"), 2 * (order_k - o)).alias("Npix"),
-                )
-                for o in orders
-            ]
-        )
-        cand = withk.withColumn("_pr", F.explode(probes)).select(
+        cand = withk.withColumn(
+            "_pr", F.explode(_order_probes(F.col("_kpix"), orders, order_k))
+        ).select(
             *df.columns, "_kpix", F.col("_pr.Norder").alias("Norder"),
             F.col("_pr.Npix").alias("Npix"),
         )

@@ -145,7 +145,8 @@ def bpe_encode(
                 }
             )
 
+    id_type = df.schema[id_col].dataType.simpleString()
     out = df.select(F.col(id_col), F.col(text_col)).mapInPandas(
-        kernel, f"_id long, tokens array<string>, n_bpe_tokens int"
+        kernel, f"_id {id_type}, tokens array<string>, n_bpe_tokens int"
     )
     return out.withColumnRenamed("_id", id_col)

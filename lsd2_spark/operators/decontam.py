@@ -16,10 +16,24 @@ eval).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+@dataclass
+class NgramBloom:
+    """A built n-gram Bloom filter WITH its probe parameters — carrying
+    them together makes a build/probe mismatch (silent false negatives)
+    unrepresentable."""
+
+    bits: "np.ndarray"  # packed uint64 bitmap
+    m_bits: int
+    k_hashes: int
+    n: int  # n-gram order
 
 
 def word_ngrams(text: Column, n: int) -> Column:
@@ -116,7 +130,7 @@ def build_ngram_bloom(
     n: int = 5,
     m_bits: int = 1 << 23,
     k_hashes: int = 4,
-) -> "object":
+) -> NgramBloom:
     """Distributed Bloom filter over the eval set's word n-grams
     (Spark 4 does not expose ``bloom_filter_agg`` to SQL/Python, so the
     build is explicit): each partition sets bits into its own bitmap
@@ -154,7 +168,7 @@ def build_ngram_bloom(
     out = np.zeros(words, dtype=np.uint64)
     for r in parts:
         out |= np.frombuffer(r["_bm"], dtype=np.uint64)
-    return out
+    return NgramBloom(bits=out, m_bits=m_bits, k_hashes=k_hashes, n=n)
 
 
 def decontaminate_bloom(
@@ -165,7 +179,7 @@ def decontaminate_bloom(
     n: int = 5,
     m_bits: int = 1 << 23,
     k_hashes: int = 4,
-    bloom: "object | None" = None,
+    bloom: "NgramBloom | None" = None,
 ) -> DataFrame:
     """Bloom-prefiltered decontamination — the shape for eval sets too
     large to broadcast as a hash table: the bitmap (1 MB at the
@@ -182,8 +196,11 @@ def decontaminate_bloom(
 
     if bloom is None:
         bloom = build_ngram_bloom(eval_df, text_col, n, m_bits, k_hashes)
+    # a prebuilt filter's own parameters win: probing with mismatched
+    # m_bits/k_hashes/n would silently produce false negatives
+    m_bits, k_hashes, n = bloom.m_bits, bloom.k_hashes, bloom.n
     spark = train.sparkSession
-    bc = spark.sparkContext.broadcast(bloom)
+    bc = spark.sparkContext.broadcast(bloom.bits)
 
     from pyspark.sql.types import BooleanType
 

@@ -84,6 +84,10 @@ def lm_score(
     trained model (unseen trigrams take the fixed floor penalty).
     Higher = more like the reference corpus; threshold to filter.
 
+    Total over the input: documents too short to produce a trigram
+    (or with NULL text) keep their row with ``n_grams = 0`` and a NULL
+    score, so downstream joins never silently drop them.
+
     Returns (id, n_grams, avg_logp)."""
     grams = docs.select(
         F.col(id_col), F.explode(_char_ngrams(text_col, n)).alias("gram")
@@ -92,7 +96,16 @@ def lm_score(
         F.col(id_col),
         F.coalesce(F.col("logp"), F.lit(_UNSEEN_PENALTY)).alias("logp"),
     )
-    return scored.groupBy(id_col).agg(
+    agg = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_grams"),
         F.round(F.avg("logp"), 6).alias("avg_logp"),
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.col("avg_logp"),
+        )
     )

@@ -337,6 +337,11 @@ def image_dhash(blobs: DataFrame, hash_w: int = 8, hash_h: int = 8) -> DataFrame
     Total over arbitrary payloads: undecodable blobs get a NULL hash
     (row kept).  One ``mapInPandas`` pass, shuffle-free."""
 
+    if hash_w * hash_h > 64:
+        raise ValueError(
+            f"dHash geometry {hash_w}x{hash_h} exceeds the 64-bit hash"
+        )
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from lsd2_spark.sources.imagecodec import decode_image as _decode
         from lsd2_spark.sources.imagecodec import resize_nearest
@@ -361,7 +366,8 @@ def image_dhash(blobs: DataFrame, hash_w: int = 8, hash_h: int = 8) -> DataFrame
                 {"media_id": pdf["media_id"], "dhash": pd.Series(out, dtype="object")}
             )
 
-    return blobs.mapInPandas(kernel, "media_id long, dhash long")
+    id_type = blobs.schema["media_id"].dataType.simpleString()
+    return blobs.mapInPandas(kernel, f"media_id {id_type}, dhash long")
 
 
 def image_neardup_pairs(
@@ -398,6 +404,11 @@ def audio_fingerprint(
 
     Total over arbitrary payloads (undecodable → NULL hash); one
     shuffle-free ``mapInPandas`` pass, like :func:`image_dhash`."""
+
+    if (n_frames - 1) * (n_bands - 1) > 64:
+        raise ValueError(
+            f"fingerprint geometry ({n_frames}-1)x({n_bands}-1) exceeds 64 bits"
+        )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from lsd2_spark.sources.audiocodec import decode_wav
@@ -481,24 +492,25 @@ def video_neardup_pairs(
     frames = sample_frames(blobs, every_n=every_n).select(
         "media_id", "frame_idx", "payload"
     )
-    # unique per-frame key: video id in the high bits, frame idx low
-    fkey = (F.col("media_id") * F.lit(1 << 20) + F.col("frame_idx")).alias(
-        "frame_key"
+    # per-frame hashes keyed by a (video, frame) STRUCT — no bit
+    # packing, so no video-id or frame-count limit can corrupt identity
+    # (struct ordering is lexicographic, which is all the banded join's
+    # id1 < id2 tie-break needs)
+    keyed = frames.select(
+        F.struct(
+            F.col("media_id").alias("vid"), F.col("frame_idx").alias("fidx")
+        ).alias("media_id"),
+        "payload",
     )
-    fh = image_dhash(frames.select(fkey, "payload").withColumnRenamed(
-        "frame_key", "media_id"
-    ))
     fpairs = hamming_neardup_pairs(
-        fh, "media_id", "dhash", bits=64, max_hamming=max_hamming
+        image_dhash(keyed), "media_id", "dhash", bits=64, max_hamming=max_hamming
     )
-    v1 = F.shiftrightunsigned(F.col("id1"), 20).alias("vid1")
-    v2 = F.shiftrightunsigned(F.col("id2"), 20).alias("vid2")
+    v1, v2 = F.col("id1.vid"), F.col("id2.vid")
     return (
-        fpairs.select(v1, v2, "id1", "id2")
-        .filter(F.col("vid1") != F.col("vid2"))
+        fpairs.filter(v1 != v2)
         .select(
-            F.least("vid1", "vid2").alias("vid1"),
-            F.greatest("vid1", "vid2").alias("vid2"),
+            F.least(v1, v2).alias("vid1"),
+            F.greatest(v1, v2).alias("vid2"),
             "id1",
         )
         .groupBy("vid1", "vid2")

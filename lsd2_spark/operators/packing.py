@@ -20,6 +20,31 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _assign_seq_ids(
+    df: DataFrame,
+    id_col: str,
+    token_count: Column,
+    seq_len: int,
+    strata_col: str,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """The shared prefix-sum assignment: each doc joins the sequence
+    where its first token lands (per-shard window cumsum)."""
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = token_count.cast("long")
+    return df.select(
+        F.col(strata_col),
+        F.col(id_col),
+        *[F.col(c) for c in (extra_cols or [])],
+        toks.alias("_n_tok"),
+        F.floor((F.sum(toks).over(w) - toks) / F.lit(seq_len)).alias("seq_id"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,
@@ -36,18 +61,7 @@ def pack_sequences(
     fill fraction vs ``seq_len``, and the first/last document ids —
     the manifest a downstream tokenizer-writer consumes.
     """
-    w = (
-        Window.partitionBy(strata_col)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    toks = token_count.cast("long")
-    assigned = df.select(
-        F.col(strata_col),
-        F.col(id_col),
-        toks.alias("_n_tok"),
-        F.floor((F.sum(toks).over(w) - toks) / F.lit(seq_len)).alias("seq_id"),
-    )
+    assigned = _assign_seq_ids(df, id_col, token_count, seq_len, strata_col)
     return (
         assigned.groupBy(strata_col, "seq_id")
         .agg(
@@ -132,18 +146,13 @@ def write_packed_corpus(
     order is deterministic inside the one per-shard shuffle.  Returns
     the written DataFrame (source, seq_id, n_docs, n_tokens, text).
     """
-    toks = F.size(F.split(F.col(text_col), r"\s+")).cast("long")
-    w = (
-        Window.partitionBy(strata_col)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    assigned = df.select(
-        F.col(strata_col),
-        F.col(id_col),
-        F.col(text_col),
-        toks.alias("_n_tok"),
-        F.floor((F.sum(toks).over(w) - toks) / F.lit(seq_len)).alias("seq_id"),
+    assigned = _assign_seq_ids(
+        df,
+        id_col,
+        F.size(F.split(F.col(text_col), r"\s+")),
+        seq_len,
+        strata_col,
+        extra_cols=[text_col],
     )
     packed = (
         assigned.groupBy(strata_col, "seq_id")

@@ -188,6 +188,10 @@ def temperature_mixture(
     :func:`stratified_sample`.  Returns ``(sampled_df, fractions)`` so
     the mixture spec can be logged/persisted.
     """
+    # NULL strata can't participate: the keep expression's equality
+    # never matches NULL, so counting them would misstate the fractions
+    # and undershoot the target — drop them from the math AND the output
+    df = df.filter(F.col(strata_col).isNotNull())
     counts = {
         r[strata_col]: int(r["n"])
         for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()

@@ -338,11 +338,18 @@ def kmeans_centroids(
             .groupBy("_list", "_j")
             .agg(
                 (
-                    # exact: decimal division de-scales the micro-units,
-                    # then the correctly-rounded double matches the old
-                    # decimal(28,6)-sum → double cast bit-for-bit
-                    (F.sum("_m").cast("decimal(38,6)") / F.lit(1_000_000))
-                    .cast("double")
+                    # exact: the cross-partition sum accumulates in
+                    # DECIMAL so huge-magnitude corpora cannot overflow
+                    # int64 between partitions; decimal division then
+                    # de-scales the micro-units and the correctly-
+                    # rounded double matches the old decimal(28,6)-sum
+                    # → double cast bit-for-bit
+                    (
+                        F.sum(F.col("_m").cast("decimal(38,0)")).cast(
+                            "decimal(38,6)"
+                        )
+                        / F.lit(1_000_000)
+                    ).cast("double")
                     / F.sum("_cnt")
                 ).alias("_w")
             )

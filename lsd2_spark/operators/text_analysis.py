@@ -149,17 +149,22 @@ def redact_pii(df: DataFrame, text_col: str) -> DataFrame:
 
     Pure Column ``regexp_count`` + ``regexp_replace`` chain: JVM-side,
     whole-stage codegen, zero shuffle — the 100 TB plan is a map-only
-    scan."""
+    scan.
+
+    Each class is counted on the text AFTER the previous classes'
+    replacements (the same progression the scrub itself follows), so
+    ``n_pii_redacted`` equals the number of tags actually inserted —
+    a digit run inside an already-redacted email is not double-counted
+    as an IP."""
     out = df
     total = F.lit(0)
-    for name, pat, _ in PII_PATTERNS:
-        cnt = F.regexp_count(F.col(text_col), F.lit(pat))
+    current = F.col(text_col)
+    for name, pat, tag in PII_PATTERNS:
+        cnt = F.regexp_count(current, F.lit(pat))
         out = out.withColumn(f"n_pii_{name}", cnt)
         total = total + F.col(f"n_pii_{name}")
-    scrubbed = F.col(text_col)
-    for _, pat, tag in PII_PATTERNS:
-        scrubbed = F.regexp_replace(scrubbed, pat, tag)
-    return out.withColumn(text_col, scrubbed).withColumn("n_pii_redacted", total)
+        current = F.regexp_replace(current, pat, tag)
+    return out.withColumn(text_col, current).withColumn("n_pii_redacted", total)
 
 
 def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

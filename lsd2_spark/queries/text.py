@@ -889,14 +889,17 @@ def q61_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pii_oracle() -> str:
-    pats = {name: pat for name, pat, _ in text_analysis.PII_PATTERNS}
-    counts = ",\n             ".join(
-        f"CAST(len(regexp_extract_all(text, '{p}')) AS INTEGER) AS n_pii_{n}"
-        for n, p in pats.items()
-    )
-    scrubbed = "text"
-    for _, pat, tag in text_analysis.PII_PATTERNS:
-        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{tag}', 'g')"
+    # counts follow the same progression as the scrub: each class is
+    # counted on the text AFTER the previous classes' replacements
+    counts_parts = []
+    current = "text"
+    for n, p, tag in text_analysis.PII_PATTERNS:
+        counts_parts.append(
+            f"CAST(len(regexp_extract_all({current}, '{p}')) AS INTEGER) AS n_pii_{n}"
+        )
+        current = f"regexp_replace({current}, '{p}', '{tag}', 'g')"
+    counts = ",\n             ".join(counts_parts)
+    scrubbed = current
     return f"""
     WITH aug AS (
       SELECT doc_id,

@@ -86,3 +86,19 @@ def test_corpus_quantiles_global_group(spark):
     assert len(got) == 1
     assert got.loc[0, "n"] == 1000
     assert abs(got.loc[0, "p50"] - 500.0) <= 1.0
+
+
+def test_redact_pii_counts_match_inserted_tags_for_nested_matches(spark):
+    """A digit-dot run inside an email must not be double-counted as an
+    IP: counts follow the replacement progression, so n_pii_redacted
+    equals the number of tags actually inserted."""
+    from lsd2_spark.operators.text_analysis import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail 1.2.3.4@example.com for details")],
+        "doc_id long, text string",
+    )
+    row = redact_pii(df, "text").collect()[0]
+    assert row["n_pii_email"] == 1 and row["n_pii_ipv4"] == 0
+    assert row["n_pii_redacted"] == 1
+    assert row["text"].count("<EMAIL>") == 1 and "<IP>" not in row["text"]
