@@ -97,3 +97,45 @@ def test_decontaminate_matches_python_reference(spark, token_lists, n):
         hits = ngrams(text) & eval_ngrams
         assert got[did] == (len(hits), bool(hits)), (did, text)
     assert set(got) == {d for d, _ in train_rows}
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=2,
+        max_size=24,
+        unique=True,
+    ),
+    st.integers(1, 6),
+)
+def test_hamming_neardup_pairs_is_complete(spark, hashes, budget):
+    """Pigeonhole guarantee: the banded join must find EVERY pair
+    within the hamming budget (and nothing beyond it) — compared
+    against the brute-force O(n^2) reference on random 64-bit hashes."""
+    from lsd2_spark.operators.dedup import hamming_neardup_pairs
+
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hashes)], "doc_id long, h long"
+    )
+    got = {
+        (r["id1"], r["id2"]): r["hamming"]
+        for r in hamming_neardup_pairs(
+            df, "doc_id", "h", bits=64, max_hamming=budget
+        ).collect()
+    }
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    want = {
+        (i, j): ham(hashes[i], hashes[j])
+        for i in range(len(hashes))
+        for j in range(i + 1, len(hashes))
+        if ham(hashes[i], hashes[j]) <= budget
+    }
+    assert got == want
