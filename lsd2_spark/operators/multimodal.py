@@ -120,7 +120,13 @@ def extract_features(blobs: DataFrame, decode: bool = True) -> DataFrame:
                 {
                     "media_id": pdf["media_id"],
                     "n_bytes": pdf["n_bytes"],
-                    "feat_mean": np.round(mean, 6),
+                    # UNROUNDED: byte/pixel sums are exact integers and
+                    # the division is a single IEEE op, so the double is
+                    # bit-identical in any engine — rounding would ADD
+                    # divergence (np.round is half-even, SQL ROUND is
+                    # half-away; simple rationals land exactly on
+                    # .5e-6 boundaries and snap differently)
+                    "feat_mean": mean,
                     "feat_entropy": np.round(ent, 6),
                     "sketch": sk,
                 }

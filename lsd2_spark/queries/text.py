@@ -371,7 +371,7 @@ register(
       SELECT doc_id, c, COUNT(*) AS n FROM chars GROUP BY doc_id, c
     ), stats AS (
       SELECT f.doc_id,
-             ROUND(CAST(SUM(f.n * f.c) AS DOUBLE) / SUM(f.n), 6) AS feat_mean,
+             CAST(SUM(f.n * f.c) AS DOUBLE) / SUM(f.n) AS feat_mean,
              ROUND(-SUM((f.n / CAST(d.L AS DOUBLE)) * log2(f.n / CAST(d.L AS DOUBLE))), 6)
                AS feat_entropy
       FROM freq f JOIN (SELECT doc_id, length(text) AS L FROM documents) d
@@ -428,7 +428,7 @@ register(
       SELECT doc_id, c, COUNT(*) AS n FROM chars GROUP BY doc_id, c
     ), stats AS (
       SELECT doc_id,
-             ROUND(CAST(SUM(n * c) AS DOUBLE) / 480, 6) AS feat_mean,
+             CAST(SUM(n * c) AS DOUBLE) / 480 AS feat_mean,
              ROUND(-SUM((n / 480.0) * log2(n / 480.0)), 6) AS feat_entropy
       FROM freq GROUP BY doc_id
     )
