@@ -584,7 +584,7 @@ def test_read_media_files_feeds_multimodal_ops(spark, tmp_path):
     by_id = {r["media_id"]: r["media_path"] for r in rows}
     for _, f in feats.iterrows():
         img = imgs[by_id[f["media_id"]].rsplit("/", 1)[-1]]
-        assert f["feat_mean"] == round(float(img.ravel().mean()), 6)
+        assert f["feat_mean"] == float(img.ravel().mean())  # exact, unrounded
 
 
 def test_watermark_drops_late_events(spark, tmp_path):
