@@ -31,6 +31,7 @@ __all__ = [
     "kmeans_assign",
     "save_ivf_index",
     "load_ivf_index",
+    "random_project",
 ]
 
 
@@ -570,3 +571,43 @@ def kmeans_assign(
     return df.select(
         F.col(id_col), nearest(F.col(vec_col)).alias("cluster_id")
     )
+
+
+def random_project(
+    df: DataFrame,
+    vec_col: str,
+    out_dim: int,
+    out_col: str = "projected",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction:
+    ``y = x @ P.T`` with ``P ~ N(0, 1/out_dim)`` drawn from a FIXED
+    seed (a function of the shapes only) — deterministic across runs,
+    shards, and sessions, with the near-orthogonal rows JL needs (the
+    LSH integer lattice is too structured for distance preservation).
+    Use before ANN indexing or near-dup bucketing when the native
+    dimension makes candidate scoring the bottleneck.
+
+    One Arrow pass, shuffle-free; invalid vectors (null/ragged) yield
+    NULL projections instead of dropping rows."""
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    spark = df.sparkSession
+    dim = _probe_dim(df, vec_col)
+    if dim is None:
+        return df.withColumn(out_col, F.lit(None).cast("array<double>"))
+    rng = np.random.default_rng(1_000_003 * out_dim + dim)
+    planes = rng.standard_normal((out_dim, dim)) / np.sqrt(out_dim)
+    bc = spark.sparkContext.broadcast(planes)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def project(v: pd.Series) -> pd.Series:
+        ok = v.map(lambda x: x is not None and len(x) == dim).to_numpy(dtype=bool)
+        res: list = [None] * len(v)
+        if ok.any():
+            m = np.asarray([np.asarray(x, dtype=np.float64) for x in v[ok]])
+            y = m @ bc.value.T
+            for j, i in enumerate(np.nonzero(ok)[0]):
+                res[i] = y[j]
+        return pd.Series(res, dtype="object")
+
+    return df.withColumn(out_col, project(F.col(vec_col)))

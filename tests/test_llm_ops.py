@@ -864,3 +864,55 @@ def test_dedup_clusters_keep_best_score(spark):
     assert canon[4] == 1  # singleton keeps itself
     clusters = {r["doc_id"]: r["cluster_id"] for r in best.collect()}
     assert clusters[1] == clusters[2] == clusters[3] != clusters[4]
+
+
+def test_random_project_preserves_neighborhoods(spark):
+    """JL projection: deterministic, total over invalid vectors, and
+    (at moderate compression) the exact top-1 neighbor survives for
+    most query points."""
+    import numpy as np
+
+    from lsd2_spark.operators.similarity import random_project
+
+    # clustered data: pure isotropic noise has NO stable neighbors in
+    # 64-d (distance concentration), so test what JL actually promises
+    # — preserving real structure
+    rng = np.random.default_rng(12)
+    centers = rng.normal(0, 1, (20, 64))
+    X = np.vstack([
+        c + rng.normal(0, 0.08, (6, 64)) for c in centers
+    ]).astype(np.float64)
+    rows = [(i, [float(x) for x in X[i]]) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = random_project(df, "embedding", 16)
+    got = {r["vec_id"]: np.array(r["projected"]) for r in out.collect()}
+    assert all(len(v) == 16 for v in got.values())
+
+    # deterministic
+    again = {r["vec_id"]: np.array(r["projected"])
+             for r in random_project(df, "embedding", 16).collect()}
+    assert all(np.array_equal(got[k], again[k]) for k in got)
+
+    # neighborhood preservation: top-1 in original vs projected space
+    Y = np.stack([got[i] for i in range(len(X))])
+    def top1(M):
+        d = ((M[:, None, :] - M[None, :, :]) ** 2).sum(-1)
+        np.fill_diagonal(d, np.inf)
+        return d.argmin(1)
+    # JL preserves structure, not exact within-cluster orderings: the
+    # projected nearest neighbor must stay in the SAME CLUSTER
+    cluster = np.arange(len(X)) // 6
+    same = (cluster[top1(Y)] == cluster).mean()
+    assert same > 0.95, same
+
+    # totality over null/ragged
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+    bad = spark.createDataFrame(
+        [(0, [float(x) for x in X[0]]), (1, None), (2, [1.0, 2.0])],
+        StructType([StructField("vec_id", LongType()),
+                    StructField("embedding", ArrayType(DoubleType()))]),
+    )
+    b = {r["vec_id"]: r["projected"] for r in random_project(bad, "embedding", 8).collect()}
+    assert b[0] is not None and len(b[0]) == 8
+    assert b[1] is None and b[2] is None  # null + ragged -> NULL, rows kept
