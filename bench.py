@@ -44,6 +44,7 @@ HEADLINE = [
     "q62_repetition",
     "q63_decontaminate",
     "q64_pack_sequences",
+    "q61_pii_scrub",
 ]
 
 

@@ -1116,19 +1116,32 @@ register(
 # ---------------------------------------------------------------------------
 
 _HAM_MAX = 3
+# q66 uses a WIDER simhash than q34's 16-bit oracle form: 16 bits over
+# thousands of similar docs puts most of the corpus within hamming 3
+# (one 4-bit band bucket held 60% of sf0.1 — millions of true pairs),
+# so near-dup detection needs bits to scale with corpus size.  32 bits
+# keeps the pair set sparse at bench scale and the bands selective.
+_Q66_BITS = 32
 
 
 def q66_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = dedup.simhash(
-        load_table(spark, sf_dir, "documents"), "text", "doc_id", bits=_SH_BITS
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", bits=_Q66_BITS
     )
     return dedup.hamming_neardup_pairs(
-        sh, "doc_id", "simhash", bits=_SH_BITS, max_hamming=_HAM_MAX
+        sh, "doc_id", "simhash", bits=_Q66_BITS, max_hamming=_HAM_MAX
     )
 
 
+_q66_sums = ",\n           ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(_Q66_BITS)
+)
+_q66_pack = " + ".join(
+    f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(_Q66_BITS)
+)
 _q66_bands = " UNION ALL ".join(
-    f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * (_SH_BITS // (_HAM_MAX + 1))}) & {(1 << (_SH_BITS // (_HAM_MAX + 1))) - 1} AS val FROM sh"
+    f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * (_Q66_BITS // (_HAM_MAX + 1))}) & {(1 << (_Q66_BITS // (_HAM_MAX + 1))) - 1} AS val FROM sh"
     for b in range(_HAM_MAX + 1)
 )
 register(
@@ -1140,9 +1153,9 @@ register(
     ), hashes AS (
       SELECT doc_id, {hash64_sql('tok')} AS h FROM toks
     ), sums AS (
-      SELECT doc_id, {_sh_sums} FROM hashes GROUP BY doc_id
+      SELECT doc_id, {_q66_sums} FROM hashes GROUP BY doc_id
     ), sh AS MATERIALIZED (
-      SELECT d.doc_id, COALESCE(CAST({_sh_pack} AS BIGINT), 0) AS simhash
+      SELECT d.doc_id, COALESCE(CAST({_q66_pack} AS BIGINT), 0) AS simhash
       FROM documents d LEFT JOIN sums s ON s.doc_id = d.doc_id
     ), banded AS MATERIALIZED ({_q66_bands}),
     pairs AS (
