@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from lsd2_spark.functions.numeric import round6
 from lsd2_spark.operators.common import spread_partitions
 from lsd2_spark.functions.portable_hash import MINHASH_PERMS, MOD, hash64
 
@@ -364,10 +365,9 @@ def ngram_jaccard_pairs(
         .select(
             "id1",
             "id2",
-            F.round(
+            round6(
                 F.col("shared").cast("double")
-                / (F.col("n1") + F.col("n2") - F.col("shared")),
-                6,
+                / (F.col("n1") + F.col("n2") - F.col("shared"))
             ).alias("jaccard"),
         )
     )

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lsd2_spark.functions.numeric import round6
+
 __all__ = ["train_char_lm", "lm_score"]
 
 # floor for unseen trigrams: log(1/(context_count + V)) bounded by the
@@ -98,7 +100,7 @@ def lm_score(
     )
     agg = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_grams"),
-        F.round(F.avg("logp"), 6).alias("avg_logp"),
+        round6(F.avg("logp")).alias("avg_logp"),
     )
     return (
         docs.select(F.col(id_col))

@@ -34,6 +34,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from lsd2_spark.functions.numeric import round6_np
+
 __all__ = [
     "to_blob_table",
     "extract_features",
@@ -127,7 +129,7 @@ def extract_features(blobs: DataFrame, decode: bool = True) -> DataFrame:
                     # half-away; simple rationals land exactly on
                     # .5e-6 boundaries and snap differently)
                     "feat_mean": mean,
-                    "feat_entropy": np.round(ent, 6),
+                    "feat_entropy": round6_np(ent),
                     "sketch": sk,
                 }
             )
@@ -204,8 +206,8 @@ def extract_audio_features(blobs: DataFrame) -> DataFrame:
                 tot = mag.sum()
                 if tot > 0:
                     freqs = np.fft.rfftfreq(n, d=1.0 / rate)
-                    out["spectral_centroid"][i] = round(
-                        float((freqs * mag).sum() / tot), 6
+                    out["spectral_centroid"][i] = float(
+                        round6_np(float((freqs * mag).sum() / tot))
                     )
             yield pd.DataFrame(out)
 

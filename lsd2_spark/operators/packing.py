@@ -75,7 +75,12 @@ def pack_sequences(
             F.col("seq_id"),
             F.col("n_docs"),
             F.col("n_tokens"),
-            F.round(F.col("n_tokens") / F.lit(float(seq_len)), 6).alias("fill_frac"),
+            # Unrounded on purpose: seq_len is a power of two in every
+            # gated use, so n_tokens/seq_len is an exact binary double —
+            # bit-identical across engines.  ROUND(…, 6) here put 2/60
+            # sf0.01 rows on a decimal half-tie that half-up (Spark) vs
+            # half-even DuckDB builds snap differently.
+            (F.col("n_tokens") / F.lit(float(seq_len))).alias("fill_frac"),
             F.col("first_doc"),
             F.col("last_doc"),
         )

@@ -22,6 +22,8 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lsd2_spark.functions.numeric import round6
+
 __all__ = ["bm25_score", "bm25_topk"]
 
 
@@ -109,7 +111,7 @@ def bm25_score(
         )
         .groupBy(id_col)
         .agg(
-            F.round(F.sum("_s"), 6).alias("score"),
+            round6(F.sum("_s")).alias("score"),
             F.count(F.lit(1)).alias("n_query_terms_matched"),
         )
     )

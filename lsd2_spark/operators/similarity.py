@@ -35,6 +35,7 @@ __all__ = [
 ]
 
 
+from lsd2_spark.functions.numeric import round6, round6_np
 from lsd2_spark.operators.common import spread_partitions as _spread
 
 
@@ -133,7 +134,7 @@ def cosine_topk(
         _norm(F.col(vec_col)).alias("_cn"),
     )
     joined = cand.crossJoin(q).filter(F.col("cand_id") != F.col("query_id"))
-    sim = F.round(_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6)
+    sim = round6(_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
     return (
         joined.withColumn("sim", sim)
@@ -235,7 +236,7 @@ def hyperplane_lsh_topk(
         .filter(F.col("cand_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "cand_id"])
     )
-    sim = F.round(_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6)
+    sim = round6(_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
     return (
         joined.withColumn("sim", sim)
@@ -250,7 +251,7 @@ def _l2_assign(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
     argmin is reproducible across engines (sum-order double noise is
     ~1e-13); ties break to the smallest list id via stable argmin."""
     d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-    return np.round(d2, 6)
+    return round6_np(d2)
 
 
 def kmeans_centroids(
@@ -272,7 +273,8 @@ def kmeans_centroids(
       (DuckDB's double→DECIMAL cast scales in floating point and can
       snap values near a grid boundary differently — observed);
     - init: the first ``n_lists`` sampled vectors by id;
-    - assignment: argmin of ROUND(L2², 6), ties to the smaller list id;
+    - assignment: argmin of FLOOR(L2²·1e6+0.5)/1e6 (deterministic half-up,
+      engine-portable), ties to the smaller list id;
     - update: per-dimension DECIMAL(28,6) sums (exact, order-free)
       divided by the count in double — identical doubles in any engine;
     - empty lists keep their previous centroid.
@@ -293,7 +295,7 @@ def kmeans_centroids(
         dim = _probe_dim(candidates, vec_col)
     samp = _valid_vectors(candidates, vec_col, dim).select(
         F.col(id_col).alias("_vid"),
-        F.transform(F.col(vec_col), lambda x: F.round(x.cast("double"), 6)).alias("_v"),
+        F.transform(F.col(vec_col), lambda x: round6(x.cast("double"))).alias("_v"),
     )
     if sample_stride > 1:
         samp = samp.filter(F.col("_vid") % sample_stride == 0)
@@ -414,8 +416,8 @@ def embedding_neardup_pairs(
     pairs = joined.filter(first_match == F.col("l.t") + 1).select(
         F.col("l._id").alias("id1"),
         F.col("r._id").alias("id2"),
-        F.round(
-            _dot(F.col("l._v"), F.col("r._v")) / (F.col("l._n") * F.col("r._n")), 6
+        round6(
+            _dot(F.col("l._v"), F.col("r._v")) / (F.col("l._n") * F.col("r._n"))
         ).alias("sim"),
     )
     return pairs.filter(F.col("sim") >= threshold)
@@ -484,7 +486,7 @@ def ivf_topk(
 
     # clustering distances use the same 6dp-rounded components the
     # centroids were trained on (oracle parity); scoring keeps raw vectors
-    vec_r = F.transform(F.col(vec_col), lambda x: F.round(x.cast("double"), 6))
+    vec_r = F.transform(F.col(vec_col), lambda x: round6(x.cast("double")))
     cand = candidates.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("_cv"),
@@ -498,7 +500,7 @@ def ivf_topk(
     joined = cand.join(F.broadcast(q), "list_id").filter(
         F.col("cand_id") != F.col("query_id")
     )
-    sim = F.round(cosine_sim_col(F.col("_qv"), F.col("_cv")), 6)
+    sim = round6(cosine_sim_col(F.col("_qv"), F.col("_cv")))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
     return (
         joined.withColumn("sim", sim)
@@ -562,7 +564,7 @@ def kmeans_assign(
         out = np.full(len(v), -1, dtype=np.int64)
         if ok.any():
             m = np.asarray([np.asarray(x, dtype=np.float64) for x in v[ok]])
-            m = np.round(m, 6)
+            m = round6_np(m)
             out[ok] = np.argmin(_l2_assign(m, bc.value), axis=1)
         res = pd.Series(out).astype("object")
         res[~ok] = None

@@ -14,6 +14,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from lsd2_spark.functions.numeric import round6
+
 __all__ = [
     "token_stats",
     "quality_score",
@@ -59,10 +61,9 @@ def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.length(F.col(text_col)).alias("n_chars_obs"),
         F.size(t).alias("n_tokens"),
         F.size(F.array_distinct(t)).alias("n_uniq_tokens"),
-        F.round(
+        round6(
             F.length(F.regexp_replace(F.col(text_col), r"\s+", "")).cast("double")
-            / F.size(t),
-            6,
+            / F.size(t)
         ).alias("avg_token_len"),
         F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_RE)).alias("n_bpe_tokens"),
     )
@@ -77,10 +78,10 @@ def _quality_cols(text_col: str) -> list[Column]:
     ).cast("double") / n_tok
     diversity = n_uniq.cast("double") / n_tok
     length_ok = F.when((n_tok >= 10) & (n_tok <= 100_000), 1.0).otherwise(0.0)
-    score = F.round(40.0 * diversity + 30.0 * stop_share + 30.0 * length_ok, 6)
+    score = round6(40.0 * diversity + 30.0 * stop_share + 30.0 * length_ok)
     return [
-        F.round(stop_share, 6).alias("stopword_share"),
-        F.round(diversity, 6).alias("lexical_diversity"),
+        round6(stop_share).alias("stopword_share"),
+        round6(diversity).alias("lexical_diversity"),
         score.alias("quality"),
         F.when(score >= 60, "good").when(score >= 30, "ok").otherwise("spam").alias("bucket"),
     ]
@@ -214,13 +215,12 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     base = df.select(
         F.col(id_col),
         n_lines.alias("n_lines"),
-        F.round((n_lines - F.size(F.array_distinct(lines))).cast("double") / n_lines, 6).alias(
+        round6((n_lines - F.size(F.array_distinct(lines))).cast("double") / n_lines).alias(
             "dup_line_frac"
         ),
-        F.round(
+        round6(
             F.when(line_chars > 0, dup_chars.cast("double") / line_chars)
-            .when(text.isNotNull(), 0.0),
-            6,
+            .when(text.isNotNull(), 0.0)
         ).alias("dup_line_char_frac"),
         F.length(text).alias("_n_chars"),
     )
@@ -247,13 +247,12 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         ),
         F.when(
             F.col("n_lines").isNotNull(),
-            F.round(
+            round6(
                 F.coalesce(
                     F.col("top_bigram_n") * F.length(F.col("top_bigram"))
                     / F.nullif(F.col("_n_chars"), F.lit(0)),
                     F.lit(0.0),
-                ),
-                6,
+                )
             ),
         ).alias("top_bigram_char_frac"),
     )

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from lsd2_spark.functions.numeric import round6
 from lsd2_spark.queries import load_table, register
 
 DEC = "decimal(28,6)"
@@ -509,8 +510,8 @@ register(
 def q19_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
+        round6(F.expr("percentile(l_extendedprice, 0.5)")).alias("median_price"),
+        round6(F.expr("percentile(l_extendedprice, 0.9)")).alias("p90_price"),
     )
 
 
@@ -519,8 +520,8 @@ register(
     q19_median,
     """
     SELECT l_returnflag,
-           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
-           ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+           FLOOR(quantile_cont(l_extendedprice, 0.5) * 1000000.0 + 0.5) / 1000000.0 AS median_price,
+           FLOOR(quantile_cont(l_extendedprice, 0.9) * 1000000.0 + 0.5) / 1000000.0 AS p90_price
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -818,9 +819,11 @@ def q51_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         ts_l.alias("ts_epoch"),
-        F.round(
-            F.sum(F.col("value").cast(DEC)).over(wr).cast("double"), 6
-        ).alias("rolling_value_5"),
+        # no ROUND: the DECIMAL(28,6) sum cast to double is already the
+        # nearest double of an exact 6-dp decimal — rounding is a no-op,
+        # and engine-defined ROUND is banned from the gate surface.
+        F.sum(F.col("value").cast(DEC)).over(wr).cast("double")
+        .alias("rolling_value_5"),
         (ts_l - F.lag(ts_l).over(wo)).alias("secs_since_prev"),
         (F.lead(ts_l).over(wo) - ts_l).alias("secs_to_next"),
         F.lag("event_type").over(wo).alias("prev_type"),
@@ -832,9 +835,9 @@ register(
     q51_event_windows,
     """
     SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6)))
-                      OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+           CAST(SUM(CAST(value AS DECIMAL(28,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS rolling_value_5,
            CAST(floor(epoch(ts)) AS BIGINT)
              - LAG(CAST(floor(epoch(ts)) AS BIGINT))

@@ -37,9 +37,9 @@ register(
       FROM pairs, UNNEST(range(1, {DIM + 1})) AS t(i)
       GROUP BY query_id, cand_id
     ), ranked AS (
-      SELECT query_id, cand_id, ROUND(s, 6) AS sim,
+      SELECT query_id, cand_id, FLOOR((s) * 1000000.0 + 0.5) / 1000000.0 AS sim,
              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                     ORDER BY ROUND(s, 6) DESC, cand_id ASC) AS INTEGER) AS rnk
+                                     ORDER BY FLOOR((s) * 1000000.0 + 0.5) / 1000000.0 DESC, cand_id ASC) AS INTEGER) AS rnk
       FROM sims
     )
     SELECT query_id, cand_id, sim, rnk FROM ranked WHERE rnk <= {KNN_K}
@@ -62,7 +62,7 @@ def q41_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_oracle_sql(n_lists: int, nprobe: int, n_iters: int) -> str:
     """Full-fidelity oracle for IVF: replays the deterministic k-means
     (operators.similarity.kmeans_centroids) by unrolling each Lloyd's
-    iteration as a CTE pair (assign by ROUND(L2²,6) with list-id
+    iteration as a CTE pair (assign by FLOOR(L2²·1e6+0.5)/1e6 — deterministic half-up — with list-id
     tie-break, update via exact DECIMAL(28,6) means over 6dp-rounded
     components), then the final assignment, nprobe probing, cosine
     scoring, and ranking.  Clustering uses rounded components so the
@@ -81,7 +81,7 @@ def _ivf_oracle_sql(n_lists: int, nprobe: int, n_iters: int) -> str:
       SELECT vec_id, cid FROM (
         SELECT vec_id, cid,
                ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY ROUND(d2, 6) ASC, cid ASC) AS r
+                                  ORDER BY FLOOR((d2) * 1000000.0 + 0.5) / 1000000.0 ASC, cid ASC) AS r
         FROM dist{n}) WHERE r = 1
     ), cent{n} AS (
       SELECT p.cid, p.j, COALESCE(m.w, p.w) AS w
@@ -95,7 +95,7 @@ def _ivf_oracle_sql(n_lists: int, nprobe: int, n_iters: int) -> str:
     return f"""
     WITH comp_r AS (
       SELECT vec_id, CAST(i AS BIGINT) - 1 AS j,
-             ROUND(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE), 6) AS x
+             FLOOR((CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS x
       FROM embeddings, unnest(range(1, {DIM + 1})) t(i)
     ), init_ids AS (
       SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
@@ -111,13 +111,13 @@ def _ivf_oracle_sql(n_lists: int, nprobe: int, n_iters: int) -> str:
       SELECT vec_id AS cand_id, cid FROM (
         SELECT vec_id, cid,
                ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY ROUND(d2, 6) ASC, cid ASC) AS r
+                                  ORDER BY FLOOR((d2) * 1000000.0 + 0.5) / 1000000.0 ASC, cid ASC) AS r
         FROM fdist) WHERE r = 1
     ), probes AS (
       SELECT vec_id AS query_id, cid FROM (
         SELECT vec_id, cid,
                ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY ROUND(d2, 6) ASC, cid ASC) AS r
+                                  ORDER BY FLOOR((d2) * 1000000.0 + 0.5) / 1000000.0 ASC, cid ASC) AS r
         FROM fdist WHERE vec_id % {QUERY_STRIDE} = 0) WHERE r <= {nprobe}
     ), cand_pairs AS (
       SELECT p.query_id, a.cand_id
@@ -136,9 +136,9 @@ def _ivf_oracle_sql(n_lists: int, nprobe: int, n_iters: int) -> str:
       FROM pairs, UNNEST(range(1, {DIM + 1})) AS t(i)
       GROUP BY query_id, cand_id
     ), ranked AS (
-      SELECT query_id, cand_id, ROUND(s, 6) AS sim,
+      SELECT query_id, cand_id, FLOOR((s) * 1000000.0 + 0.5) / 1000000.0 AS sim,
              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                     ORDER BY ROUND(s, 6) DESC, cand_id ASC) AS INTEGER) AS rnk
+                                     ORDER BY FLOOR((s) * 1000000.0 + 0.5) / 1000000.0 DESC, cand_id ASC) AS INTEGER) AS rnk
       FROM sims
     )
     SELECT query_id, cand_id, sim, rnk FROM ranked WHERE rnk <= {KNN_K}
@@ -207,9 +207,9 @@ def _lsh_oracle_sql(n_bits: int, n_tables: int) -> str:
       FROM pairs, UNNEST(range(1, {DIM + 1})) AS t(i)
       GROUP BY query_id, cand_id
     ), ranked AS (
-      SELECT query_id, cand_id, ROUND(s, 6) AS sim,
+      SELECT query_id, cand_id, FLOOR((s) * 1000000.0 + 0.5) / 1000000.0 AS sim,
              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                     ORDER BY ROUND(s, 6) DESC, cand_id ASC) AS INTEGER) AS rnk
+                                     ORDER BY FLOOR((s) * 1000000.0 + 0.5) / 1000000.0 DESC, cand_id ASC) AS INTEGER) AS rnk
       FROM sims
     )
     SELECT query_id, cand_id, sim, rnk FROM ranked WHERE rnk <= {KNN_K}
@@ -266,10 +266,11 @@ def _neardup_oracle_sql(n_bits: int, n_tables: int, threshold: float) -> str:
       JOIN embeddings eb ON eb.vec_id = cp.id2
     ), sims AS (
       SELECT id1, id2,
-             ROUND(
+             FLOOR((
                SUM(CAST(qv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(cv[CAST(i AS INTEGER)] AS DOUBLE)) /
                (SQRT(SUM(CAST(qv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(qv[CAST(i AS INTEGER)] AS DOUBLE))) *
-                SQRT(SUM(CAST(cv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(cv[CAST(i AS INTEGER)] AS DOUBLE)))), 6) AS sim
+                SQRT(SUM(CAST(cv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(cv[CAST(i AS INTEGER)] AS DOUBLE))))
+             ) * 1000000.0 + 0.5) / 1000000.0 AS sim
       FROM pairs, UNNEST(range(1, {DIM + 1})) AS t(i)
       GROUP BY id1, id2
     )

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lsd2_spark.functions.numeric import round6
 from lsd2_spark.functions.spherical import gc_dist, gc_dist_sql
 from lsd2_spark.queries import load_table, register
 
@@ -59,7 +60,7 @@ def q20_cone_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dist = gc_dist(F.col("ra"), F.col("dec"), CONE["ra"], CONE["dec"])
     return (
-        df.withColumn("_dist", F.round(dist, 6))
+        df.withColumn("_dist", round6(dist))
         .filter(F.col("_dist") < CONE["radius"])
     )
 
@@ -72,7 +73,7 @@ register(
     SELECT * FROM (
       SELECT l_orderkey, l_linenumber,
              {_ra_sql} AS ra, {_dec_sql} AS dec,
-             ROUND({gc_dist_sql(_ra_sql, _dec_sql, str(CONE["ra"]), str(CONE["dec"]))}, 6) AS _dist
+             FLOOR(({gc_dist_sql(_ra_sql, _dec_sql, str(CONE["ra"]), str(CONE["dec"]))}) * 1000000.0 + 0.5) / 1000000.0 AS _dist
       FROM lineitem) t
     WHERE _dist < {CONE["radius"]}
     """,
@@ -128,7 +129,7 @@ def q21_crossmatch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("l_left_id").alias("left_id"),
         F.col("r_right_id").alias("right_id"),
-        F.round(F.col("_DIST"), 6).alias("_dist"),
+        round6(F.col("_DIST")).alias("_dist"),
     )
 
 
@@ -150,7 +151,7 @@ register(
                   ROW_NUMBER() OVER (PARTITION BY left_id ORDER BY d, right_id) AS rn
            FROM pairs WHERE d < {XMATCH_DTHRESH}
          )
-    SELECT left_id, right_id, ROUND(d, 6) AS _dist
+    SELECT left_id, right_id, FLOOR(d * 1000000.0 + 0.5) / 1000000.0 AS _dist
     FROM ranked WHERE rn <= {XMATCH_K}
     """,
 )

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lsd2_spark.functions.numeric import round6
 from lsd2_spark.functions.portable_hash import MINHASH_PERMS, MOD, hash64_sql, minhash_term_sql
 from lsd2_spark.operators import dedup, multimodal, text_analysis
 from lsd2_spark.queries import load_table, register
@@ -162,7 +163,7 @@ register(
       GROUP BY 1, 2
     )
     SELECT id1, id2,
-           ROUND(CAST(shared AS DOUBLE) / (s1.n_grams + s2.n_grams - shared), 6) AS jaccard
+           FLOOR((CAST(shared AS DOUBLE) / (s1.n_grams + s2.n_grams - shared)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
     FROM shared JOIN sizes s1 ON s1.doc_id = id1
                 JOIN sizes s2 ON s2.doc_id = id2
     """,
@@ -223,8 +224,8 @@ register(
            length(text) AS n_chars_obs,
            len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
            len(list_distinct(regexp_split_to_array(text, '\\s+'))) AS n_uniq_tokens,
-           ROUND(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-                 / len(regexp_split_to_array(text, '\\s+')), 6) AS avg_token_len,
+           FLOOR((CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                 / len(regexp_split_to_array(text, '\\s+'))) * 1000000.0 + 0.5) / 1000000.0 AS avg_token_len,
            CAST(len(regexp_extract_all(text, '{text_analysis.BPE_TOKEN_RE.replace("'", "''")}')) AS INTEGER)
              AS n_bpe_tokens
     FROM documents
@@ -268,11 +269,11 @@ register(
       FROM t
     )
     SELECT doc_id,
-           ROUND(stop_share, 6) AS stopword_share,
-           ROUND(diversity, 6) AS lexical_diversity,
-           ROUND(40.0 * diversity + 30.0 * stop_share + 30.0 * length_ok, 6) AS quality,
-           CASE WHEN ROUND(40.0 * diversity + 30.0 * stop_share + 30.0 * length_ok, 6) >= 60 THEN 'good'
-                WHEN ROUND(40.0 * diversity + 30.0 * stop_share + 30.0 * length_ok, 6) >= 30 THEN 'ok'
+           FLOOR((stop_share) * 1000000.0 + 0.5) / 1000000.0 AS stopword_share,
+           FLOOR((diversity) * 1000000.0 + 0.5) / 1000000.0 AS lexical_diversity,
+           FLOOR((40.0 * diversity + 30.0 * stop_share + 30.0 * length_ok) * 1000000.0 + 0.5) / 1000000.0 AS quality,
+           CASE WHEN FLOOR((40.0 * diversity + 30.0 * stop_share + 30.0 * length_ok) * 1000000.0 + 0.5) / 1000000.0 >= 60 THEN 'good'
+                WHEN FLOOR((40.0 * diversity + 30.0 * stop_share + 30.0 * length_ok) * 1000000.0 + 0.5) / 1000000.0 >= 30 THEN 'ok'
                 ELSE 'spam' END AS bucket,
            {', '.join('hits_' + l for l in _langs)},
            {_label} AS lang_pred
@@ -372,7 +373,7 @@ register(
     ), stats AS (
       SELECT f.doc_id,
              CAST(SUM(f.n * f.c) AS DOUBLE) / SUM(f.n) AS feat_mean,
-             ROUND(-SUM((f.n / CAST(d.L AS DOUBLE)) * log2(f.n / CAST(d.L AS DOUBLE))), 6)
+             FLOOR((-SUM((f.n / CAST(d.L AS DOUBLE)) * log2(f.n / CAST(d.L AS DOUBLE)))) * 1000000.0 + 0.5) / 1000000.0
                AS feat_entropy
       FROM freq f JOIN (SELECT doc_id, length(text) AS L FROM documents) d
         ON d.doc_id = f.doc_id
@@ -429,7 +430,7 @@ register(
     ), stats AS (
       SELECT doc_id,
              CAST(SUM(n * c) AS DOUBLE) / 480 AS feat_mean,
-             ROUND(-SUM((n / 480.0) * log2(n / 480.0)), 6) AS feat_entropy
+             FLOOR((-SUM((n / 480.0) * log2(n / 480.0))) * 1000000.0 + 0.5) / 1000000.0 AS feat_entropy
       FROM freq GROUP BY doc_id
     )
     SELECT p.doc_id AS media_id, CAST(493 AS INTEGER) AS n_bytes,
@@ -788,7 +789,7 @@ def q58_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = weighted_sample(docs, "doc_id", "wt", _WS_N, strata_col="source")
     return out.select(
         "doc_id", "source",
-        F.round(F.col("priority"), 6).alias("priority"),
+        round6(F.col("priority")).alias("priority"),
         F.col("rnk").cast("int").alias("rnk"),
     )
 
@@ -808,7 +809,7 @@ def _weighted_sample_oracle() -> str:
                                 ORDER BY priority DESC, doc_id ASC) AS rnk
       FROM w
     )
-    SELECT doc_id, source, ROUND(priority, 6) AS priority,
+    SELECT doc_id, source, FLOOR((priority) * 1000000.0 + 0.5) / 1000000.0 AS priority,
            CAST(rnk AS INTEGER) AS rnk
     FROM r WHERE rnk <= {_WS_N}
     """
@@ -949,7 +950,7 @@ _Q62_SQL = """
     ), ls AS (
       SELECT doc_id,
              CAST(SUM(c) AS INTEGER) AS n_lines,
-             ROUND(CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c), 6) AS dup_line_frac,
+             FLOOR((CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c)) * 1000000.0 + 0.5) / 1000000.0 AS dup_line_frac,
              SUM((c - 1) * length(line)) AS dup_chars,
              SUM(c * length(line)) AS line_chars
       FROM lc GROUP BY doc_id
@@ -972,13 +973,13 @@ _Q62_SQL = """
       WHERE rn = 1
     )
     SELECT ls.doc_id, ls.n_lines, ls.dup_line_frac,
-           ROUND(CASE WHEN ls.line_chars > 0
+           FLOOR((CASE WHEN ls.line_chars > 0
                       THEN CAST(ls.dup_chars AS DOUBLE) / ls.line_chars
-                      ELSE 0.0 END, 6) AS dup_line_char_frac,
+                      ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS dup_line_char_frac,
            tb.top_bigram,
            COALESCE(tb.top_bigram_n, 0) AS top_bigram_n,
-           ROUND(COALESCE(CAST(tb.top_bigram_n * length(tb.top_bigram) AS DOUBLE)
-                          / nullif(tok.n_chars, 0), 0.0), 6) AS top_bigram_char_frac
+           FLOOR((COALESCE(CAST(tb.top_bigram_n * length(tb.top_bigram) AS DOUBLE)
+                          / nullif(tok.n_chars, 0), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS top_bigram_char_frac
     FROM ls
     LEFT JOIN tb ON tb.doc_id = ls.doc_id
     JOIN tok ON tok.doc_id = ls.doc_id
@@ -1064,7 +1065,7 @@ _Q64_SQL = f"""
       FROM t
     )
     SELECT source, seq_id, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
-           ROUND(SUM(n_tok) / {_SEQ_LEN}.0, 6) AS fill_frac,
+           SUM(n_tok) / {_SEQ_LEN}.0 AS fill_frac,
            MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
     FROM a GROUP BY source, seq_id
     """
