@@ -166,6 +166,78 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # 10x crossmatch scale probe (VERDICT r6 item 8): replicate the q21
+    # inputs 10x with deterministic jitter so cell-pairing skew and the
+    # kernel's behavior under a 10x density step show up in a committed
+    # artifact before anyone runs this at 100x.  Stage timings separate
+    # "plan" (cell assignment + pair planning, the driver-side risk)
+    # from the full kernel execution.
+    x10 = {}
+    try:
+        import lsd2_spark.healpix as hpx
+        from lsd2_spark.operators.crossmatch import crossmatch_dataframes
+        from lsd2_spark.queries.spatial import (
+            XMATCH_DTHRESH,
+            XMATCH_K,
+            _XMATCH_ORDER,
+        )
+
+        def replicate(df, id_col):
+            rep = spark.range(10).select(F.col("id").alias("_rep"))
+            return df.crossJoin(F.broadcast(rep)).select(
+                (F.col(id_col) * 10 + F.col("_rep")).alias(id_col),
+                # ~0.5 arcsec deterministic jitter per replica keeps the
+                # sky density 10x without creating exact-duplicate coords
+                ((F.col("ra") + F.col("_rep") * 0.00013) % 360.0).alias("ra"),
+                F.least(
+                    F.lit(89.99),
+                    F.greatest(
+                        F.lit(-89.99), F.col("dec") + F.col("_rep") * 0.00011
+                    ),
+                ).alias("dec"),
+            )
+
+        left10 = replicate(
+            spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+                F.col("c_custkey").alias("left_id"),
+                derive_ra(F.col("c_custkey")).alias("ra"),
+                derive_dec(F.col("c_custkey")).alias("dec"),
+            ),
+            "left_id",
+        )
+        right10 = replicate(
+            spark.read.parquet(f"{SF_DIR}/part.parquet").select(
+                F.col("p_partkey").alias("right_id"),
+                derive_ra(F.col("p_partkey")).alias("ra"),
+                derive_dec(F.col("p_partkey")).alias("dec"),
+            ),
+            "right_id",
+        )
+        n_l, n_r = left10.count(), right10.count()
+        full_sky = {_XMATCH_ORDER: list(range(hpx.npix(_XMATCH_ORDER)))}
+
+        t0 = time.perf_counter()
+        out10 = crossmatch_dataframes(
+            left10, right10, full_sky, full_sky,
+            l_ra="ra", l_dec="dec", l_id="left_id",
+            r_ra="ra", r_dec="dec", r_id="right_id",
+            n_neighbors=XMATCH_K, dthresh=XMATCH_DTHRESH,
+            left_name="l", right_name="r",
+        )
+        plan_dt = time.perf_counter() - t0  # driver-side planning only
+        t0 = time.perf_counter()
+        n_pairs = out10.count()
+        exec_dt = time.perf_counter() - t0
+        x10 = {
+            "left_rows": int(n_l),
+            "right_rows": int(n_r),
+            "pairs": int(n_pairs),
+            "plan_sec": round(plan_dt, 3),
+            "exec_sec": round(exec_dt, 3),
+        }
+    except Exception as e:  # never let the probe break the artifact
+        x10 = {"error": str(e)[:200]}
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "headline_query_wall_time",
@@ -175,6 +247,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
         "repeats": REPEATS,
         "streaming": streaming,
+        "crossmatch_x10": x10,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }

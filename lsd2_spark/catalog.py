@@ -671,6 +671,158 @@ class Catalog:
         assigned.unpersist()
         return cat
 
+    def _delete_intent_path(self) -> str:
+        return f"{self.path}/{self.meta.cat_name}_delete_intent.json"
+
+    def _purge_halo_orphans(self) -> None:
+        """Remove ``neighbor/`` rows whose source id no longer exists in
+        the catalog (full live-id ``left_anti`` join — the fallback and
+        crash-recovery path; the common case predicate-pushes instead,
+        see :meth:`delete`)."""
+        spark, meta = self.spark, self.meta
+        if not os.path.exists(f"{self.path}/neighbor"):
+            return
+        neigh = spark.read.parquet(f"{self.path}/neighbor")
+        live_ids = self.df([meta.id_kw]).select(meta.id_kw)
+        halo_touched = [
+            (int(r["Norder"]), int(r["Npix"]))
+            for r in neigh.join(live_ids, meta.id_kw, "left_anti")
+            .select("Norder", "Npix")
+            .distinct()
+            .collect()
+        ]
+        if not halo_touched:
+            return
+        hk = F.col("Norder").cast("long") * F.lit(1 << 40) + F.col(
+            "Npix"
+        ).cast("long")
+        hpred = hk.isin([(o << 40) + p for o, p in halo_touched])
+        halo_keep = (
+            neigh.filter(hpred)
+            .join(live_ids, meta.id_kw, "left_semi")
+            .withColumn("Dir", F.col("Dir").cast("long"))
+        )
+        self._overwrite_halo_cells(halo_keep, halo_touched)
+
+    def _overwrite_halo_cells(self, halo_keep, halo_touched) -> None:
+        """Dynamic-overwrite the kept halo rows and remove emptied halo
+        partition directories."""
+        import shutil
+
+        spark = self.spark
+        halo_survivors = {
+            (int(r["Norder"]), int(r["Npix"]))
+            for r in halo_keep.groupBy("Norder", "Npix").count().collect()
+        }
+        prev_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                halo_keep.write.mode("overwrite")
+                .partitionBy("Norder", "Dir", "Npix")
+                .parquet(f"{self.path}/neighbor")
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+        for o, p in halo_touched:
+            if (o, p) not in halo_survivors:
+                d = int(_dir_value(p))
+                shutil.rmtree(
+                    f"{self.path}/neighbor/Norder={o}/Dir={d}/Npix={p}",
+                    ignore_errors=True,
+                )
+
+    def _commit_meta(self, new_meta: "CatalogMetadata") -> None:
+        """Atomic-rename metadata commit (the commit point)."""
+        meta_path = f"{self.path}/{new_meta.cat_name}_meta.json"
+        tmp_path = f"{meta_path}.tmp"
+        with open(tmp_path, "w") as f:
+            f.write(new_meta.to_json())
+        os.replace(tmp_path, meta_path)
+
+    def _reconcile_delete_intent(self) -> "Catalog":
+        """Converge a crashed delete.  The write-ahead intent marker
+        records the touched cells, their pre-delete row count, and the
+        committed ``n_sources``; whatever crash window the previous
+        delete died in (before, during, or after the data overwrite),
+        recounting the marker cells on disk gives
+
+            n_sources = committed + rows_now_in_cells - pre_touched
+
+        exactly — the same accounting append uses.  Emptied directories,
+        the coverage map, and orphaned halo rows are re-derived from the
+        disk state; every step is idempotent, so a crash during
+        reconciliation just reconciles again."""
+        import shutil
+
+        spark, meta = self.spark, self.meta
+        intent_path = self._delete_intent_path()
+        try:
+            with open(intent_path) as f:
+                intent = json.loads(f.read())
+        except (OSError, ValueError):
+            try:
+                os.remove(intent_path)
+            except FileNotFoundError:
+                pass
+            return self
+        touched = [(int(o), int(p)) for o, p in intent["touched"]]
+        pre_touched = int(intent["pre_touched"])
+        committed = int(intent["committed_n_sources"])
+
+        cell_key = F.col("Norder").cast("long") * F.lit(1 << 40) + F.col(
+            "Npix"
+        ).cast("long")
+        touched_pred = cell_key.isin([(o << 40) + p for o, p in touched])
+        now = (
+            self.df()
+            .filter(touched_pred)
+            .groupBy("Norder", "Npix")
+            .count()
+            .collect()
+        )
+        after_touched = int(sum(r["count"] for r in now))
+        survivors = {(int(r["Norder"]), int(r["Npix"])) for r in now}
+
+        hips = {o: sorted(ps) for o, ps in meta.hips.items()}
+        for o, p in touched:
+            if (o, p) in survivors:
+                continue
+            d = int(_dir_value(p))
+            shutil.rmtree(
+                f"{self.path}/catalog/Norder={o}/Dir={d}/Npix={p}",
+                ignore_errors=True,
+            )
+            if o in hips and p in hips[o]:
+                hips[o] = [x for x in hips[o] if x != p]
+                if not hips[o]:
+                    del hips[o]
+
+        new_meta = CatalogMetadata(
+            cat_name=meta.cat_name,
+            ra_kw=meta.ra_kw,
+            dec_kw=meta.dec_kw,
+            id_kw=meta.id_kw,
+            n_sources=committed + after_touched - pre_touched,
+            pix_threshold=meta.pix_threshold,
+            order_k=meta.order_k,
+            margin_threshold=meta.margin_threshold,
+            hips=hips,
+            last_batch_id=meta.last_batch_id,
+        )
+        cat = Catalog(spark, self.path, new_meta)
+        cat._purge_halo_orphans()
+        cat._commit_meta(new_meta)
+        try:
+            os.remove(intent_path)
+        except FileNotFoundError:
+            pass
+        return cat
+
     def delete(self, predicate: "str | Column") -> "Catalog":
         """Delete matching rows (the privacy / right-to-be-forgotten
         pass a training-data catalog needs; the reference can only
@@ -679,21 +831,38 @@ class Catalog:
         fully-emptied cells have their partition directories removed
         (dynamic overwrite cannot clear a partition it emits no rows
         for) and leave the coverage map.  Matching sources' halo rows
-        are purged from ``neighbor/`` the same way.
+        are purged from ``neighbor/`` the same way — by pushing the
+        SAME predicate down to the halo scan when its columns exist in
+        the halo schema (halo rows carry the source columns, so this is
+        the common case and touches only matching halo cells); only a
+        predicate over columns the halo lacks falls back to the
+        full-catalog live-id anti-join.
 
-        Deletes are naturally idempotent (a replayed predicate matches
-        nothing), so there is no batch/commit machinery; the metadata
-        rewrite is still an atomic rename, last.  A crash between data
-        rewrite and metadata commit leaves ``n_sources`` overcounting
-        until the delete is re-run or the catalog re-imported.
+        NULL predicate rows are KEPT (a predicate that cannot decide a
+        row must not delete it): match accounting counts only
+        pred=TRUE rows and the keep filter uses NOT coalesce(pred,
+        FALSE), so both sides agree.
+
+        Crash safety mirrors ``append``: a write-ahead intent marker
+        (atomic rename, written before the first data mutation) records
+        the touched cells, their pre-delete row count, and the
+        committed ``n_sources``.  The metadata rename is the commit
+        point; a crash anywhere before it leaves the marker in place,
+        and the next ``delete`` (or ``fsck(repair=True)``) replays it —
+        recounting the marker cells makes ``n_sources``, the coverage
+        map, emptied directories, and halo orphans converge in every
+        crash window.
         """
         spark = self.spark
+        if os.path.exists(self._delete_intent_path()):
+            return self._reconcile_delete_intent().delete(predicate)
         meta = self.meta
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        pred_true = F.coalesce(pred, F.lit(False))
 
-        # plan-sized: per-cell match counts → touched cells + n_deleted
+        # plan-sized: per-cell match counts -> touched cells + n_deleted
         match_counts = (
-            self.df().filter(pred).groupBy("Norder", "Npix").count().collect()
+            self.df().filter(pred_true).groupBy("Norder", "Npix").count().collect()
         )
         if not match_counts:
             return self
@@ -704,7 +873,7 @@ class Catalog:
             "Npix"
         ).cast("long")
         touched_pred = cell_key.isin([(o << 40) + p for o, p in touched])
-        keep = self.df().filter(touched_pred).filter(~pred)
+        keep = self.df().filter(touched_pred).filter(~pred_true)
         data_cols = [
             c for c in keep.columns if c not in ("Norder", "Dir", "Npix", "_ID")
         ]
@@ -714,6 +883,25 @@ class Catalog:
             F.col("Npix").cast("long").alias("Npix"),
             F.col("Dir").cast("long").alias("Dir"),
         )
+
+        # write-ahead intent: BEFORE the first mutation, so any crash
+        # below is replayable (pre_touched = keep + deleted, counted
+        # from the same snapshot the keep-plan reads)
+        intent_path = self._delete_intent_path()
+        keep_counts = keep.groupBy("Norder", "Npix").count().collect()
+        n_kept = int(sum(r["count"] for r in keep_counts))
+        tmp = intent_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "touched": sorted(touched),
+                    "pre_touched": n_kept + n_deleted,
+                    "committed_n_sources": meta.n_sources,
+                },
+                f,
+            )
+        os.replace(tmp, intent_path)
+
         from pyspark.sql.types import StructField, StructType
 
         out_schema = StructType(
@@ -722,11 +910,7 @@ class Catalog:
         indexed = keep.groupBy("Norder", "Npix").applyInPandas(
             _index_and_sort_kernel(meta.ra_kw, meta.dec_kw), out_schema
         )
-        # which touched cells still have rows after the delete?
-        survivors = {
-            (int(r["Norder"]), int(r["Npix"]))
-            for r in keep.groupBy("Norder", "Npix").count().collect()
-        }
+        survivors = {(int(r["Norder"]), int(r["Npix"])) for r in keep_counts}
         prev_mode = spark.conf.get(
             "spark.sql.sources.partitionOverwriteMode", "static"
         )
@@ -756,53 +940,59 @@ class Catalog:
                 if not hips[o]:
                     del hips[o]
 
-        # purge halo rows of deleted sources (their ids no longer exist)
+        # purge halo rows of deleted sources.  Fast path: halo rows
+        # carry the source columns, so when the predicate analyzes
+        # against the halo schema, filter neighbor/ directly — a
+        # predicate-pushed scan touching only matching halo cells, no
+        # full-catalog id scan, no catalog-sized shuffle join.
         if os.path.exists(f"{self.path}/neighbor"):
             neigh = spark.read.parquet(f"{self.path}/neighbor")
-            live_ids = self.df([meta.id_kw]).select(meta.id_kw)
-            halo_touched = [
-                (int(r["Norder"]), int(r["Npix"]))
-                for r in neigh.join(live_ids, meta.id_kw, "left_anti")
-                .select("Norder", "Npix")
-                .distinct()
-                .collect()
-            ]
-            if halo_touched:
-                hk = F.col("Norder").cast("long") * F.lit(1 << 40) + F.col(
-                    "Npix"
-                ).cast("long")
-                hpred = hk.isin([(o << 40) + p for o, p in halo_touched])
-                halo_keep = (
-                    neigh.filter(hpred)
-                    .join(live_ids, meta.id_kw, "left_semi")
-                    .withColumn("Dir", F.col("Dir").cast("long"))
-                )
-                halo_survivors = {
+            # pushdown is safe ONLY for predicates over source data
+            # columns: Norder/Dir/Npix/_ID in neighbor/ are the HALO
+            # cell's coordinates, not the source's home cell, so a
+            # predicate touching them means something different there.
+            # Probe analysis against the stripped (source-columns-only)
+            # view; failure -> structural/unknown reference -> fallback.
+            halo_pred = None
+            from pyspark.sql.types import StructType as _ST
+
+            src_schema = _ST(
+                [f for f in neigh.schema.fields
+                 if f.name not in ("Norder", "Dir", "Npix", "_ID")]
+            )
+            # probe against a lineage-free empty relation: a projection
+            # of neigh would NOT fail analysis (Spark resolves missing
+            # filter references through a Project), but a LocalRelation
+            # only exposes its own schema
+            probe = spark.createDataFrame([], src_schema)
+            try:
+                halo_pred = F.coalesce(pred, F.lit(False))
+                probe.filter(halo_pred).schema  # force analysis
+            except Exception:
+                halo_pred = None
+            if halo_pred is not None:
+                halo_touched = [
                     (int(r["Norder"]), int(r["Npix"]))
-                    for r in halo_keep.groupBy("Norder", "Npix")
-                    .count()
+                    for r in neigh.filter(halo_pred)
+                    .select("Norder", "Npix")
+                    .distinct()
                     .collect()
-                }
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
-                )
-                try:
-                    (
-                        halo_keep.write.mode("overwrite")
-                        .partitionBy("Norder", "Dir", "Npix")
-                        .parquet(f"{self.path}/neighbor")
+                ]
+                if halo_touched:
+                    hk = F.col("Norder").cast("long") * F.lit(1 << 40) + F.col(
+                        "Npix"
+                    ).cast("long")
+                    hcells = hk.isin([(o << 40) + p for o, p in halo_touched])
+                    halo_keep = (
+                        neigh.filter(hcells)
+                        .filter(~halo_pred)
+                        .withColumn("Dir", F.col("Dir").cast("long"))
                     )
-                finally:
-                    spark.conf.set(
-                        "spark.sql.sources.partitionOverwriteMode", prev_mode
-                    )
-                for o, p in halo_touched:
-                    if (o, p) not in halo_survivors:
-                        d = int(_dir_value(p))
-                        shutil.rmtree(
-                            f"{self.path}/neighbor/Norder={o}/Dir={d}/Npix={p}",
-                            ignore_errors=True,
-                        )
+                    self._overwrite_halo_cells(halo_keep, halo_touched)
+            else:
+                # predicate references columns the halo schema lacks:
+                # fall back to the live-id anti-join (correct, heavier)
+                Catalog(spark, self.path, meta)._purge_halo_orphans()
 
         new_meta = CatalogMetadata(
             cat_name=meta.cat_name,
@@ -816,11 +1006,11 @@ class Catalog:
             hips=hips,
             last_batch_id=meta.last_batch_id,
         )
-        meta_path = f"{self.path}/{meta.cat_name}_meta.json"
-        tmp_path = f"{meta_path}.tmp"
-        with open(tmp_path, "w") as f:
-            f.write(new_meta.to_json())
-        os.replace(tmp_path, meta_path)
+        self._commit_meta(new_meta)
+        try:
+            os.remove(intent_path)
+        except FileNotFoundError:
+            pass
         return Catalog(spark, self.path, new_meta)
 
     def fsck(self, repair: bool = False) -> dict:
@@ -837,8 +1027,9 @@ class Catalog:
 
         Everything driver-side is plan-sized (cell lists, scalar
         counts).  ``repair=True`` rewrites the metadata (atomic
-        rename) so ``n_sources`` and the coverage map match the disk —
-        it never touches data files.  Returns the report dict; after a
+        rename) so ``n_sources`` and the coverage map match the disk,
+        purges orphaned halo rows, and clears a stale delete-intent
+        marker — live catalog rows are never modified.  Returns the report dict; after a
         repair the report reflects the PRE-repair state plus
         ``repaired=True``.
         """
@@ -886,15 +1077,34 @@ class Catalog:
             "duplicate_ids": dup_ids,
             "bad_rank_pixels": rank_bad,
             "orphan_halo_rows": orphan_halo,
+            "stale_delete_intent": os.path.exists(self._delete_intent_path()),
             "consistent": (
                 meta.n_sources == n_rows
                 and meta_cells == disk_cells
                 and dup_ids == 0
                 and rank_bad == 0
                 and orphan_halo == 0
+                and not os.path.exists(self._delete_intent_path())
             ),
             "repaired": False,
         }
+        if repair and orphan_halo:
+            # a crashed delete can leave halo rows whose source ids are
+            # gone; purging them is part of restoring consistency (the
+            # only data files repair touches — live rows are never
+            # modified, only orphaned halo copies removed)
+            self._purge_halo_orphans()
+            report["repaired"] = True
+        if repair and report["stale_delete_intent"]:
+            # a crashed delete left its write-ahead marker: the disk
+            # recount below is strictly more authoritative than the
+            # marker's accounting, so the metadata rewrite supersedes
+            # it — drop the marker so the next delete doesn't replay
+            try:
+                os.remove(self._delete_intent_path())
+            except FileNotFoundError:
+                pass
+            report["repaired"] = True
         if repair and (
             meta.n_sources != n_rows or meta_cells != disk_cells
         ):

@@ -327,7 +327,10 @@ def blocklist_filter(
         raise ValueError("empty blocklist")
     t = _tokens(F.lower(F.col(text_col)))
     lowered = [x.lower() for x in terms]
-    hits = F.size(F.filter(t, lambda x: x.isin(lowered)))
+    # coalesce: NULL text yields F.size(NULL) = NULL, and NULL <= max_hits
+    # would silently drop the row — total like lm_score/bpe_encode/
+    # decontaminate, a NULL-text doc has zero blocked hits and is kept
+    hits = F.coalesce(F.size(F.filter(t, lambda x: x.isin(lowered))), F.lit(0))
     return df.withColumn("n_blocked_hits", hits).filter(
         F.col("n_blocked_hits") <= max_hits
     )

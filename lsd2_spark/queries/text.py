@@ -1111,9 +1111,9 @@ register(
 
 
 # ---------------------------------------------------------------------------
-# Q66 — banded hamming near-dup join over the 16-bit simhash: integer
+# Q66 — banded hamming near-dup join over the 32-bit simhash: integer
 # domain end-to-end, so the generic pigeonhole-banded join is
-# hash-gated exactly (4 bands of 4 bits, distance budget 3).
+# hash-gated exactly (4 bands of 8 bits, distance budget 3).
 # ---------------------------------------------------------------------------
 
 _HAM_MAX = 3

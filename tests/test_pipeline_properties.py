@@ -139,3 +139,60 @@ def test_hamming_neardup_pairs_is_complete(spark, hashes, budget):
         if ham(hashes[i], hashes[j]) <= budget
     }
     assert got == want
+
+
+def test_hamming_neardup_pairs_remainder_band_width(spark):
+    """bits=60 with max_hamming=6 makes 7 bands of 8 bits plus a 12-bit
+    REMAINDER band (60 = 7*8 + 4 extra absorbed by the last band) — the
+    mask branch every gated use dodges because their widths divide
+    evenly.  Pigeonhole completeness vs the O(n^2) oracle, with planted
+    pairs that differ ONLY inside the remainder band (the regression
+    that a wrong last-band mask would miss) and decoys at budget+1."""
+    import random
+
+    from lsd2_spark.operators.dedup import hamming_neardup_pairs
+
+    rng = random.Random(60)
+    bits, budget = 60, 6
+    base = [rng.getrandbits(bits) for _ in range(40)]
+    hashes = list(base)
+    # planted: flip 1..6 bits strictly inside the top (remainder) band
+    # [48, 60), one per victim
+    top_band_positions = list(range(48, 60))
+    for k in range(1, budget + 1):
+        h = base[k]
+        for pos in rng.sample(top_band_positions, k):
+            h ^= 1 << pos
+        hashes.append(h)
+    # decoy: budget+1 flips spread over remainder band + low bands
+    d = base[10]
+    for pos in [50, 55, 59, 3, 17, 33, 41]:
+        d ^= 1 << pos
+    hashes.append(d)
+
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hashes)], "doc_id long, h long"
+    )
+    got = {
+        (r["id1"], r["id2"]): r["hamming"]
+        for r in hamming_neardup_pairs(
+            df, "doc_id", "h", bits=bits, max_hamming=budget
+        ).collect()
+    }
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    want = {
+        (i, j): ham(hashes[i], hashes[j])
+        for i in range(len(hashes))
+        for j in range(i + 1, len(hashes))
+        if ham(hashes[i], hashes[j]) <= budget
+    }
+    assert got == want
+    # the planted remainder-band pairs are specifically present
+    n = len(base)
+    for k in range(1, budget + 1):
+        assert got.get((k, n + k - 1)) == k
+    # and the budget+1 decoy is specifically absent
+    assert not any(10 in p and len(hashes) - 1 in p for p in got)

@@ -88,3 +88,30 @@ def test_registration_puts_similarity_first():
         "q44_lsh_ann",
         "q45_embedding_neardup",
     ]
+
+
+def test_every_oracle_runs_under_vanilla_duckdb():
+    """A driver-side DuckDB swap must not break oracle parsing: every
+    oracle must PREPARE (parse + bind + plan) on a fresh, extension-free
+    in-memory DuckDB connection against empty tables with the real
+    schemas.  (Full value checks run in test_queries_oracle.py; this
+    guards the parse/bind surface itself, cheaply.)"""
+    import duckdb
+
+    from lsd2_spark.queries import TABLES
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in TABLES:
+        # zero-row views with the genuine parquet schemas: binding is
+        # fully exercised, evaluation cost is nil
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf}/{t}.parquet') WHERE 1 = 0"
+        )
+    for name, sql in sorted(all_oracles().items()):
+        try:
+            con.execute(sql).fetchall()
+        except Exception as e:  # pragma: no cover
+            raise AssertionError(f"{name}: oracle failed under vanilla DuckDB: {e}")
+    con.close()

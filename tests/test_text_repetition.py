@@ -137,3 +137,19 @@ def test_blocklist_filter_counts_and_gates(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         blocklist_filter(df, "text", "doc_id", [])
+
+
+def test_blocklist_filter_keeps_null_text(spark):
+    """Totality convention: lm_score/bpe_encode/decontaminate all keep
+    NULL-text rows; blocklist_filter must too (a NULL doc has zero
+    blocked hits), not silently drop them via NULL <= max_hits."""
+    from lsd2_spark.operators.text_analysis import blocklist_filter
+
+    df = spark.createDataFrame(
+        [(1, "clean text"), (2, None), (3, "the badword")],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"]: r["n_blocked_hits"] for r in blocklist_filter(
+        df, "text", "doc_id", ["badword"]
+    ).collect()}
+    assert kept == {1: 0, 2: 0}
