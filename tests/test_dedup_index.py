@@ -1,0 +1,203 @@
+"""Incremental dedup against a persistent index (DedupIndex):
+build → probe → update → probe across batches, exact + near paths,
+NULL totality, band-partition pruning, and foreachBatch streaming
+composition."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lsd2_spark.operators.dedup_index import DedupIndex
+
+_BASE = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "pack my box with five dozen liquor jugs before the long voyage"),
+    (3, "how vexingly quick daft zebras jump across the frozen meadow today"),
+    (4, "sphinx of black quartz judge my vow under the ancient moonlight"),
+]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture()
+def index(spark, tmp_path):
+    return DedupIndex.build(
+        _df(spark, _BASE), "text", "doc_id", str(tmp_path / "idx")
+    )
+
+
+def test_probe_flags_exact_and_near_dups(spark, index):
+    batch = [
+        # exact copy of doc 1
+        (10, "the quick brown fox jumps over the lazy dog near the river bank"),
+        # near copy of doc 2 (one word changed)
+        (11, "pack my box with five dozen liquor jugs before the long journey"),
+        # genuinely fresh
+        (12, "completely unrelated sentence about distributed query planning engines"),
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in index.probe(_df(spark, batch), threshold=0.5).collect()
+    }
+    assert got[10]["exact_dup_of"] == 1
+    assert got[11]["exact_dup_of"] is None
+    assert got[11]["near_dup_of"] == 2
+    assert got[11]["est_jaccard"] >= 0.5
+    assert got[12]["exact_dup_of"] is None
+    assert got[12]["near_dup_of"] is None
+    # exact dups are also near dups (identical signatures)
+    assert got[10]["near_dup_of"] == 1
+    assert got[10]["est_jaccard"] == 1.0
+
+
+def test_update_extends_the_corpus(spark, index):
+    """After accepting a batch, later batches dedup against it too —
+    the whole point of the incremental index."""
+    fresh = [(20, "a brand new document about sequence packing and token budgets")]
+    index.update(_df(spark, fresh))
+
+    batch2 = [
+        # exact copy of the batch-1 doc (NOT in the original corpus)
+        (30, "a brand new document about sequence packing and token budgets"),
+        # near copy of it
+        (31, "a brand new document about sequence packing and token limits"),
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in index.probe(_df(spark, batch2), threshold=0.5).collect()
+    }
+    assert got[30]["exact_dup_of"] == 20
+    assert got[31]["exact_dup_of"] is None
+    assert got[31]["near_dup_of"] == 20
+
+
+def test_repeated_update_same_hash_keeps_min_canonical(spark, index):
+    """Re-appending content that is already indexed must not change
+    which id is canonical (min wins at read time)."""
+    dup_of_1 = [(40, "the quick brown fox jumps over the lazy dog near the river bank")]
+    index.update(_df(spark, dup_of_1))  # same hash as doc 1, larger id
+    got = {
+        r["doc_id"]: r["exact_dup_of"]
+        for r in index.probe(
+            _df(spark, [(50, "the quick brown fox jumps over the lazy dog near the river bank")])
+        ).collect()
+    }
+    assert got[50] == 1  # min(1, 40)
+
+
+def test_probe_is_total_over_null_text(spark, index):
+    rows = [(60, None), (61, "sphinx of black quartz judge my vow under the ancient moonlight")]
+    got = {r["doc_id"]: r for r in index.probe(_df(spark, rows)).collect()}
+    assert set(got) == {60, 61}
+    assert got[60]["exact_dup_of"] is None
+    assert got[60]["near_dup_of"] is None
+    assert got[61]["exact_dup_of"] == 4
+
+
+def test_probe_matches_self_dedup_semantics(spark, tmp_path):
+    """Index-probe must agree with the batch operator it factors:
+    probing corpus B against index(A) flags exactly the cross-corpus
+    pairs lsh_candidate_pairs finds in A ∪ B (restricted to A×B, at the
+    same signature-agreement threshold)."""
+    from lsd2_spark.operators.dedup import lsh_candidate_pairs
+
+    a = _BASE
+    b = [
+        (101, "the quick brown fox jumps over the lazy dog near the river bend"),
+        (102, "pack my box with five dozen liquor jugs before the long voyage"),
+        (103, "an entirely different text about adaptive query execution in spark"),
+    ]
+    idx = DedupIndex.build(_df(spark, a), "text", "doc_id", str(tmp_path / "idx2"))
+    got = {
+        r["doc_id"]: r["near_dup_of"]
+        for r in idx.probe(_df(spark, b), threshold=0.5).collect()
+    }
+
+    both = lsh_candidate_pairs(_df(spark, a + b), "text", "doc_id")
+    cross = {
+        (r["id1"], r["id2"]): r["jaccard_est"]
+        for r in both.collect()
+        if r["id1"] <= 4 < r["id2"] and r["jaccard_est"] >= 0.5
+    }
+    want = {}
+    for (i, j), sim in cross.items():
+        if j not in want or sim > want[j][1] or (sim == want[j][1] and i < want[j][0]):
+            want[j] = (i, sim)
+    assert {j: w[0] for j, w in want.items()} == {
+        j: g for j, g in got.items() if g is not None
+    }
+
+
+def test_band_join_never_shuffles_the_index(spark, index):
+    """Scale guard: the (band, bucket) probe join must be a broadcast
+    hash join with the PROBE side built — the bands/ index streams
+    through it columnar and unshuffled.  A SortMergeJoin on
+    (band, bucket) would shuffle + sort the full index (at 10^10 docs,
+    ~1.5 TB moved per probe batch) and fails here."""
+    batch = [(70, "the quick brown fox jumps over the lazy dog near the river bank")]
+    out = index.probe(_df(spark, batch))
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin [band" in plan
+    assert "SortMergeJoin [band" not in plan
+
+
+def test_streaming_foreachbatch_composition(spark, index, tmp_path):
+    """The canonical continuous-ingest loop: probe each micro-batch,
+    accept survivors, update the index — later batches dedup against
+    earlier ones' accepted docs."""
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    b1 = [(200, "streaming batch one document about watermark semantics")]
+    b2 = [
+        (201, "streaming batch one document about watermark semantics"),  # dup of 200
+        (202, "a second-batch document that is genuinely novel content here"),
+    ]
+    _df(spark, b1).write.parquet(str(inbox / "f1"))
+    _df(spark, b2).write.parquet(str(inbox / "f2"))
+
+    accepted = []
+
+    def handle(batch_df, _bid):
+        flags = index.probe(batch_df)
+        fresh = batch_df.join(
+            flags.filter("exact_dup_of IS NULL AND near_dup_of IS NULL"),
+            "doc_id",
+            "left_semi",
+        )
+        rows = fresh.collect()
+        if rows:
+            index.update(batch_df.sparkSession.createDataFrame(rows, batch_df.schema))
+            accepted.extend(r["doc_id"] for r in rows)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{inbox}/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(accepted) == [200, 202]  # 201 deduped against batch 1
+
+
+def test_build_rejects_bad_band_count(spark, tmp_path):
+    with pytest.raises(ValueError):
+        DedupIndex.build(_df(spark, _BASE), "text", "doc_id", str(tmp_path / "x"), bands=5)
+
+
+def test_reopen_from_disk(spark, index):
+    """A fresh DedupIndex(path) serves identical probes (engine-neutral
+    on-disk state, no in-memory dependence)."""
+    reopened = DedupIndex(spark, index.path)
+    batch = [(80, "the quick brown fox jumps over the lazy dog near the river bank")]
+    a = index.probe(_df(spark, batch)).collect()
+    b = reopened.probe(_df(spark, batch)).collect()
+    assert a == b
