@@ -24,6 +24,8 @@ __all__ = [
     "weighted_sample",
     "cap_per_stratum",
     "temperature_mixture",
+    "plan_token_mixture",
+    "apply_token_mixture",
 ]
 
 _DENOM = float(1 << 60)
@@ -211,4 +213,112 @@ def temperature_mixture(
     return (
         stratified_sample(df, id_col, fractions, strata_col=strata_col, salt=salt),
         fractions,
+    )
+
+
+def plan_token_mixture(
+    df: DataFrame,
+    strata_col: str,
+    token_count: Column,
+    budget_tokens: int,
+    alpha: float = 0.7,
+    max_epochs: float = 4.0,
+) -> dict:
+    """Token-budget mixture planning — the pre-training question
+    "how do I fill a B-token budget from these sources?" (multinomial
+    ``t_i ∝ n_i^alpha``, each source capped at ``max_epochs`` passes so
+    small sources are up-sampled but never over-repeated; the cap
+    discipline follows the public data-constrained-scaling guidance of
+    Muennighoff et al. 2023, ~4 epochs before repetition stops helping).
+
+    Water-filling: allocate the budget by tempered weight; sources
+    hitting their epoch cap are frozen at it and the remainder is
+    re-allocated over the uncapped pool (repeats <= #sources times,
+    driver-side over #sources numbers).  Returns per-source
+    ``{"tokens": n_i, "target_tokens": t_i, "epochs": t_i/n_i}`` plus
+    ``"_total": {...}``; driver work is ONE plan-sized aggregate
+    (#sources rows), the corpus is never collected.
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    if max_epochs <= 0:
+        raise ValueError("max_epochs must be positive")
+    rows = (
+        df.filter(F.col(strata_col).isNotNull())
+        .groupBy(strata_col)
+        .agg(F.sum(token_count).alias("_tok"))
+        .collect()
+    )
+    tokens = {r[strata_col]: int(r["_tok"]) for r in rows if r["_tok"]}
+    if not tokens:
+        return {"_total": {"budget_tokens": int(budget_tokens), "planned_tokens": 0}}
+
+    alloc: dict = {}
+    pool = dict(tokens)
+    remaining = float(budget_tokens)
+    while pool and remaining > 0:
+        weights = {s: n**alpha for s, n in pool.items()}
+        z = sum(weights.values())
+        capped = {
+            s for s in pool
+            if remaining * weights[s] / z >= max_epochs * pool[s]
+        }
+        if not capped:
+            for s in pool:
+                alloc[s] = remaining * weights[s] / z
+            remaining = 0.0
+            break
+        for s in capped:
+            alloc[s] = max_epochs * pool[s]
+            remaining -= alloc[s]
+            del pool[s]
+    plan = {
+        s: {
+            "tokens": tokens[s],
+            "target_tokens": int(alloc.get(s, 0.0)),
+            "epochs": alloc.get(s, 0.0) / tokens[s],
+        }
+        for s in tokens
+    }
+    plan["_total"] = {
+        "budget_tokens": int(budget_tokens),
+        "planned_tokens": int(sum(alloc.values())),
+        "alpha": alpha,
+        "max_epochs": max_epochs,
+    }
+    return plan
+
+
+def apply_token_mixture(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    plan: dict,
+    salt: str = "",
+) -> DataFrame:
+    """Materialize a :func:`plan_token_mixture` plan: every kept row
+    comes back once per epoch with an ``epoch`` column (0-based) so
+    downstream packing/shuffling can distinguish copies.
+
+    Per row in source i with epochs e_i: floor(e_i) guaranteed copies
+    plus one more iff the row's deterministic uniform (id + salt) is
+    below frac(e_i) — expected per-source token mass = e_i · n_i,
+    reproducible across engines and re-runs.  Pure Column work: one
+    small CASE over sources + one explode; zero shuffle, no RNG
+    state."""
+    sources = [s for s in plan if s != "_total"]
+    if not sources:
+        return df.limit(0).withColumn("epoch", F.lit(0))
+    e = F.lit(None).cast("double")
+    for s in sources:
+        e = F.when(F.col(strata_col) == s, F.lit(float(plan[s]["epochs"]))).otherwise(e)
+    u = deterministic_uniform(F.col(id_col), salt)
+    n_copies = F.floor(e).cast("int") + (u < (e - F.floor(e))).cast("int")
+    return (
+        df.withColumn("_e", e)
+        .filter(F.col("_e").isNotNull())
+        .withColumn("_n", n_copies)
+        .filter(F.col("_n") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+        .drop("_e", "_n")
     )
