@@ -17,10 +17,17 @@ Stages (each one scan/shuffle-bounded; no driver row materialization):
 3. language filter   — n-gram language ID (text_analysis)
 4. exact dedup       — md5 canonical rows (dedup)
 5. fuzzy dedup       — LSH pairs → connected components → survivors
+5b. substring scrub  — optional ExactSubstr-style repeated-span
+                       removal (substring_dedup; one window shuffle)
+5c. model gate       — optional CCNet-style linear quality classifier
+                       (quality_model; pyspark.ml, projection-only
+                       scoring)
 6. decontamination   — drop docs sharing word-5-grams with the
                        held-out eval set (decontam; broadcast join)
-7. source mixing     — deterministic stratified sampling, or a
-                       p∝n^alpha temperature mixture (sampling)
+7. source mixing     — deterministic stratified sampling, a
+                       p∝n^alpha temperature mixture, or an
+                       epoch-capped TOKEN-budget water-fill
+                       (plan_token_mixture; docs replicated per epoch)
 8. splits            — reproducible train/val/test assignment
 9. packing           — concat-and-chunk sequence manifest per source
                        shard (packing; prefix-sum window, no global sort)
@@ -66,8 +73,19 @@ def build_training_corpus(
     blocklist: "list[str] | None" = None,
     lm_reference: DataFrame | None = None,
     min_avg_logp: float = -6.0,
+    scrub_repeated_spans: bool = False,
+    min_span_tokens: int = 8,
+    quality_model=None,
+    min_quality_prob: float = 0.5,
+    token_budget: int | None = None,
+    mixture_alpha: float = 0.7,
+    max_epochs: float = 4.0,
 ) -> DataFrame:
-    """documents(text, doc_id, source) → (doc_id, text, source, split)."""
+    """documents(text, doc_id, source) → (doc_id, text, source, split).
+
+    With ``token_budget`` set, sources are epoch-replicated by the
+    water-fill plan, so a doc_id can appear multiple times (one row per
+    epoch) — by design: that is the training mixture."""
     docs = text_analysis.redact_pii(docs, "text").select(*docs.columns)
     if blocklist:
         docs = text_analysis.blocklist_filter(
@@ -111,12 +129,39 @@ def build_training_corpus(
             F.col("avg_logp") >= min_avg_logp
         )
         kept = kept.join(ok.select("doc_id"), "doc_id", "left_semi")
+    if scrub_repeated_spans:
+        from lsd2_spark.operators import substring_dedup
+
+        cleaned = substring_dedup.remove_repeated_spans(
+            kept, "text", "doc_id", min_tokens=min_span_tokens
+        ).select("doc_id", F.col("clean_text").alias("text"))
+        kept = kept.drop("text").join(cleaned, "doc_id").select(*docs.columns)
+    if quality_model is not None:
+        from lsd2_spark.operators import quality_model as qm
+
+        probs = qm.score_quality(kept, quality_model, "text", "doc_id")
+        kept = kept.join(
+            probs.filter(F.col("quality_prob") >= min_quality_prob).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
     if eval_docs is not None:
         contam = decontam.decontaminate(kept, eval_docs, "text", "doc_id")
         kept = kept.join(
             contam.filter("NOT contaminated").select("doc_id"), "doc_id", "left_semi"
         )
-    if source_fractions == "temperature":
+    if token_budget is not None:
+        # epoch-capped water-fill over TOKENS: small sources up-sampled
+        # (docs replicated per epoch, epoch column kept for packing)
+        tok = F.size(F.split(F.col("text"), r"\s+"))
+        plan = sampling.plan_token_mixture(
+            kept, "source", tok, token_budget,
+            alpha=mixture_alpha, max_epochs=max_epochs,
+        )
+        mixed = sampling.apply_token_mixture(
+            kept, "doc_id", "source", plan
+        ).drop("epoch")
+    elif source_fractions == "temperature":
         # p ∝ n^0.7 tempered mixture computed from the surviving corpus
         mixed, _fractions = sampling.temperature_mixture(
             kept, "doc_id", "source", alpha=0.7

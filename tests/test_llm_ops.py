@@ -436,6 +436,41 @@ def test_training_pipeline_example(spark):
     assert len(manifest) > 0 and (manifest["n_tokens"] > 0).all()
 
 
+def test_training_pipeline_round7_stages(spark):
+    """The round-7 stages compose: substring scrub, model quality gate,
+    and the token-budget mixture all run inside the pipeline and shape
+    the corpus as specified."""
+    import sys as _sys
+    _sys.path.insert(0, "/root/repo")
+    from examples.training_pipeline import build_training_corpus
+
+    from pyspark.sql import functions as SF
+
+    from lsd2_spark.operators.quality_model import train_quality_model
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    qm = train_quality_model(
+        docs.filter(SF.length("text") > 300),
+        docs.filter(SF.length("text") <= 150),
+    )
+    budget = 20_000
+    corpus = build_training_corpus(
+        spark, docs, quality_cutoff=0,
+        scrub_repeated_spans=True, min_span_tokens=8,
+        quality_model=qm, min_quality_prob=0.05,
+        token_budget=budget, max_epochs=4.0,
+    )
+    corpus.cache()
+    assert corpus.count() > 0
+    # token-budget mixture: realized tokens within binomial noise of
+    # min(budget, 4 epochs of everything)
+    tok = SF.size(SF.split(SF.col("text"), r"\s+"))
+    realized = corpus.agg(SF.sum(tok)).collect()[0][0]
+    assert realized <= budget * 1.15
+    assert realized >= budget * 0.5  # the corpus is big enough to fill most of it
+    corpus.unpersist()
+
+
 def test_connected_components_long_chain_converges(spark):
     """A chain-shaped component (diameter >> 4) must fully merge: the
     fixpoint loop keeps going until no label changes, while a
