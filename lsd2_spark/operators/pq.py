@@ -41,7 +41,6 @@ from lsd2_spark.operators.similarity import (
     _l2_assign,
     _probe_dim,
     _valid_vectors,
-    kmeans_centroids,
 )
 
 __all__ = [
@@ -70,26 +69,97 @@ def train_pq(
     sample_stride: int = 1,
     dim: int | None = None,
 ) -> np.ndarray:
-    """Per-subspace codebooks, shape (m, n_codes, dim/m) — ``m``
-    deterministic k-means runs over the sliced subvectors.  Build-once:
-    train on a stride sample at scale."""
+    """Per-subspace codebooks, shape (m, n_codes, dim/m): ``m``
+    independent deterministic k-means (the kmeans_centroids contract —
+    6dp-rounded components, first-n init by id, half-up rounded-L2
+    argmin, exact integer-micro-unit means), FUSED so every iteration
+    is ONE Arrow pass assigning all ``m`` subspaces at once and the
+    shuffle moves m × n_codes partial rows — not ``m`` separate jobs.
+    Bit-identical to running kmeans_centroids per sliced subspace
+    (parity-tested) for corpora without zero-norm subvectors — the
+    fused sample filters on the FULL vector, so a vector whose slice-j
+    happens to be all zeros still trains space j (the per-space path
+    dropped it there; the fused behavior is the consistent one).
+    Build-once: train on a stride sample at scale."""
+    from lsd2_spark.functions.numeric import round6
+
     if dim is None:
         dim = _probe_dim(df, vec_col)
     sub = _check_geometry(dim, m)
-    books = []
-    for j in range(m):
-        sliced = _valid_vectors(df, vec_col, dim).select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), j * sub + 1, sub).alias("_sub"),
-        )
-        books.append(
-            kmeans_centroids(
-                sliced, "_sub", id_col,
-                n_lists=n_codes, n_iters=n_iters,
-                sample_stride=sample_stride, dim=sub,
+    spark = df.sparkSession
+    samp = _valid_vectors(df, vec_col, dim).select(
+        F.col(id_col).alias("_vid"),
+        F.transform(F.col(vec_col), lambda x: round6(x.cast("double"))).alias("_v"),
+    )
+    if sample_stride > 1:
+        samp = samp.filter(F.col("_vid") % sample_stride == 0)
+    samp = samp.cache()
+
+    init_rows = samp.orderBy("_vid").limit(n_codes).collect()
+    full = np.array([r["_v"] for r in init_rows], dtype=np.float64)
+    # cents[space] = n_codes × sub
+    cents = np.stack([full[:, j * sub : (j + 1) * sub] for j in range(m)])
+
+    partial_schema = "_space int, _code int, _cnt long, _smicro array<long>"
+
+    for _ in range(n_iters):
+        bc = spark.sparkContext.broadcast(cents)
+
+        def assign_and_sum(batches):
+            cb = bc.value
+            sums = np.zeros((m, n_codes, sub), dtype=np.int64)
+            cnts = np.zeros((m, n_codes), dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.stack(
+                    [np.asarray(x, dtype=np.float64) for x in pdf["_v"]]
+                )
+                micro = np.rint(mat * 1e6).astype(np.int64)
+                for j in range(m):
+                    sl = slice(j * sub, (j + 1) * sub)
+                    a = np.argmin(_l2_assign(mat[:, sl], cb[j]), axis=1)
+                    np.add.at(sums[j], a, micro[:, sl])
+                    cnts[j] += np.bincount(a, minlength=n_codes)
+            sp, co = np.nonzero(cnts)
+            yield pd.DataFrame(
+                {
+                    "_space": sp.astype(np.int32),
+                    "_code": co.astype(np.int32),
+                    "_cnt": cnts[sp, co],
+                    "_smicro": pd.Series(list(sums[sp, co]), dtype=object),
+                }
             )
+
+        means = (
+            samp.select("_v")
+            .mapInPandas(assign_and_sum, partial_schema)
+            .select(
+                "_space", "_code", "_cnt",
+                F.posexplode("_smicro").alias("_j", "_m"),
+            )
+            .groupBy("_space", "_code", "_j")
+            .agg(
+                (
+                    # same exact-decimal de-scaling as kmeans_centroids:
+                    # order-free integer sums, then one double division
+                    (
+                        F.sum(F.col("_m").cast("decimal(38,0)")).cast(
+                            "decimal(38,6)"
+                        )
+                        / F.lit(1_000_000)
+                    ).cast("double")
+                    / F.sum("_cnt")
+                ).alias("_w")
+            )
+            .collect()
         )
-    return np.stack(books)
+        new = cents.copy()  # empty codes keep their previous centroid
+        for r in means:
+            new[r["_space"], r["_code"], r["_j"]] = r["_w"]
+        cents = new
+    samp.unpersist()
+    return cents
 
 
 def pq_encode(

@@ -58,6 +58,25 @@ def test_train_geometry_and_determinism(corpus, books):
     assert np.array_equal(books, again)
 
 
+def test_fused_training_matches_per_space_kmeans(corpus, books):
+    """The fused one-kernel trainer must be bit-identical to running
+    the deterministic kmeans_centroids independently on each sliced
+    subspace (no zero-norm subvectors in this corpus)."""
+    from lsd2_spark.operators.similarity import kmeans_centroids
+
+    _, df = corpus
+    sub = DIM // M
+    for j in range(M):
+        sliced = df.select(
+            F.col("vec_id"),
+            F.slice(F.col("embedding"), j * sub + 1, sub).alias("_sub"),
+        )
+        ref = kmeans_centroids(
+            sliced, "_sub", "vec_id", n_lists=CODES, n_iters=2, dim=sub
+        )
+        assert np.array_equal(books[j], ref), f"subspace {j}"
+
+
 def test_encode_codes_and_totality(spark, corpus, books):
     _, df = corpus
     bad = spark.createDataFrame(
