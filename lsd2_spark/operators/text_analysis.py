@@ -26,6 +26,8 @@ __all__ = [
     "repetition_stats",
     "redact_pii",
     "blocklist_filter",
+    "token_frequency_profile",
+    "vocab_coverage",
     "PII_PATTERNS",
     "LANG_MARKERS",
 ]
@@ -333,4 +335,82 @@ def blocklist_filter(
     hits = F.coalesce(F.size(F.filter(t, lambda x: x.isin(lowered))), F.lit(0))
     return df.withColumn("n_blocked_hits", hits).filter(
         F.col("n_blocked_hits") <= max_hits
+    )
+
+
+def token_frequency_profile(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_k: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary report: the exact ``top_k`` tokens by
+    occurrence count with document frequency and cumulative corpus
+    share — the "what does my tokenizer need to cover" profile.
+
+    Plan shape: one explode + groupBy(token) (Catalyst's partial
+    map-side combine absorbs the heavy hitters before the shuffle —
+    that is exactly what makes the skewed-token distribution cheap),
+    ``approx_count_distinct`` for doc frequency (one pass, no second
+    shuffle), and a TakeOrdered top-k instead of a full sort.  The
+    corpus-share denominator is a plan-sized 1-row broadcast.
+    Columns: token, n_occurrences, n_docs_approx, share, cum_share.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.approx_count_distinct(id_col).alias("n_docs_approx"),
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("_total"))
+    top = counts.orderBy(
+        F.desc("n_occurrences"), F.asc("token")
+    ).limit(top_k)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "n_occurrences",
+            "n_docs_approx",
+            (F.col("n_occurrences") / F.col("_total")).alias("share"),
+            (F.sum("n_occurrences").over(w) / F.col("_total")).alias("cum_share"),
+        )
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab: "list[str]",
+) -> DataFrame:
+    """Per-document coverage of a fixed vocabulary: what fraction of a
+    doc's token occurrences a tokenizer with exactly ``vocab`` as its
+    word list would cover (the OOV-rate report, per doc so outlier
+    sources are visible).  Pure Column work over one tokenization —
+    the vocab ships as an array literal inside the plan (fine to ~100k
+    entries; beyond that, broadcast-join a vocab table instead).
+    Columns: id, n_tokens, n_covered, coverage (NULL text -> NULL
+    coverage, row kept)."""
+    if not vocab:
+        raise ValueError("empty vocab")
+    vs = sorted(set(vocab))
+    t = F.split(F.col(text_col), r"\s+")
+    covered = F.size(F.filter(t, lambda x: x.isin(vs)))
+    n = F.size(t)
+    return df.select(
+        F.col(id_col),
+        F.when(F.col(text_col).isNotNull(), n).alias("n_tokens"),
+        F.when(F.col(text_col).isNotNull(), covered).alias("n_covered"),
+        F.when(
+            F.col(text_col).isNotNull() & (n > 0),
+            covered.cast("double") / n,
+        ).alias("coverage"),
     )
