@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from lsd2_spark.functions.numeric import round6
 
-__all__ = ["train_char_lm", "lm_score"]
+__all__ = ["train_char_lm", "lm_score", "train_word_lm", "word_lm_score"]
 
 # floor for unseen trigrams: log(1/(context_count + V)) bounded by the
 # global unseen penalty so scores stay finite and comparable
@@ -108,6 +108,124 @@ def lm_score(
         .select(
             F.col(id_col),
             F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.col("avg_logp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Word-level bigram LM with interpolated backoff — the KenLM-shaped
+# upgrade over the char-trigram model: word identity carries far more
+# signal, and interpolation (Jelinek-Mercer) keeps unseen bigrams
+# scored by their unigram mass instead of a flat floor.
+# ---------------------------------------------------------------------------
+
+_WLM_LAMBDA = 0.7  # weight on the bigram ML estimate
+
+
+def _word_tokens(text_col: str) -> "F.Column":
+    return F.split(
+        F.concat(F.lit("<s> "), F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
+        " ",
+    )
+
+
+def _word_bigrams(text_col: str) -> "F.Column":
+    t = _word_tokens(text_col)
+    n = F.size(t)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def train_word_lm(
+    corpus: DataFrame, text_col: str, lam: float = _WLM_LAMBDA
+) -> dict:
+    """Interpolated word-bigram model from a reference corpus:
+
+        P(w2 | w1) = lam * c(w1 w2)/c(w1)  +  (1-lam) * (c(w2)+1)/(T+V)
+
+    (Jelinek-Mercer interpolation with add-one-smoothed unigrams).
+    Two partial-aggregable groupBys over the reference sample; returns
+    ``{"bigram": DataFrame(bigram, p_ml), "unigram":
+    DataFrame(word, p_uni), "lam": lam, "floor": 1/(T+V)}`` — the two
+    tables broadcast at score time, the scalars are plan-sized."""
+    toks = corpus.select(F.explode(_word_tokens(text_col)).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    stats = uni.agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    t_plus_v = float(stats["t"] + stats["v"])
+    unigram = uni.select(
+        "w", ((F.col("c") + 1.0) / F.lit(t_plus_v)).alias("p_uni")
+    )
+    big = corpus.select(F.explode(_word_bigrams(text_col)).alias("bg"))
+    bcounts = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    w1c = (
+        bcounts.withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
+    )
+    bigram = (
+        bcounts.withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+        .join(w1c, "w1")
+        .select("bg", (F.col("c12") / F.col("c1")).alias("p_ml"))
+    )
+    return {
+        "bigram": bigram,
+        "unigram": unigram,
+        "lam": float(lam),
+        "floor": 1.0 / t_plus_v,
+    }
+
+
+def word_lm_score(
+    docs: DataFrame,
+    model: dict,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Average per-bigram ``ln P(w2|w1)`` under the interpolated model.
+    Unseen bigrams back off to the unigram term; unseen words take the
+    add-one floor — always finite, no flat penalty cliff.
+
+    Scale shape: explode → TWO broadcast joins (bigram + unigram
+    tables) → per-doc partial-agg average.  Total: NULL/empty docs keep
+    their row with ``n_bigrams = 0`` and NULL score."""
+    lam, floor = model["lam"], model["floor"]
+    grams = docs.select(
+        F.col(id_col), F.explode(_word_bigrams(text_col)).alias("bg")
+    ).withColumn("w2", F.split(F.col("bg"), " ").getItem(1))
+    scored = (
+        grams.join(F.broadcast(model["bigram"]), "bg", "left")
+        .join(
+            F.broadcast(model["unigram"]),
+            grams["w2"] == model["unigram"]["w"],
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            F.log(
+                F.lit(lam) * F.coalesce(F.col("p_ml"), F.lit(0.0))
+                + F.lit(1.0 - lam) * F.coalesce(F.col("p_uni"), F.lit(floor))
+            ).alias("logp"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        round6(F.avg("logp")).alias("avg_logp"),
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
             F.col("avg_logp"),
         )
     )

@@ -45,3 +45,83 @@ def test_lm_score_total_over_short_docs(spark):
     # "a" padded to " a" -> one trigram short of n... doc 1 has " a" (len 2 < 3): no grams -> absent
     assert 3 in out and out[3]["n_grams"] > 0
     assert out[3]["avg_logp"] > -12.0
+
+
+# ---------------------------------------------------------------------------
+# word-bigram LM with interpolated backoff
+# ---------------------------------------------------------------------------
+
+
+def test_word_lm_matches_python_reference(spark):
+    """Exact formula agreement with an independent Python
+    implementation on a toy corpus."""
+    import math
+
+    from lsd2_spark.operators.lm_score import train_word_lm, word_lm_score
+
+    ref_rows = ["the cat sat", "the dog sat", "the cat ran"]
+    corpus = spark.createDataFrame([(t,) for t in ref_rows], "text string")
+    model = train_word_lm(corpus, "text", lam=0.7)
+
+    # python reference
+    import collections
+    uni = collections.Counter()
+    big = collections.Counter()
+    for t in ref_rows:
+        ws = ["<s>"] + t.split()
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+    T, V = sum(uni.values()), len(uni)
+    w1c = collections.Counter()
+    for (a, b), c in big.items():
+        w1c[a] += c
+
+    def p(w1, w2):
+        p_ml = big.get((w1, w2), 0) / w1c[w1] if w1c.get(w1) else 0.0
+        p_u = (uni.get(w2, 0) + 1) / (T + V) if w2 in uni else 1.0 / (T + V)
+        return 0.7 * p_ml + 0.3 * p_u
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the zebra sat"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in word_lm_score(docs, model, "text", "doc_id").collect()}
+
+    for did, text in [(1, "the cat sat"), (2, "the zebra sat")]:
+        ws = ["<s>"] + text.split()
+        want = sum(math.log(p(a, b)) for a, b in zip(ws, ws[1:])) / (len(ws) - 1)
+        # round6 on the Spark side
+        import math as _m
+        assert abs(got[did]["avg_logp"] - want) < 1e-5, (did, got[did], want)
+        assert got[did]["n_bigrams"] == len(ws) - 1
+    assert got[3]["n_bigrams"] == 0 and got[3]["avg_logp"] is None
+
+
+def test_word_lm_separates_reference_from_shuffled(spark):
+    """In-domain word order scores above the same words shuffled —
+    the signal the char model cannot see."""
+    import random
+
+    from lsd2_spark.operators.lm_score import train_word_lm, word_lm_score
+
+    sents = [
+        "the quick brown fox jumps over the lazy dog",
+        "the lazy dog sleeps under the old tree",
+        "a quick fox runs over the green hill",
+        "the old tree stands on the green hill",
+    ] * 5
+    corpus = spark.createDataFrame([(t,) for t in sents], "text string")
+    model = train_word_lm(corpus, "text")
+
+    rng = random.Random(5)
+    nat = "the quick fox runs over the lazy dog"
+    shuf = nat.split()
+    rng.shuffle(shuf)
+    docs = spark.createDataFrame(
+        [(1, nat), (2, " ".join(shuf))], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["avg_logp"]
+        for r in word_lm_score(docs, model, "text", "doc_id").collect()
+    }
+    assert got[1] > got[2] + 0.5  # clear margin, not a coin flip
