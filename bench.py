@@ -238,6 +238,51 @@ def main() -> None:
     except Exception as e:  # never let the probe break the artifact
         x10 = {"error": str(e)[:200]}
 
+    # round-7 extension operators: timed on the same tables, reported
+    # under "extras" (not summed into the headline total, so
+    # round-over-round totals stay comparable)
+    extras = {}
+    try:
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+        from lsd2_spark.operators.substring_dedup import remove_repeated_spans
+
+        t0 = time.perf_counter()
+        remove_repeated_spans(docs, "text", "doc_id", min_tokens=8).count()
+        extras["substring_dedup"] = round(time.perf_counter() - t0, 3)
+
+        from lsd2_spark.operators.dedup_index import DedupIndex
+
+        idx_tmp = tempfile.mkdtemp(prefix="lsd2_dedupidx_")
+        try:
+            t0 = time.perf_counter()
+            idx = DedupIndex.build(docs, "text", "doc_id", f"{idx_tmp}/idx")
+            extras["dedup_index_build"] = round(time.perf_counter() - t0, 3)
+            probe_batch = docs.withColumn(
+                "doc_id", F.col("doc_id") + 10_000_000
+            )
+            t0 = time.perf_counter()
+            idx.probe(probe_batch).count()
+            extras["dedup_index_probe"] = round(time.perf_counter() - t0, 3)
+        finally:
+            shutil.rmtree(idx_tmp, ignore_errors=True)
+
+        from lsd2_spark.operators.pq import pq_encode, pq_topk, train_pq
+
+        t0 = time.perf_counter()
+        books = train_pq(emb, "embedding", "vec_id", m=8, n_codes=16, n_iters=2)
+        extras["pq_train"] = round(time.perf_counter() - t0, 3)
+        enc = pq_encode(emb, "embedding", "vec_id", books)
+        enc.cache().count()
+        pq_q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        t0 = time.perf_counter()
+        pq_topk(enc, pq_q, "embedding", "vec_id", books, k=KNN_K).count()
+        extras["pq_search"] = round(time.perf_counter() - t0, 3)
+        enc.unpersist()
+    except Exception as e:  # never let the extras break the artifact
+        extras["error"] = str(e)[:200]
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "headline_query_wall_time",
@@ -248,6 +293,7 @@ def main() -> None:
         "repeats": REPEATS,
         "streaming": streaming,
         "crossmatch_x10": x10,
+        "extras": extras,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
