@@ -230,3 +230,32 @@ class DedupIndex:
             .groupBy("text_hash")
             .agg(F.min("canonical_id").alias("canonical_id"))
         )
+
+    def compact(self) -> None:
+        """Rewrite both tables from their current contents: collapses
+        duplicate text-hash rows accumulated by updates and re-packs
+        band partition files.  One read+shuffle+write per table —
+        run it like any table-maintenance job, frequency set by update
+        churn."""
+        exact = self.probe_exact_reads_min()
+        bands = self.spark.read.parquet(os.path.join(self.path, "bands"))
+        # stage to temp dirs then swap: a crash mid-compact must never
+        # leave the only copy half-written
+        tmp_e = os.path.join(self.path, "exact._compact")
+        tmp_b = os.path.join(self.path, "bands._compact")
+        exact.write.mode("overwrite").parquet(tmp_e)
+        (
+            bands.dropDuplicates(["band", "bucket", "id"])
+            .repartition("band")
+            .write.mode("overwrite")
+            .partitionBy("band")
+            .parquet(tmp_b)
+        )
+        import shutil
+
+        for tmp, final in ((tmp_e, "exact"), (tmp_b, "bands")):
+            dst = os.path.join(self.path, final)
+            old = dst + "._old"
+            os.rename(dst, old)
+            os.rename(tmp, dst)
+            shutil.rmtree(old, ignore_errors=True)

@@ -201,3 +201,19 @@ def test_reopen_from_disk(spark, index):
     a = index.probe(_df(spark, batch)).collect()
     b = reopened.probe(_df(spark, batch)).collect()
     assert a == b
+
+
+def test_compact_preserves_probe_results(spark, index):
+    """compact() collapses re-appended rows without changing any probe
+    answer."""
+    dup = [(90, "the quick brown fox jumps over the lazy dog near the river bank")]
+    index.update(_df(spark, dup))
+    index.update(_df(spark, dup))  # same content appended twice
+    batch = _df(spark, [(91, "the quick brown fox jumps over the lazy dog near the river bank")])
+    before = sorted(map(tuple, index.probe(batch).collect()))
+    n_exact_before = spark.read.parquet(f"{index.path}/exact").count()
+    index.compact()
+    after = sorted(map(tuple, index.probe(batch).collect()))
+    n_exact_after = spark.read.parquet(f"{index.path}/exact").count()
+    assert before == after
+    assert n_exact_after < n_exact_before  # duplicate hash rows collapsed
