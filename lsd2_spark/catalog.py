@@ -665,7 +665,8 @@ class Catalog:
 
             warnings.warn(
                 f"{over} cell(s) now exceed pix_threshold="
-                f"{meta.pix_threshold} after append; re-import to re-balance",
+                f"{meta.pix_threshold} after append; run rebalance() to "
+                "split them in place",
                 stacklevel=2,
             )
         assigned.unpersist()
@@ -1013,6 +1014,355 @@ class Catalog:
             pass
         return Catalog(spark, self.path, new_meta)
 
+    def _rebalance_intent_path(self) -> str:
+        return f"{self.path}/{self.meta.cat_name}_rebalance_intent.json"
+
+    def _rebalance_children_of(self, o: int, p: int, o2: int) -> "tuple[int, int]":
+        """Child pixel range [lo, hi) of parent (o, p) at order o2."""
+        shift = 2 * (o2 - o)
+        return p << shift, (p + 1) << shift
+
+    def _reconcile_rebalance_intent(self) -> "Catalog":
+        """Converge a crashed rebalance.  Two-phase marker protocol:
+
+        - phase ``pre`` (written before any mutation): child writes may
+          be torn → ROLL BACK: remove any child partition directories
+          under the planned splits (the parents were never touched) and
+          drop the marker.
+        - phase ``done`` (written only after the child rewrite fully
+          committed): ROLL FORWARD: remove parent data directories,
+          rebuild the children's halos where the parent halo source
+          material still exists, commit the recorded coverage, drop the
+          marker.  Every step is idempotent."""
+        import shutil
+
+        spark, meta = self.spark, self.meta
+        path = self._rebalance_intent_path()
+        try:
+            with open(path) as f:
+                intent = json.loads(f.read())
+        except (OSError, ValueError):
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
+            return self
+        splits = [(int(o), int(p)) for o, p in intent["splits"]]
+        planned = [(int(o), int(p)) for o, p in intent["child_cells"]]
+        if intent.get("phase") == "pre":
+            # rollback: drop any (possibly partial) planned child dirs —
+            # all strict descendants of the over parents, so they can
+            # never collide with a pre-existing cell directory
+            for o2, cp in planned:
+                d = int(_dir_value(cp))
+                shutil.rmtree(
+                    f"{self.path}/catalog/Norder={o2}/Dir={d}/Npix={cp}",
+                    ignore_errors=True,
+                )
+            os.remove(path)
+            return Catalog(spark, self.path, meta)
+
+        # phase == done: roll forward
+        child_cells = planned
+        self._rebalance_finish(splits, child_cells)
+        hips = {o: sorted(ps) for o, ps in meta.hips.items()}
+        for o, p in splits:
+            if o in hips and p in hips[o]:
+                hips[o] = [x for x in hips[o] if x != p]
+                if not hips[o]:
+                    del hips[o]
+        for o2, cp in child_cells:
+            hips.setdefault(o2, [])
+            if cp not in hips[o2]:
+                hips[o2] = sorted(hips[o2] + [cp])
+        new_meta = CatalogMetadata(
+            cat_name=meta.cat_name, ra_kw=meta.ra_kw, dec_kw=meta.dec_kw,
+            id_kw=meta.id_kw, n_sources=meta.n_sources,
+            pix_threshold=meta.pix_threshold, order_k=meta.order_k,
+            margin_threshold=meta.margin_threshold, hips=hips,
+            last_batch_id=meta.last_batch_id,
+        )
+        self._commit_meta(new_meta)
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+        return Catalog(spark, self.path, new_meta)
+
+    def _rebalance_finish(self, splits, child_cells) -> None:
+        """Post-done-marker work (idempotent): remove parent data dirs,
+        rebuild child halos where parent halo material remains, remove
+        parent halo dirs."""
+        import shutil
+
+        spark, meta = self.spark, self.meta
+        # child halo rebuild BEFORE parent-dir removals would be ideal,
+        # but candidates need the parent halo rows which live in
+        # neighbor/, not catalog/ — so parent DATA dirs can go first.
+        for o, p in splits:
+            d = int(_dir_value(p))
+            shutil.rmtree(
+                f"{self.path}/catalog/Norder={o}/Dir={d}/Npix={p}",
+                ignore_errors=True,
+            )
+        if not os.path.exists(f"{self.path}/neighbor") or not child_cells:
+            return
+        # halo material: the rewritten child rows (same physical rows)
+        # plus the old parent halo rows — any row within the margin of a
+        # child boundary is either inside the parent (now a child row)
+        # or inside the parent's halo, by the triangle containment of
+        # the child region in the parent region.
+        halo_parents = [
+            (o, p) for o, p in splits
+            if os.path.isdir(
+                f"{self.path}/neighbor/Norder={o}/Dir={int(_dir_value(p))}/Npix={p}"
+            )
+        ]
+        if not halo_parents:
+            return  # already rebuilt + removed by a previous attempt
+        from lsd2_spark.operators.margins import margin_rows
+
+        cell_key = F.col("Norder").cast("long") * F.lit(1 << 40) + F.col(
+            "Npix"
+        ).cast("long")
+        child_pred = cell_key.isin([(o << 40) + p for o, p in child_cells])
+        data_cols = [
+            c for c in self.df().columns
+            if c not in ("Norder", "Dir", "Npix", "_ID")
+        ]
+        child_rows = self.df().filter(child_pred).select(*data_cols)
+        halo_paths = [
+            f"{self.path}/neighbor/Norder={o}/Dir={int(_dir_value(p))}/Npix={p}"
+            for o, p in halo_parents
+        ]
+        old_halo = spark.read.parquet(*halo_paths).select(*data_cols)
+        cands = child_rows.unionByName(old_halo).dropDuplicates([meta.id_kw])
+
+        child_hips: dict[int, list[int]] = {}
+        for o2, cp in child_cells:
+            child_hips.setdefault(o2, []).append(cp)
+        restricted = Catalog(
+            spark, self.path,
+            CatalogMetadata(
+                cat_name=meta.cat_name, ra_kw=meta.ra_kw, dec_kw=meta.dec_kw,
+                id_kw=meta.id_kw, n_sources=meta.n_sources,
+                pix_threshold=meta.pix_threshold, order_k=meta.order_k,
+                margin_threshold=meta.margin_threshold,
+                hips={o: sorted(ps) for o, ps in child_hips.items()},
+                last_batch_id=meta.last_batch_id,
+            ),
+        )
+        rows = margin_rows(cands, restricted, ra_col=meta.ra_kw, dec_col=meta.dec_kw)
+        if rows is not None:
+            out = rows.withColumn("Dir", _dir_of(F.col("Npix")))
+            prev_mode = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                (
+                    out.repartition("Norder", "Npix")
+                    .write.mode("overwrite")
+                    .partitionBy("Norder", "Dir", "Npix")
+                    .parquet(f"{self.path}/neighbor")
+                )
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev_mode
+                )
+        for o, p in halo_parents:
+            shutil.rmtree(
+                f"{self.path}/neighbor/Norder={o}/Dir={int(_dir_value(p))}/Npix={p}",
+                ignore_errors=True,
+            )
+
+    def rebalance(
+        self, threshold: int | None = None, max_order: int = 11
+    ) -> "Catalog":
+        """Split every over-threshold cell in place — the incremental
+        answer to append's "re-import to re-balance" warning (the
+        reference can only re-import; EP3).  Only the over cells are
+        read, re-planned with the SAME top-down adaptive sweep ingest
+        uses (dense sub-regions go to fine orders, sparse siblings stay
+        coarse, capped at ``max_order``), re-ranked,
+        and rewritten; the rest of the catalog is untouched.  Margins
+        for the new child cells are rebuilt from the parent's rows plus
+        the parent's old halo — a guaranteed superset of every child's
+        margin set, so boundary-correct cross-match is preserved
+        without touching any neighboring cell.
+
+        Crash safety: a two-phase write-ahead marker.  ``pre`` is
+        written before any mutation — a crash during the child rewrite
+        ROLLS BACK (partial child dirs removed, parents untouched) on
+        the next rebalance/fsck.  ``done`` is written only after the
+        child rewrite committed — a later crash ROLLS FORWARD
+        (parent removal, halo rebuild, coverage commit are all
+        idempotent).  ``n_sources`` never changes, so there is no
+        accounting window at all.
+
+        Returns the rebalanced catalog (``self`` if nothing is over).
+        A cell still over the threshold at ``max_order`` is left as-is
+        with a warning.
+
+        Like append, rebalance is not snapshot-isolated for concurrent
+        readers: a pre-rebalance Catalog handle's pruning predicates
+        still name the removed parent cells — re-resolve with
+        ``Catalog.load``/the returned catalog after a rebalance."""
+        import warnings
+
+        spark = self.spark
+        if os.path.exists(self._rebalance_intent_path()):
+            return self._reconcile_rebalance_intent().rebalance(
+                threshold, max_order
+            )
+        meta = self.meta
+        thr = int(threshold or meta.pix_threshold)
+
+        counts = self.df().groupBy("Norder", "Npix").count().collect()
+        over = [
+            (int(r["Norder"]), int(r["Npix"]))
+            for r in counts
+            if r["count"] > thr
+        ]
+        over = [(o, p) for o, p in over if o < max_order]
+        if not over:
+            return self
+        splits = sorted(over)
+
+        # adaptive planning over the over-cells' rows (the same
+        # top-down sweep ingest uses): the planner's leaves are strict
+        # descendants of the over parents by construction, because
+        # every ancestor of an over parent carries that parent's full
+        # over-threshold count and therefore keeps splitting
+        cell_key = F.col("Norder").cast("long") * F.lit(1 << 40) + F.col(
+            "Npix"
+        ).cast("long")
+        over_pred = cell_key.isin([(o << 40) + p for o, p in splits])
+        data_cols = [
+            c for c in self.df().columns
+            if c not in ("Norder", "Dir", "Npix", "_ID")
+        ]
+        rows = self.df().filter(over_pred).select(*data_cols)
+        hist = (
+            rows.select(
+                ang2pix_udf(
+                    max_order, F.col(meta.ra_kw), F.col(meta.dec_kw)
+                ).alias("kpix")
+            )
+            .groupBy("kpix")
+            .count()
+            .collect()
+        )
+        kpix = np.array([r["kpix"] for r in hist], dtype=np.int64)
+        kcnt = np.array([r["count"] for r in hist], dtype=np.int64)
+        pm = compute_partition_map(kpix, kcnt, max_order, thr)
+        child_cells = sorted(
+            (int(o), int(p)) for o in pm.hips for p in pm.hips[o]
+        )
+        for o2, cp in child_cells:
+            if o2 == max_order:
+                c = int(kcnt[kpix == cp].sum()) if o2 == max_order else 0
+                if c > thr:
+                    warnings.warn(
+                        f"cell (Norder={o2}, Npix={cp}) still holds {c} "
+                        f"rows > threshold={thr} at max_order={max_order}",
+                        stacklevel=2,
+                    )
+
+        intent_path = self._rebalance_intent_path()
+        tmp = intent_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"phase": "pre", "splits": splits, "child_cells": child_cells},
+                f,
+            )
+        os.replace(tmp, intent_path)
+
+        # leaf assignment: the same broadcast leaf-table multi-order
+        # probe ingest uses (one equi-join, each row survives exactly
+        # one probe)
+        orders = sorted(pm.hips)
+        leaf_tbl = F.broadcast(
+            spark.createDataFrame(
+                [(int(o), int(p)) for o in orders for p in pm.hips[o]],
+                "Norder int, Npix long",
+            )
+        )
+        rewritten = (
+            rows.withColumn(
+                "_kpix",
+                ang2pix_udf(max_order, F.col(meta.ra_kw), F.col(meta.dec_kw)),
+            )
+            .withColumn(
+                "_pr", F.explode(_order_probes(F.col("_kpix"), orders, max_order))
+            )
+            .select(
+                *data_cols,
+                F.col("_pr.Norder").alias("Norder"),
+                F.col("_pr.Npix").alias("Npix"),
+            )
+            .join(leaf_tbl, ["Norder", "Npix"])
+            .withColumn("Dir", _dir_of(F.col("Npix")))
+            .withColumn("Norder", F.col("Norder").cast("int"))
+            .withColumn("Npix", F.col("Npix").cast("long"))
+        )
+
+        from pyspark.sql.types import StructField, StructType
+
+        out_schema = StructType(
+            list(rewritten.schema.fields)
+            + [StructField("_ID", LongType(), False)]
+        )
+        indexed = rewritten.groupBy("Norder", "Npix").applyInPandas(
+            _index_and_sort_kernel(meta.ra_kw, meta.dec_kw), out_schema
+        )
+        prev_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                indexed.write.mode("overwrite")
+                .partitionBy("Norder", "Dir", "Npix")
+                .parquet(f"{self.path}/catalog")
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+        # child rewrite fully committed: flip the marker to done
+        with open(tmp, "w") as f:
+            json.dump(
+                {"phase": "done", "splits": splits, "child_cells": child_cells},
+                f,
+            )
+        os.replace(tmp, intent_path)
+
+        self._rebalance_finish(splits, child_cells)
+
+        hips = {o: sorted(ps) for o, ps in meta.hips.items()}
+        for o, p in splits:
+            if o in hips and p in hips[o]:
+                hips[o] = [x for x in hips[o] if x != p]
+                if not hips[o]:
+                    del hips[o]
+        for o2, cp in child_cells:
+            hips.setdefault(o2, [])
+            if cp not in hips[o2]:
+                hips[o2] = sorted(hips[o2] + [cp])
+        new_meta = CatalogMetadata(
+            cat_name=meta.cat_name, ra_kw=meta.ra_kw, dec_kw=meta.dec_kw,
+            id_kw=meta.id_kw, n_sources=meta.n_sources,
+            pix_threshold=meta.pix_threshold, order_k=meta.order_k,
+            margin_threshold=meta.margin_threshold, hips=hips,
+            last_batch_id=meta.last_batch_id,
+        )
+        self._commit_meta(new_meta)
+        try:
+            os.remove(intent_path)
+        except FileNotFoundError:
+            pass
+        return Catalog(spark, self.path, new_meta)
+
     def fsck(self, repair: bool = False) -> dict:
         """Consistency check between the metadata commit record and the
         bytes on disk — the audit to run after a crash, a partial
@@ -1033,6 +1383,15 @@ class Catalog:
         repair the report reflects the PRE-repair state plus
         ``repaired=True``.
         """
+        if repair and os.path.exists(self._rebalance_intent_path()):
+            # a crashed rebalance must converge BEFORE anything below
+            # reads disk state: rollback/roll-forward changes the cell
+            # directories the recount would otherwise snapshot stale
+            healed = self._reconcile_rebalance_intent()
+            self.meta = healed.meta
+            report = self.fsck(repair=True)
+            report["repaired"] = True
+            return report
         meta = self.meta
         meta_cells = {(o, p) for o, ps in meta.hips.items() for p in ps}
         disk = self.df().groupBy("Norder", "Npix").count().collect()
@@ -1078,6 +1437,9 @@ class Catalog:
             "bad_rank_pixels": rank_bad,
             "orphan_halo_rows": orphan_halo,
             "stale_delete_intent": os.path.exists(self._delete_intent_path()),
+            "stale_rebalance_intent": os.path.exists(
+                self._rebalance_intent_path()
+            ),
             "consistent": (
                 meta.n_sources == n_rows
                 and meta_cells == disk_cells
@@ -1085,6 +1447,7 @@ class Catalog:
                 and rank_bad == 0
                 and orphan_halo == 0
                 and not os.path.exists(self._delete_intent_path())
+                and not os.path.exists(self._rebalance_intent_path())
             ),
             "repaired": False,
         }
