@@ -1,5 +1,6 @@
 """End-to-end spatial catalog pipeline — the reference's core workflow
-composed: ingest → query → cross-match → visualize → append → delete →
+composed: ingest → query → cross-match → visualize → append →
+rebalance → delete →
 audit.  Run directly: ``python examples/sky_pipeline.py [workdir]``.
 
 Every stage is the scale-shaped path: one-shuffle adaptive ingest,
@@ -86,6 +87,12 @@ def main(workdir: str) -> None:
     batch["source_id"] += 10_000_000
     a2 = a.append(spark.createDataFrame(batch))
     print("after append:", a2.meta.n_sources, "sources")
+
+    # 5b. in-place rebalance: split any cells the append pushed over
+    # the density threshold (adaptive re-plan, only those cells rewritten)
+    a2 = a2.rebalance()
+    print("after rebalance:", a2.meta.n_sources, "sources,",
+          sum(len(ps) for ps in a2.meta.hips.values()), "cells")
 
     # 6. predicate delete (right-to-be-forgotten; cell-local rewrite)
     a3 = a2.delete("mag > 21.5")
