@@ -84,8 +84,9 @@ def build_training_corpus(
     """documents(text, doc_id, source) → (doc_id, text, source, split).
 
     With ``token_budget`` set, sources are epoch-replicated by the
-    water-fill plan, so a doc_id can appear multiple times (one row per
-    epoch) — by design: that is the training mixture."""
+    water-fill plan: a doc_id can appear multiple times, one row per
+    epoch, with an extra ``epoch`` column making (doc_id, epoch)
+    unique — by design: that is the training mixture."""
     docs = text_analysis.redact_pii(docs, "text").select(*docs.columns)
     if blocklist:
         docs = text_analysis.blocklist_filter(
@@ -158,9 +159,9 @@ def build_training_corpus(
             kept, "source", tok, token_budget,
             alpha=mixture_alpha, max_epochs=max_epochs,
         )
-        mixed = sampling.apply_token_mixture(
-            kept, "doc_id", "source", plan
-        ).drop("epoch")
+        # epoch kept: replicated docs are distinguishable downstream
+        # ((doc_id, epoch) is unique) and packing can interleave epochs
+        mixed = sampling.apply_token_mixture(kept, "doc_id", "source", plan)
     elif source_fractions == "temperature":
         # p ∝ n^0.7 tempered mixture computed from the surviving corpus
         mixed, _fractions = sampling.temperature_mixture(
@@ -187,10 +188,14 @@ def media_features(media: DataFrame, payload_col: str, id_col: str) -> DataFrame
 
 
 def token_accounting(corpus: DataFrame) -> DataFrame:
-    """Per-split document and BPE-ish token totals."""
-    stats = text_analysis.token_stats(corpus, "text", "doc_id").select(
-        "doc_id", "n_bpe_tokens"
-    )
+    """Per-split document and BPE-ish token totals.  Epoch-replicated
+    corpora (duplicate doc_ids) are handled: stats are computed once
+    per distinct doc and joined back, so each corpus ROW counts its
+    tokens exactly once (a stats row per corpus row would square the
+    totals for replicated docs)."""
+    stats = text_analysis.token_stats(
+        corpus.dropDuplicates(["doc_id"]), "text", "doc_id"
+    ).select("doc_id", "n_bpe_tokens")
     return (
         corpus.join(stats, "doc_id")
         .groupBy("split")

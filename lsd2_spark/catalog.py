@@ -855,6 +855,13 @@ class Catalog:
         crash window.
         """
         spark = self.spark
+        # a stale marker from EITHER crashed mutation must converge
+        # before this one reads disk state: a half-finished rebalance
+        # leaves rows duplicated across parent+child dirs (match counts
+        # would double), and vice versa a half-finished delete leaves
+        # n_sources accounting open
+        if os.path.exists(self._rebalance_intent_path()):
+            return self._reconcile_rebalance_intent().delete(predicate)
         if os.path.exists(self._delete_intent_path()):
             return self._reconcile_delete_intent().delete(predicate)
         meta = self.meta
@@ -1110,16 +1117,25 @@ class Catalog:
         # halo material: the rewritten child rows (same physical rows)
         # plus the old parent halo rows — any row within the margin of a
         # child boundary is either inside the parent (now a child row)
-        # or inside the parent's halo, by the triangle containment of
-        # the child region in the parent region.
+        # or inside the parent's halo, by containment of the child
+        # region in the parent region.  For IDEMPOTENCE across a crash
+        # mid-way through the parent-halo removal loop below, any
+        # already-written child halo rows also join the candidate set:
+        # a partially-removed parent can no longer contribute its
+        # external margin rows directly, but the previous attempt's
+        # child halos (written before any removal) carry them.
         halo_parents = [
             (o, p) for o, p in splits
             if os.path.isdir(
                 f"{self.path}/neighbor/Norder={o}/Dir={int(_dir_value(p))}/Npix={p}"
             )
         ]
-        if not halo_parents:
-            return  # already rebuilt + removed by a previous attempt
+        halo_children = [
+            (o, p) for o, p in child_cells
+            if os.path.isdir(
+                f"{self.path}/neighbor/Norder={o}/Dir={int(_dir_value(p))}/Npix={p}"
+            )
+        ]
         from lsd2_spark.operators.margins import margin_rows
 
         cell_key = F.col("Norder").cast("long") * F.lit(1 << 40) + F.col(
@@ -1130,13 +1146,18 @@ class Catalog:
             c for c in self.df().columns
             if c not in ("Norder", "Dir", "Npix", "_ID")
         ]
-        child_rows = self.df().filter(child_pred).select(*data_cols)
+        cands = self.df().filter(child_pred).select(*data_cols)
         halo_paths = [
             f"{self.path}/neighbor/Norder={o}/Dir={int(_dir_value(p))}/Npix={p}"
-            for o, p in halo_parents
+            for o, p in halo_parents + halo_children
         ]
-        old_halo = spark.read.parquet(*halo_paths).select(*data_cols)
-        cands = child_rows.unionByName(old_halo).dropDuplicates([meta.id_kw])
+        if halo_paths:
+            old_halo = spark.read.parquet(*halo_paths).select(*data_cols)
+            cands = cands.unionByName(old_halo)
+        # localCheckpoint: the dynamic overwrite below writes into the
+        # same neighbor/ tree some candidates were read from — truncate
+        # the lineage so the write doesn't read its own output path
+        cands = cands.dropDuplicates([meta.id_kw]).localCheckpoint()
 
         child_hips: dict[int, list[int]] = {}
         for o2, cp in child_cells:
@@ -1211,8 +1232,15 @@ class Catalog:
         import warnings
 
         spark = self.spark
+        # converge stale markers from EITHER crashed mutation first
+        # (see delete(): operating on half-mutated state corrupts the
+        # per-cell counts this planning reads)
         if os.path.exists(self._rebalance_intent_path()):
             return self._reconcile_rebalance_intent().rebalance(
+                threshold, max_order
+            )
+        if os.path.exists(self._delete_intent_path()):
+            return self._reconcile_delete_intent().rebalance(
                 threshold, max_order
             )
         meta = self.meta

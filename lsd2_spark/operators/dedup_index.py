@@ -79,6 +79,17 @@ class DedupIndex:
         self.k = int(m["k"])
         self.text_col = m["text_col"]
         self.id_col = m["id_col"]
+        self._heal_compact()
+
+    def _heal_compact(self) -> None:
+        """Recover from a compact() crash between its two renames: the
+        canonical table dir is missing but its '._old' sibling (the
+        complete pre-compact copy) survives — rename it back."""
+        for final in ("exact", "bands"):
+            dst = os.path.join(self.path, final)
+            old = dst + "._old"
+            if not os.path.exists(dst) and os.path.isdir(old):
+                os.rename(old, dst)
 
     # -- construction -------------------------------------------------
 
@@ -184,23 +195,31 @@ class DedupIndex:
             F.when(F.col(f"p_mh{i}") == F.col(f"mh{i}"), 1).otherwise(0)
             for i in range(self.k)
         )
+        from pyspark.sql.window import Window
+
+        # best match = highest agreement, smallest id on ties.  A
+        # window row_number is type-agnostic over the id column (a
+        # negated-id max(struct) would break for string ids); the
+        # window input is the probe-sized thresholded candidate set, a
+        # pair sharing several bands collapses to its first row.
+        w = Window.partitionBy("_pid").orderBy(
+            F.desc("_sim"), F.asc("_cid")
+        )
         cand = (
             banded.join(bandtab, ["band", "bucket"])
             .filter(F.col("_pid") != F.col("id"))
-            # a pair sharing several bands appears once per shared band;
-            # the max(struct) below collapses them without a distinct
             .select(
                 F.col("_pid"),
                 F.col("id").alias("_cid"),
                 (agree.cast("double") / F.lit(float(self.k))).alias("_sim"),
             )
             .filter(F.col("_sim") >= threshold)
-            .groupBy("_pid")
-            .agg(F.max(F.struct(F.col("_sim"), (-F.col("_cid")).alias("_negid"))).alias("m"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
             .select(
                 F.col("_pid").alias(ic),
-                (-F.col("m._negid")).alias("near_dup_of"),
-                F.col("m._sim").alias("est_jaccard"),
+                F.col("_cid").alias("near_dup_of"),
+                F.col("_sim").alias("est_jaccard"),
             )
         )
         return (
@@ -237,6 +256,7 @@ class DedupIndex:
         band partition files.  One read+shuffle+write per table —
         run it like any table-maintenance job, frequency set by update
         churn."""
+        self._heal_compact()
         exact = self.probe_exact_reads_min()
         bands = self.spark.read.parquet(os.path.join(self.path, "bands"))
         # stage to temp dirs then swap: a crash mid-compact must never
@@ -256,6 +276,7 @@ class DedupIndex:
         for tmp, final in ((tmp_e, "exact"), (tmp_b, "bands")):
             dst = os.path.join(self.path, final)
             old = dst + "._old"
+            shutil.rmtree(old, ignore_errors=True)  # stale from a crash
             os.rename(dst, old)
             os.rename(tmp, dst)
             shutil.rmtree(old, ignore_errors=True)

@@ -218,7 +218,9 @@ def _adc_tables(qvecs: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
 
 def _topk_kernel(bc_tables, bc_qids, m: int, k: int):
     """Per-partition ADC top-k: score every candidate against every
-    query via uint8 gathers, keep only k per query."""
+    query via uint8 gathers, keep only k per query.  Self-matches are
+    excluded PER PAIR (query q skips only candidate q) — a candidate
+    that happens to also be a query still serves every other query."""
 
     def kernel(batches):
         tables = bc_tables.value  # nq × m × n_codes
@@ -238,11 +240,17 @@ def _topk_kernel(bc_tables, bc_qids, m: int, k: int):
                 # gather the j-th partial distance for every (q, cand)
                 d += tables[:, j, :][:, codes[:, j]]
             ids = pdf["_id"].to_numpy()[idx]
+            # mask each query's own row out of ITS candidate set only
+            id_pos = {v: i for i, v in enumerate(ids.tolist())}
+            for qi, q in enumerate(qids):
+                pos = id_pos.get(q)
+                if pos is not None:
+                    d[qi, pos] = np.inf
             kk = min(k, nb)
             part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
             out_q, out_c, out_d = [], [], []
             for qi in range(nq):
-                sel = part[qi]
+                sel = [p for p in part[qi] if np.isfinite(d[qi, p])]
                 out_q.extend([qids[qi]] * len(sel))
                 out_c.extend(ids[sel].tolist())
                 out_d.extend(d[qi, sel].tolist())
@@ -295,9 +303,9 @@ def pq_topk(
     bc_q = spark.sparkContext.broadcast(qids)
 
     id_col = id_col or encoded.columns[0]
-    src = encoded.select(
-        F.col(id_col).alias("_id"), F.col("codes")
-    ).filter(~F.col("_id").isin(qids))  # exclude self-matches
+    # no global qid exclusion: a candidate that is also a query must
+    # still serve every OTHER query (the kernel masks self-pairs)
+    src = encoded.select(F.col(id_col).alias("_id"), F.col("codes"))
     part = src.mapInPandas(
         _topk_kernel(bc_t, bc_q, m, k),
         "query_id long, cand_id long, approx_d2 double",

@@ -57,7 +57,9 @@ def _windows(df: DataFrame, text_col: str, id_col: str, L: int) -> DataFrame:
         toks.alias("_t"),
         F.explode(starts).alias("start"),
     )
-    gram = F.concat_ws("", F.slice(F.col("_t"), F.col("start"), L))
+    # space-joined: tokens are whitespace-split so " " provably cannot
+    # occur inside one — ["ab","c"] and ["a","bc"] stay distinct keys
+    gram = F.concat_ws(" ", F.slice(F.col("_t"), F.col("start"), L))
     # xxhash64 keys the shuffle; collisions only over-merge windows, and
     # the span semantics tolerate that (a colliding window is "repeated"
     # spuriously with probability ~2^-64 per pair)

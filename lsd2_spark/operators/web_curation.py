@@ -76,7 +76,9 @@ def parse_url(url: Column) -> Column:
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
     host = _host_of(url)
     path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+([^?#]*)", 1)
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # anchor the query before any '#': a '?' inside the fragment must
+    # not leak fragment content into the query field
+    query = F.regexp_extract(url, r"^[^#]*?\?([^#]*)", 1)
     blank_null = lambda c: F.when(c != "", c)  # noqa: E731
     return F.struct(
         blank_null(scheme).alias("scheme"),
@@ -96,8 +98,20 @@ def canonicalize_url(url: Column) -> Column:
     total."""
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
     host = _host_of(url)
+    # non-default ports are part of the origin and must survive
+    # canonicalization; only the scheme's default port is dropped
+    auth = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)", 1)
+    port = F.regexp_extract(F.regexp_replace(auth, r"^.*@", ""), r":(\d+)$", 1)
+    default_port = F.when(scheme == "http", "80").when(
+        scheme == "https", "443"
+    ).otherwise("")
+    host_port = F.when(
+        (port != "") & (port != default_port),
+        F.concat(host, F.lit(":"), port),
+    ).otherwise(host)
     path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+([^?#]*)", 1)
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # same fragment-safe anchoring as parse_url
+    query = F.regexp_extract(url, r"^[^#]*?\?([^#]*)", 1)
     kept = F.array_sort(
         F.filter(
             F.split(query, "&"),
@@ -113,7 +127,7 @@ def canonicalize_url(url: Column) -> Column:
         ).otherwise(path)
     )
     canon = F.concat(
-        scheme, F.lit("://"), host, npath,
+        scheme, F.lit("://"), host_port, npath,
         F.when(qstr != "", F.concat(F.lit("?"), qstr)).otherwise(F.lit("")),
     )
     return F.when(scheme != "", canon).otherwise(url)

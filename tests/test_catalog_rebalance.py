@@ -198,3 +198,37 @@ def test_crash_after_done_marker_rolls_forward(spark, tmp_path):
     assert healed.df().count() == n0
     assert all(c <= thr for c in _cells(healed).values())
     assert healed.fsck()["consistent"]
+
+
+def test_delete_reconciles_a_crashed_rebalance_first(spark, tmp_path):
+    """A delete on a catalog with a stale rebalance marker must NOT
+    operate on the row-duplicated torn state (parents + children both
+    on disk): it reconciles the rebalance first, so match counts and
+    n_sources stay exact."""
+    cat = _build_over(spark, tmp_path, "xmark", margins=False)
+    thr = 700
+    n0 = cat.meta.n_sources
+
+    orig = Catalog._rebalance_finish
+
+    def boom(self, *a, **k):
+        raise _Boom("crash before finish")
+
+    Catalog._rebalance_finish = boom
+    try:
+        with pytest.raises(_Boom):
+            cat.rebalance(threshold=thr)
+    finally:
+        Catalog._rebalance_finish = orig
+
+    stale = Catalog.load(spark, cat.path, "xmark")
+    assert stale.df().count() > n0  # duplicated torn state
+    n_victims_true = int(
+        stale.df().dropDuplicates(["source_id"]).filter("mag > 21.5").count()
+    )
+
+    cat2 = stale.delete("mag > 21.5")
+    assert cat2.meta.n_sources == n0 - n_victims_true
+    assert cat2.df().count() == n0 - n_victims_true
+    assert cat2.df().filter("mag > 21.5").count() == 0
+    assert cat2.fsck()["consistent"]

@@ -217,3 +217,38 @@ def test_compact_preserves_probe_results(spark, index):
     n_exact_after = spark.read.parquet(f"{index.path}/exact").count()
     assert before == after
     assert n_exact_after < n_exact_before  # duplicate hash rows collapsed
+
+
+def test_string_ids_are_supported(spark, tmp_path):
+    """near-dup tie-breaking must not assume numeric ids (a negated-id
+    max(struct) would crash or null out for strings)."""
+    rows = [
+        ("a", "the quick brown fox jumps over the lazy dog near the river"),
+        ("b", "pack my box with five dozen liquor jugs before the voyage"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    idx = DedupIndex.build(df, "text", "doc_id", str(tmp_path / "sidx"))
+    probe = spark.createDataFrame(
+        [("z", "the quick brown fox jumps over the lazy dog near the creek")],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r for r in idx.probe(probe, threshold=0.5).collect()}
+    assert got["z"]["near_dup_of"] == "a"
+
+
+def test_compact_crash_between_renames_self_heals(spark, index):
+    """A crash between compact()'s two renames leaves the canonical dir
+    missing and '._old' holding the full pre-compact copy; reopening
+    the index must heal and serve identical probes."""
+    import os
+    import shutil
+
+    batch = _df(spark, [(95, "the quick brown fox jumps over the lazy dog near the river bank")])
+    before = sorted(map(tuple, index.probe(batch).collect()))
+    # simulate the torn window
+    os.rename(f"{index.path}/exact", f"{index.path}/exact._old")
+    reopened = DedupIndex(spark, index.path)
+    after = sorted(map(tuple, reopened.probe(batch).collect()))
+    assert after == before
+    assert os.path.isdir(f"{index.path}/exact")
+    assert not os.path.exists(f"{index.path}/exact._old")

@@ -468,6 +468,17 @@ def test_training_pipeline_round7_stages(spark):
     realized = corpus.agg(SF.sum(tok)).collect()[0][0]
     assert realized <= budget * 1.15
     assert realized >= budget * 0.5  # the corpus is big enough to fill most of it
+    # epoch-replicated corpora: (doc_id, epoch) unique, epoch kept
+    assert "epoch" in corpus.columns
+    assert (
+        corpus.select("doc_id", "epoch").distinct().count() == corpus.count()
+    )
+    # token_accounting must count each corpus ROW once, not square the
+    # totals for replicated docs (one stats row per distinct doc)
+    from examples.training_pipeline import token_accounting as acct_fn
+
+    acct = acct_fn(corpus).toPandas()
+    assert acct["n_docs"].sum() == corpus.count()
     corpus.unpersist()
 
 

@@ -179,3 +179,15 @@ def test_gate_oracles_have_no_straddle_risk_sf001_and_sf01():
         "(accumulation straddle risk — move these columns to integer "
         "micro-units):\n" + "\n".join(flagged)
     )
+
+
+def test_round6_sql_helper_matches_the_inlined_formula():
+    """The oracle SQL inlines the floor formula (f-string-brace-safe);
+    this pins the inlined pattern to the helper so a future change to
+    round6_sql cannot silently diverge from the ~15 inlined sites: the
+    stripper recognizes exactly the helper's output, and the tie scan
+    above requires it to fire on every rounded oracle."""
+    assert round6_sql("x") == "FLOOR((x) * 1000000.0 + 0.5) / 1000000.0"
+    stripped, n = _strip_round6(round6_sql("a + b"))
+    # the stripper re-parenthesizes; double parens are semantically inert
+    assert n == 1 and stripped == "((a + b))"

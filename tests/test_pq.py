@@ -201,3 +201,18 @@ def test_compression_ratio(corpus, books, spark, tmp_path):
         )
 
     assert size(enc_p) < size(raw_p) / 4
+
+
+def test_self_search_keeps_other_queries_as_candidates(spark, corpus, books):
+    """Vectors 0 and 100 are cluster-0 siblings and BOTH queries; each
+    must still appear in the other's top-k (only the self-pair is
+    excluded, not every query id globally)."""
+    _, df = corpus
+    enc = pq_encode(df, "embedding", "vec_id", books)
+    queries = df.filter(F.col("vec_id").isin([0, 100]))
+    got = {}
+    for r in pq_topk(enc, queries, "embedding", "vec_id", books, k=3).collect():
+        got.setdefault(r["query_id"], set()).add(r["cand_id"])
+    assert 100 in got[0]
+    assert 0 in got[100]
+    assert 0 not in got[0] and 100 not in got[100]  # self excluded

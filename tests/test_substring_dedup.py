@@ -159,3 +159,15 @@ def test_validation(spark):
         repeated_spans(df, "text", "doc_id", keep="bogus")
     with pytest.raises(ValueError):
         repeated_spans(df, "text", "doc_id", min_tokens=0)
+
+
+def test_window_keys_respect_token_boundaries(spark):
+    """Different tokenizations whose characters concatenate identically
+    must NOT be treated as repeated windows ('ab c d e' vs 'a bc d e'
+    would collide under a separator-free window key)."""
+    rows = [
+        (1, "ab c d e w1 w2 w3"),
+        (2, "a bc d e v1 v2 v3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert repeated_spans(df, "text", "doc_id", min_tokens=4).count() == 0

@@ -90,3 +90,42 @@ def test_cap_per_domain_is_deterministic(spark):
     assert a == b
     assert len(a) == 6  # 5 of big.com + the 1 small.org page
     assert 100 in a
+
+
+def test_fragment_question_mark_does_not_leak_into_query(spark):
+    """A '?' inside the fragment must not be parsed as a query string."""
+    rows = [(1, "https://example.com/page#sec?x=1"),
+            (2, "https://example.com/page")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select("doc_id", canonicalize_url(F.col("url")).alias("c")).collect()
+    }
+    assert got[1] == got[2] == "https://example.com/page"
+    p = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", parse_url(F.col("url")).alias("p"))
+        .select("doc_id", "p.*").collect()
+    }
+    assert p[1]["query"] is None
+
+
+def test_non_default_ports_survive_canonicalization(spark):
+    """Only the scheme's default port is dropped — :8080 is a different
+    origin and must stay distinct."""
+    rows = [
+        (1, "http://example.com:8080/app"),
+        (2, "http://example.com/app"),
+        (3, "http://example.com:80/app"),
+        (4, "https://example.com:443/app"),
+        (5, "https://example.com:8443/app"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select("doc_id", canonicalize_url(F.col("url")).alias("c")).collect()
+    }
+    assert got[1] == "http://example.com:8080/app"
+    assert got[2] == got[3] == "http://example.com/app"
+    assert got[4] == "https://example.com/app"
+    assert got[5] == "https://example.com:8443/app"
