@@ -468,27 +468,69 @@ class Catalog:
         ra, dec = F.col(meta.ra_kw), F.col(meta.dec_kw)
 
         orders = sorted(meta.hips)
+        # probe at the FINEST coverage order: rebalance can leave leaves
+        # finer than order_k, and _order_probes only shifts DOWN (a
+        # negative shift would be masked mod 64 into garbage and the
+        # fine leaves would silently never match)
+        probe_order = max([order_k, *orders])
         leaf_tbl = F.broadcast(
             spark.createDataFrame(
                 [(int(o), int(p)) for o in orders for p in meta.hips[o]],
                 "Norder int, Npix long",
             )
         )
-        withk = df.withColumn("_kpix", ang2pix_udf(order_k, ra, dec))
+        withk = df.withColumn("_kpix", ang2pix_udf(probe_order, ra, dec))
         cand = withk.withColumn(
-            "_pr", F.explode(_order_probes(F.col("_kpix"), orders, order_k))
+            "_pr", F.explode(_order_probes(F.col("_kpix"), orders, probe_order))
         ).select(
             *df.columns, "_kpix", F.col("_pr.Norder").alias("Norder"),
             F.col("_pr.Npix").alias("Npix"),
         )
         hit = cand.join(leaf_tbl, ["Norder", "Npix"])  # leaves partition the
         # covered sky, so each row matches at most one leaf
+        # New leaves for rows outside the coverage open at order_k —
+        # EXCEPT where the row's order_k pixel already contains finer
+        # coverage leaves (possible after a rebalance): an order_k leaf
+        # there would spatially overlap them, and a later rebalance's
+        # dynamic overwrite of its children would clobber those cells.
+        # Such rows open their leaf at the finest descendant order
+        # instead, which is disjoint from every existing leaf by
+        # construction (no coverage exists below that order there).
+        req: dict[int, int] = {}
+        for o2 in orders:
+            if o2 <= order_k:
+                continue
+            for q in meta.hips[o2]:
+                anc = q >> (2 * (o2 - order_k))
+                req[anc] = max(req.get(anc, order_k), o2)
+        kp_at = lambda o: F.shiftright(  # noqa: E731
+            F.col("_kpix"), 2 * (probe_order - o)
+        )
+        new_order = F.lit(order_k).cast("int")
+        new_pix = kp_at(order_k)
+        if req:
+            req_tbl = F.broadcast(
+                spark.createDataFrame(
+                    [(int(a), int(o)) for a, o in req.items()],
+                    "_anc long, _req int",
+                )
+            )
         missed = withk.join(
             hit.select(meta.id_kw), meta.id_kw, "left_anti"
-        ).select(
+        )
+        if req:
+            missed = missed.join(
+                req_tbl, kp_at(order_k) == F.col("_anc"), "left"
+            )
+            new_order = F.coalesce(F.col("_req"), F.lit(order_k)).cast("int")
+            # variable-shift: build a CASE over the few required orders
+            new_pix = kp_at(order_k)
+            for o2 in sorted({v for v in req.values()}):
+                new_pix = F.when(F.col("_req") == o2, kp_at(o2)).otherwise(new_pix)
+        missed = missed.select(
             *df.columns, "_kpix",
-            F.lit(order_k).cast("int").alias("Norder"),
-            F.col("_kpix").alias("Npix"),
+            new_order.alias("Norder"),
+            new_pix.alias("Npix"),
         )
         assigned = (
             hit.unionByName(missed)
@@ -503,9 +545,9 @@ class Catalog:
         cell_counts = assigned.groupBy("Norder", "Npix").count().collect()
         touched = [(int(r["Norder"]), int(r["Npix"])) for r in cell_counts]
         n_new = int(sum(r["count"] for r in cell_counts))
-        existing_k = set(meta.hips.get(order_k, []))
         new_leaves = [
-            p for o, p in touched if o == order_k and p not in existing_k
+            (o, p) for o, p in touched
+            if p not in set(meta.hips.get(o, []))
         ]
 
         # merge touched cells' existing rows (pruned read) with the new
@@ -592,9 +634,10 @@ class Catalog:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
         hips = {o: sorted(ps) for o, ps in meta.hips.items()}
-        if new_leaves:
-            hips.setdefault(order_k, [])
-            hips[order_k] = sorted(set(hips[order_k]) | set(new_leaves))
+        for o, p in new_leaves:
+            hips.setdefault(o, [])
+            if p not in hips[o]:
+                hips[o] = sorted(set(hips[o]) | {p})
         # rows now on disk in the touched cells = (existing - replaced) + new
         n_after_touched = disk_touched - n_replaced + n_new
         new_meta = CatalogMetadata(

@@ -196,24 +196,50 @@ def stateful_sessionize(events: DataFrame, gap_min: int = 30) -> DataFrame:
     )
 
 
-def stream_into_catalog(stream_df: DataFrame, catalog) -> "StreamingCatalogWriter":
+def stream_into_catalog(
+    stream_df: DataFrame,
+    catalog,
+    auto_rebalance: bool = False,
+    rebalance_every: int = 10,
+) -> "StreamingCatalogWriter":
     """Incremental catalog ingest: each micro-batch appends to an
     existing :class:`~lsd2_spark.catalog.Catalog` via ``foreachBatch`` →
     ``Catalog.append`` (leaf assignment + touched-cell re-rank + dynamic
     partition overwrite — see catalog.py).  Returns a writer whose
     ``.catalog`` always points at the latest metadata state.
 
+    ``auto_rebalance=True`` runs ``Catalog.rebalance()`` after every
+    ``rebalance_every``-th applied batch, so a long-running stream that
+    keeps densifying a region never degenerates past the density
+    contract.  The cadence amortizes rebalance's per-cell count scan
+    (plan-sized rows, but a full catalog read) across batches; a crash
+    mid-rebalance converges via its two-phase marker on the next
+    attempt (append's own replay marker is unaffected — rebalance never
+    changes ``n_sources``).
+
     ``stream_df`` must carry the catalog's ra/dec/id columns.  Batches
     are applied serially by Structured Streaming, so metadata updates
     never race.
     """
-    return StreamingCatalogWriter(stream_df, catalog)
+    return StreamingCatalogWriter(
+        stream_df, catalog, auto_rebalance=auto_rebalance,
+        rebalance_every=rebalance_every,
+    )
 
 
 class StreamingCatalogWriter:
-    def __init__(self, stream_df: DataFrame, catalog) -> None:
+    def __init__(
+        self,
+        stream_df: DataFrame,
+        catalog,
+        auto_rebalance: bool = False,
+        rebalance_every: int = 10,
+    ) -> None:
         self._stream_df = stream_df
         self.catalog = catalog
+        self._auto_rebalance = auto_rebalance
+        self._rebalance_every = max(1, int(rebalance_every))
+        self._applied = 0
 
     def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -222,6 +248,9 @@ class StreamingCatalogWriter:
         # committed high-water batch_id in the catalog metadata and
         # no-ops on batch_id <= last committed (catalog.py).
         self.catalog = self.catalog.append(batch_df, batch_id=batch_id)
+        self._applied += 1
+        if self._auto_rebalance and self._applied % self._rebalance_every == 0:
+            self.catalog = self.catalog.rebalance()
 
     def start(self, checkpoint_dir: str):
         return (

@@ -232,3 +232,49 @@ def test_delete_reconciles_a_crashed_rebalance_first(spark, tmp_path):
     assert cat2.df().count() == n0 - n_victims_true
     assert cat2.df().filter("mag > 21.5").count() == 0
     assert cat2.fsck()["consistent"]
+
+
+def test_append_after_rebalance_respects_fine_leaves(spark, tmp_path):
+    """After a rebalance leaves cells FINER than order_k, an append
+    must (a) assign new rows into those fine leaves (the probe must
+    shift down from the finest coverage order — a negative shift was
+    silently masked into garbage), and (b) never open an order_k leaf
+    spatially containing existing finer leaves (a later rebalance's
+    dynamic overwrite would clobber them).  Four append+rebalance
+    rounds onto one hotspot must preserve every row with no duplicate
+    ids and consistent metadata."""
+    import pandas as pd
+
+    rng = np.random.default_rng(17)
+
+    def batch(n, offset):
+        return pd.DataFrame(
+            {
+                "source_id": np.arange(offset, offset + n, dtype=np.int64),
+                "ra": rng.normal(200.0, 0.3, n) % 360,
+                "dec": np.clip(rng.normal(5.0, 0.3, n), -89, 89),
+                "mag": rng.uniform(10, 22, n),
+            }
+        )
+
+    cat = partition_catalog(
+        spark.createDataFrame(batch(300, 0)), str(tmp_path / "ar"), "ar",
+        ra_col="ra", dec_col="dec", id_col="source_id",
+        threshold=400, order_k=3, write_margins=False,
+    )
+    for b in range(4):
+        cat = cat.append(
+            spark.createDataFrame(batch(300, 1000 + b * 300)), batch_id=b
+        )
+        cat = cat.rebalance()
+        n = 300 + (b + 1) * 300
+        assert cat.df().count() == n
+        assert cat.meta.n_sources == n
+        assert cat.df().groupBy("source_id").count().filter("count > 1").count() == 0
+        assert cat.fsck()["consistent"]
+    # coverage stayed disjoint: no leaf is an ancestor of another
+    leaves = [(o, p) for o, ps in cat.meta.hips.items() for p in ps]
+    for o1, p1 in leaves:
+        for o2, p2 in leaves:
+            if o1 < o2:
+                assert (p2 >> (2 * (o2 - o1))) != p1, ((o1, p1), (o2, p2))

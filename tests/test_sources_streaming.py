@@ -834,3 +834,61 @@ def test_text_curation_ops_compose_on_streams(spark, tmp_path):
     )
     assert len(got) == len(want) > 0
     assert got.equals(want)
+
+
+def test_streaming_auto_rebalance_keeps_density_contract(spark, tmp_path):
+    """A stream that keeps densifying one region must not degenerate:
+    with auto_rebalance the final catalog has no over-threshold cell,
+    all rows landed exactly once, and the metadata is consistent."""
+    import numpy as np
+    import pandas as pd
+
+    from lsd2_spark.catalog import Catalog, partition_catalog
+    from lsd2_spark.streaming import events as sev
+
+    rng = np.random.default_rng(17)
+
+    def batch_pdf(n, offset):
+        return pd.DataFrame(
+            {
+                "sid": np.arange(offset, offset + n, dtype=np.int64),
+                # every batch piles onto the same hotspot
+                "ra": rng.normal(200.0, 0.3, n) % 360,
+                "dec": np.clip(rng.normal(5.0, 0.3, n), -89, 89),
+            }
+        )
+
+    cat = partition_catalog(
+        spark.createDataFrame(batch_pdf(300, 0)),
+        str(tmp_path / "cat"), "scat",
+        ra_col="ra", dec_col="dec", id_col="sid",
+        threshold=400, order_k=3, write_margins=False,
+    )
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    n_batches, per_batch = 6, 300
+    for b in range(n_batches):
+        spark.createDataFrame(batch_pdf(per_batch, 1000 + b * per_batch)).write.parquet(
+            str(inbox / f"b{b}")
+        )
+
+    stream = (
+        spark.readStream.schema("sid long, ra double, dec double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{inbox}/*")
+    )
+    writer = sev.stream_into_catalog(
+        stream, cat, auto_rebalance=True, rebalance_every=2
+    )
+    writer.run_available(str(tmp_path / "ckpt"))
+    final = writer.catalog
+
+    total = 300 + n_batches * per_batch
+    assert final.meta.n_sources == total
+    assert final.df().count() == total
+    cells = {
+        (r["Norder"], r["Npix"]): r["count"]
+        for r in final.df().groupBy("Norder", "Npix").count().collect()
+    }
+    assert all(c <= 400 for c in cells.values()), cells
+    assert final.fsck()["consistent"]
