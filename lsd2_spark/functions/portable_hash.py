@@ -18,6 +18,16 @@ from pyspark.sql import functions as F
 
 MOD = 1_000_003
 
+# Whitespace tokenizer class, spelled identically for Java regex (Spark)
+# and RE2 (DuckDB).  ``\s`` is NOT portable: Java's ASCII ``\s`` includes
+# \x0B (vertical tab), RE2's does not, and Unicode-aware builds widen it
+# further — one generator change emitting \x0B would silently fork the
+# two engines' tokenizations.  Both engines parse ``\t \n \r \f`` escapes
+# inside a character class identically, so this exact text is safe to use
+# as a Java Pattern AND inside a DuckDB ``'…'`` literal (RE2).
+WS = r"[ \t\n\r\f]+"
+WS_CHARS = " \t\n\r\f"
+
 # fixed affine permutations for minhash (a, b) — arbitrary but stable
 MINHASH_PERMS: list[tuple[int, int]] = [
     (824393, 93401), (510947, 804211), (299299, 117041), (730013, 411019),

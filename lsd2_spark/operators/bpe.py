@@ -28,6 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lsd2_spark.functions.portable_hash import WS
+
 __all__ = ["word_histogram", "train_bpe", "bpe_encode"]
 
 _EOW = "</w>"
@@ -38,7 +40,7 @@ def word_histogram(df: DataFrame, text_col: str) -> DataFrame:
     partial-aggregable groupBy; the corpus's only full pass."""
     return (
         df.select(
-            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
+            F.explode(F.split(F.lower(F.col(text_col)), WS)).alias("word")
         )
         .filter(F.col("word") != "")
         .groupBy("word")

@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from lsd2_spark.functions.portable_hash import WS
+
 
 @dataclass
 class NgramBloom:
@@ -40,7 +42,7 @@ def word_ngrams(text: Column, n: int) -> Column:
     """Lower-cased whitespace-token word ``n``-grams as an array of
     space-joined strings; empty array when the document has fewer than
     ``n`` tokens (guards ``sequence``'s descending-range behavior)."""
-    t = F.split(F.lower(text), r"\s+")
+    t = F.split(F.lower(text), WS)
     m = F.size(t) - F.lit(n - 1)
     return F.when(
         m >= 1,

@@ -28,7 +28,7 @@ from pyspark.sql.window import Window
 
 from lsd2_spark.functions.numeric import round6
 from lsd2_spark.operators.common import spread_partitions
-from lsd2_spark.functions.portable_hash import MINHASH_PERMS, MOD, hash64
+from lsd2_spark.functions.portable_hash import MINHASH_PERMS, MOD, hash64, WS
 
 __all__ = [
     "exact_dedup",
@@ -60,7 +60,7 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def tokens_col(text: Column) -> Column:
     """Distinct whitespace tokens (shingle set for minhash/simhash)."""
-    return F.array_distinct(F.split(text, r"\s+"))
+    return F.array_distinct(F.split(text, WS))
 
 
 def _token_hashes(text: Column) -> Column:
@@ -381,7 +381,7 @@ def normalize_text_col(text: Column) -> Column:
     differing only in case/spacing/punctuation hash together."""
     t = F.lower(text)
     t = F.regexp_replace(t, r"[!-/:-@\[-`{-~]", "")  # ASCII punctuation
-    t = F.regexp_replace(t, r"\s+", " ")
+    t = F.regexp_replace(t, WS, " ")
     return F.trim(t)
 
 

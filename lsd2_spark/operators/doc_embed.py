@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lsd2_spark.functions.portable_hash import WS
+
 __all__ = ["doc_embeddings"]
 
 
@@ -66,7 +68,7 @@ def doc_embeddings(
             df.select(
                 F.col(id_col),
                 F.explode(
-                    F.array_distinct(F.split(F.col(text_col), r"\s+"))
+                    F.array_distinct(F.split(F.col(text_col), WS))
                 ).alias("tok"),
             )
             .filter(F.col("tok") != "")

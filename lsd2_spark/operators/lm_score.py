@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lsd2_spark.functions.portable_hash import WS
+
 from lsd2_spark.functions.numeric import round6
 
 __all__ = ["train_char_lm", "lm_score", "train_word_lm", "word_lm_score"]
@@ -38,7 +40,7 @@ def _char_ngrams(text_col: str, n: int) -> "F.Column":
     sequence)."""
     t = F.concat(
         F.lit(" "),  # BOS pad so leading chars get context
-        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "),
+        F.regexp_replace(F.lower(F.col(text_col)), WS, " "),
     )
     m = F.length(t) - F.lit(n - 1)
     return F.when(
@@ -125,7 +127,7 @@ _WLM_LAMBDA = 0.7  # weight on the bigram ML estimate
 
 def _word_tokens(text_col: str) -> "F.Column":
     return F.split(
-        F.concat(F.lit("<s> "), F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
+        F.concat(F.lit("<s> "), F.regexp_replace(F.lower(F.col(text_col)), WS, " ")),
         " ",
     )
 

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from lsd2_spark.functions.portable_hash import WS
+
 
 def _assign_seq_ids(
     df: DataFrame,
@@ -29,13 +31,19 @@ def _assign_seq_ids(
     extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """The shared prefix-sum assignment: each doc joins the sequence
-    where its first token lands (per-shard window cumsum)."""
+    where its first token lands (per-shard window cumsum).
+
+    The window orders by ``(id_col, token_count)`` — the token count is
+    a pure tiebreak so that even a corpus with duplicate ids produces one
+    engine-independent running sum (ROWS frames over equal order keys are
+    otherwise nondeterministic in both Spark and DuckDB).
+    """
+    toks = token_count.cast("long")
     w = (
         Window.partitionBy(strata_col)
-        .orderBy(id_col)
+        .orderBy(F.col(id_col), toks)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    toks = token_count.cast("long")
     return df.select(
         F.col(strata_col),
         F.col(id_col),
@@ -107,7 +115,7 @@ def split_passages(
     stride = stride or max_tokens
     if stride <= 0 or max_tokens <= 0:
         raise ValueError("max_tokens and stride must be positive")
-    toks = F.split(F.col(text_col), r"\s+")
+    toks = F.split(F.col(text_col), WS)
     n = F.size(toks)
     # window starts: 1, 1+stride, ... while start <= n (empty doc -> one
     # empty passage is NOT emitted: sequence(1, 0) would descend, guard)
@@ -154,7 +162,7 @@ def write_packed_corpus(
     assigned = _assign_seq_ids(
         df,
         id_col,
-        F.size(F.split(F.col(text_col), r"\s+")),
+        F.size(F.split(F.col(text_col), WS)),
         seq_len,
         strata_col,
         extra_cols=[text_col],

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lsd2_spark.functions.portable_hash import WS
+
 __all__ = [
     "train_quality_model",
     "score_quality",
@@ -39,7 +41,7 @@ def _featurizer(text_col: str):
     from pyspark.ml.feature import HashingTF, RegexTokenizer
 
     tok = RegexTokenizer(
-        inputCol=text_col, outputCol="_qm_tokens", pattern=r"\s+", toLowercase=True
+        inputCol=text_col, outputCol="_qm_tokens", pattern=WS, toLowercase=True
     )
     tf = HashingTF(
         inputCol="_qm_tokens", outputCol="_qm_features", numFeatures=_N_FEATURES

@@ -22,13 +22,15 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lsd2_spark.functions.portable_hash import WS
+
 from lsd2_spark.functions.numeric import round6
 
 __all__ = ["bm25_score", "bm25_topk"]
 
 
 def _query_terms(query: str) -> list[str]:
-    terms = [t for t in re.split(r"\s+", query.lower().strip()) if t]
+    terms = [t for t in re.split(WS, query.lower().strip()) if t]
     # dedup, keep first-seen order (scoring sums per distinct term)
     seen: dict[str, None] = {}
     for t in terms:
@@ -56,7 +58,7 @@ def bm25_score(
     if not terms:
         raise ValueError("empty query")
 
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    toks = F.split(F.lower(F.col(text_col)), WS)
     base = docs.select(
         F.col(id_col),
         toks.alias("_t"),

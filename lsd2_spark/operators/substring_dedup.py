@@ -43,13 +43,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from lsd2_spark.functions.portable_hash import WS
+
 __all__ = ["repeated_spans", "remove_repeated_spans"]
 
 
 def _windows(df: DataFrame, text_col: str, id_col: str, L: int) -> DataFrame:
     """(id, start, wkey) for every length-L token window; 1-based
     ``start``.  Documents with fewer than L tokens emit nothing."""
-    toks = F.split(F.col(text_col), r"\s+")
+    toks = F.split(F.col(text_col), WS)
     n = F.size(toks)
     starts = F.when(n >= L, F.sequence(F.lit(1), n - L + 1))
     win = df.select(
@@ -155,7 +157,7 @@ def remove_repeated_spans(
             ).alias("_spans")
         )
     )
-    toks = F.split(F.col(text_col), r"\s+")
+    toks = F.split(F.col(text_col), WS)
     joined = df.join(spans, id_col, "left")
     in_span = lambda pos: F.exists(  # noqa: E731
         F.col("_spans"), lambda sp: (pos >= sp["s"]) & (pos < sp["e"])

@@ -14,6 +14,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from lsd2_spark.functions.portable_hash import WS
+
 from lsd2_spark.functions.numeric import round6
 
 __all__ = [
@@ -44,13 +46,13 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def _tokens(text: Column) -> Column:
-    return F.split(text, r"\s+")
+    return F.split(text, WS)
 
 
 # GPT-2-style pre-tokenizer segmentation, restricted to constructs both
 # Java regex (Spark) and RE2 (DuckDB) evaluate identically: contraction
 # suffixes, space-prefixed letter runs, digit runs, punctuation runs.
-BPE_TOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+BPE_TOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n\r\f]+"
 
 
 def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -64,7 +66,7 @@ def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.size(t).alias("n_tokens"),
         F.size(F.array_distinct(t)).alias("n_uniq_tokens"),
         round6(
-            F.length(F.regexp_replace(F.col(text_col), r"\s+", "")).cast("double")
+            F.length(F.regexp_replace(F.col(text_col), WS, "")).cast("double")
             / F.size(t)
         ).alias("avg_token_len"),
         F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_RE)).alias("n_bpe_tokens"),
@@ -263,7 +265,7 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def content_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Normalization-invariant content fingerprint: md5 of the
     lowercased text with whitespace stripped."""
-    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", "")
+    norm = F.regexp_replace(F.lower(F.col(text_col)), WS, "")
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
 
 
@@ -287,8 +289,12 @@ def _winnow_kernel(text: pd.Series) -> pd.Series:
         if s is None or len(s) < k:
             out[i] = 0
             continue
-        b = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8).astype(np.int64)
-        grams = sliding_window_view(b, k)  # (n, k), values < 256
+        # Codepoints, not utf-8 bytes: the SQL twin walks characters
+        # (substr/ord are character-based in every ANSI engine), so the
+        # kernel must too or non-ASCII text forks the two.  utf-32-le is
+        # a fixed-width codepoint dump — as vectorizable as frombuffer.
+        b = np.frombuffer(s.encode("utf-32-le", "ignore"), dtype=np.uint32).astype(np.int64)
+        grams = sliding_window_view(b, k)  # (n, k), values < 0x110000
         h = (grams * powvec[None, :] % _WINNOW_P).sum(axis=1) % _WINNOW_P
         if len(h) <= w:
             out[i] = int(h.min())
@@ -304,7 +310,7 @@ def winnow_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Content md5 + winnowing sketch in ONE pass over the text column
     (single scan, zero shuffle — both are per-row expressions)."""
-    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", "")
+    norm = F.regexp_replace(F.lower(F.col(text_col)), WS, "")
     return df.select(
         F.col(id_col),
         F.md5(norm).alias("fingerprint"),
@@ -358,7 +364,7 @@ def token_frequency_profile(
     """
     toks = df.select(
         F.col(id_col),
-        F.explode(F.split(F.col(text_col), r"\s+")).alias("token"),
+        F.explode(F.split(F.col(text_col), WS)).alias("token"),
     ).filter(F.col("token") != "")
     counts = toks.groupBy("token").agg(
         F.count(F.lit(1)).alias("n_occurrences"),
@@ -402,7 +408,7 @@ def vocab_coverage(
     if not vocab:
         raise ValueError("empty vocab")
     vs = sorted(set(vocab))
-    t = F.split(F.col(text_col), r"\s+")
+    t = F.split(F.col(text_col), WS)
     covered = F.size(F.filter(t, lambda x: x.isin(vs)))
     n = F.size(t)
     return df.select(

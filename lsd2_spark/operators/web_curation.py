@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from lsd2_spark.functions.portable_hash import WS
+
 __all__ = [
     "parse_url",
     "canonicalize_url",
@@ -162,7 +164,7 @@ def domain_stats(
         registered_domain(_host_of(u)).alias("registered_domain"),
         canonicalize_url(u).alias("_canon"),
         *(
-            [F.size(F.split(F.col(text_col), r"\s+")).alias("_tok")]
+            [F.size(F.split(F.col(text_col), WS)).alias("_tok")]
             if text_col
             else []
         ),

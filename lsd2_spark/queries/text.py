@@ -9,13 +9,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lsd2_spark.functions.numeric import round6
-from lsd2_spark.functions.portable_hash import MINHASH_PERMS, MOD, hash64_sql, minhash_term_sql
+from lsd2_spark.functions.portable_hash import MINHASH_PERMS, MOD, WS, hash64_sql, minhash_term_sql
 from lsd2_spark.operators import dedup, multimodal, text_analysis
 from lsd2_spark.queries import load_table, register
 
 _K = len(MINHASH_PERMS)
 
-_TOKS_SQL = "list_distinct(regexp_split_to_array(text, '\\s+'))"
+_TOKS_SQL = "list_distinct(regexp_split_to_array(text, '[ \\t\\n\\r\\f]+'))"
 _TOKH_SQL = f"{hash64_sql('tok')} % {MOD}"
 
 
@@ -62,7 +62,7 @@ register(
     FROM (
       SELECT doc_id,
              md5(trim(regexp_replace(regexp_replace(lower(text),
-                 '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g'))) AS norm_hash
+                 '[!-/:-@\[-`{-~]', '', 'g'), '[ \t\n\r\f]+', ' ', 'g'))) AS norm_hash
       FROM documents
     )
     """,
@@ -222,10 +222,10 @@ register(
     f"""
     SELECT doc_id,
            length(text) AS n_chars_obs,
-           len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
-           len(list_distinct(regexp_split_to_array(text, '\\s+'))) AS n_uniq_tokens,
-           FLOOR((CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-                 / len(regexp_split_to_array(text, '\\s+'))) * 1000000.0 + 0.5) / 1000000.0 AS avg_token_len,
+           len(regexp_split_to_array(text, '[ \\t\\n\\r\\f]+')) AS n_tokens,
+           len(list_distinct(regexp_split_to_array(text, '[ \\t\\n\\r\\f]+'))) AS n_uniq_tokens,
+           FLOOR((CAST(length(regexp_replace(text, '[ \\t\\n\\r\\f]+', '', 'g')) AS DOUBLE)
+                 / len(regexp_split_to_array(text, '[ \\t\\n\\r\\f]+'))) * 1000000.0 + 0.5) / 1000000.0 AS avg_token_len,
            CAST(len(regexp_extract_all(text, '{text_analysis.BPE_TOKEN_RE.replace("'", "''")}')) AS INTEGER)
              AS n_bpe_tokens
     FROM documents
@@ -257,8 +257,8 @@ register(
     f"""
     WITH t AS (
       SELECT doc_id,
-             regexp_split_to_array(text, '\\s+') AS toks,
-             regexp_split_to_array(lower(text), '\\s+') AS ltoks
+             regexp_split_to_array(text, '[ \\t\\n\\r\\f]+') AS toks,
+             regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f]+') AS ltoks
       FROM documents
     ), m AS (
       SELECT doc_id,
@@ -299,9 +299,9 @@ def q38_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The winnow sketch IS SQL-expressible: the emitted value is the minimum
 # k-gram rolling hash (min of window-minima == global min), so the oracle
 # recomputes the k=8 polynomial hash per character position with 8 LEADs
-# (documents.text is pure ASCII — verified — so character == utf-8 byte)
-# and takes the per-document MIN.  powvec[j] = 257^(7-j) mod (2^31-1),
-# matching text_analysis._winnow_kernel.
+# and takes the per-document MIN.  Both sides hash CODEPOINTS (ord/substr
+# here, utf-32 decode in text_analysis._winnow_kernel), so parity holds
+# for non-ASCII text too.  powvec[j] = 257^(7-j) mod (2^31-1).
 _WINNOW_POWS = [623063367, 336663071, 168429323, 67503107, 16974593, 66049, 257, 1]
 _WINNOW_TERMS = " + ".join(
     f"(lead(c, {j}) OVER w * {p} % 2147483647)" for j, p in enumerate(_WINNOW_POWS)
@@ -326,7 +326,7 @@ register(
       SELECT doc_id, MIN(kh) AS winnow_min FROM h WHERE c_last IS NOT NULL GROUP BY doc_id
     )
     SELECT d.doc_id,
-           md5(regexp_replace(lower(d.text), '\\s+', '', 'g')) AS fingerprint,
+           md5(regexp_replace(lower(d.text), '[ \\t\\n\\r\\f]+', '', 'g')) AS fingerprint,
            CAST(COALESCE(m.winnow_min, 0) AS BIGINT) AS winnow_min
     FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
     """,
@@ -955,7 +955,7 @@ _Q62_SQL = """
              SUM(c * length(line)) AS line_chars
       FROM lc GROUP BY doc_id
     ), tok AS (
-      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t, length(text) AS n_chars
+      SELECT doc_id, regexp_split_to_array(text, '[ \\t\\n\\r\\f]+') AS t, length(text) AS n_chars
       FROM d
     ), bg AS (
       SELECT doc_id,
@@ -1008,7 +1008,7 @@ def q63_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q63_SQL = f"""
     WITH tok AS (
-      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+      SELECT doc_id, regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f]+') AS t FROM documents
     ), ng AS (
       SELECT doc_id,
              unnest(list_transform(range(1, greatest(len(t) - {_DECONTAM_N - 2}, 1)),
@@ -1047,25 +1047,29 @@ def q64_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lsd2_spark.operators.packing import pack_sequences
 
     docs = load_table(spark, sf_dir, "documents")
+    # Gate hygiene: ``fill_frac`` is projected off — it is the only raw
+    # unrounded double on the whole gate surface and is exactly derivable
+    # from the integer columns (n_tokens / 512).  The library API keeps it;
+    # the driver compares integers only, so no float-to-text formatting
+    # difference between engines can red this row.
     return pack_sequences(
-        docs, "doc_id", F.size(F.split(F.col("text"), r"\s+")), _SEQ_LEN, "source"
-    )
+        docs, "doc_id", F.size(F.split(F.col("text"), WS)), _SEQ_LEN, "source"
+    ).drop("fill_frac")
 
 
 _Q64_SQL = f"""
     WITH t AS (
       SELECT source, doc_id,
-             CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tok
+             CAST(len(regexp_split_to_array(text, '[ \\t\\n\\r\\f]+')) AS BIGINT) AS n_tok
       FROM documents
     ), a AS (
       SELECT source, doc_id, n_tok,
-             CAST(floor((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+             CAST(floor((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id, n_tok
                                           ROWS UNBOUNDED PRECEDING) - n_tok)
                         / {_SEQ_LEN}.0) AS BIGINT) AS seq_id
       FROM t
     )
     SELECT source, seq_id, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
-           SUM(n_tok) / {_SEQ_LEN}.0 AS fill_frac,
            MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
     FROM a GROUP BY source, seq_id
     """
@@ -1095,7 +1099,7 @@ register(
     q65_passages,
     f"""
     WITH tok AS (
-      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+      SELECT doc_id, regexp_split_to_array(text, '[ \\t\\n\\r\\f]+') AS t FROM documents
     ), st AS (
       SELECT doc_id, t, unnest(range(1, len(t) + 1, {_P_STRIDE})) AS s FROM tok
     )
