@@ -436,6 +436,19 @@ class Catalog:
         ``n_sources`` stays exact even when the replay recounts cells
         that already contain the torn-written batch.
         """
+        # Converge any crashed delete/rebalance FIRST, exactly as
+        # delete() and rebalance() do at entry: in the window after a
+        # rebalance wrote its 'done' marker but before its metadata
+        # commit, the committed coverage map still lists the split
+        # parents — an append planned against it would write the batch
+        # into parent directories that the next reconciliation rolls
+        # forward and REMOVES, silently losing the rows (and a stale
+        # delete marker's recorded committed_n_sources would stop
+        # reflecting the intervening append).
+        if os.path.exists(self._rebalance_intent_path()):
+            return self._reconcile_rebalance_intent().append(df, batch_id=batch_id)
+        if os.path.exists(self._delete_intent_path()):
+            return self._reconcile_delete_intent().append(df, batch_id=batch_id)
         spark = self.spark
         meta = self.meta
         # Fail fast on schema drift: the touched-cell rewrite writes
@@ -1287,7 +1300,9 @@ class Catalog:
                 threshold, max_order
             )
         meta = self.meta
-        thr = int(threshold or meta.pix_threshold)
+        thr = int(threshold) if threshold is not None else meta.pix_threshold
+        if thr < 1:
+            raise ValueError(f"rebalance threshold must be >= 1, got {thr}")
 
         counts = self.df().groupBy("Norder", "Npix").count().collect()
         over = [

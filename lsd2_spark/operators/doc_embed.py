@@ -119,5 +119,5 @@ def doc_embeddings(
 
     src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
     return src.mapInPandas(
-        embed, f"_id long, {out_col} array<double>"
+        embed, f"_id {df.schema[id_col].dataType.simpleString()}, {out_col} array<double>"
     ).select(F.col("_id").alias(id_col), out_col)

@@ -146,7 +146,11 @@ def _word_bigrams(text_col: str) -> "F.Column":
 
 
 def train_word_lm(
-    corpus: DataFrame, text_col: str, lam: float = _WLM_LAMBDA
+    corpus: DataFrame,
+    text_col: str,
+    lam: float = _WLM_LAMBDA,
+    max_vocab: int | None = 500_000,
+    max_bigrams: int | None = 2_000_000,
 ) -> dict:
     """Interpolated word-bigram model from a reference corpus:
 
@@ -156,13 +160,28 @@ def train_word_lm(
     Two partial-aggregable groupBys over the reference sample; returns
     ``{"bigram": DataFrame(bigram, p_ml), "unigram":
     DataFrame(word, p_uni), "lam": lam, "floor": 1/(T+V)}`` — the two
-    tables broadcast at score time, the scalars are plan-sized."""
+    tables broadcast at score time, the scalars are plan-sized.
+
+    ``max_vocab`` / ``max_bigrams`` bound the score-time broadcast
+    (deterministic top-N by count, word-order tiebreak — a
+    TakeOrdered, no global sort): distinct word bigrams grow without
+    bound with the reference corpus, and an unbounded table blows the
+    broadcast ceiling.  The defaults keep both tables ~100 MB.  Dropped
+    entries are NOT lost probability mass — a truncated bigram backs
+    off to its unigram term and a truncated word to the add-one floor,
+    the exact smoothing path unseen n-grams already take (T, V, and the
+    per-``w1`` denominators are computed over the FULL corpus first, so
+    every retained estimate is the true ML value).  Pass ``None`` for
+    either cap to keep the full table; scoring then joins it without a
+    broadcast hint and lets the optimizer pick a shuffle join."""
     toks = corpus.select(F.explode(_word_tokens(text_col)).alias("w"))
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     stats = uni.agg(
         F.sum("c").alias("t"), F.count(F.lit(1)).alias("v")
     ).collect()[0]
     t_plus_v = float(stats["t"] + stats["v"])
+    if max_vocab is not None:
+        uni = uni.orderBy(F.desc("c"), F.asc("w")).limit(int(max_vocab))
     unigram = uni.select(
         "w", ((F.col("c") + 1.0) / F.lit(t_plus_v)).alias("p_uni")
     )
@@ -173,6 +192,10 @@ def train_word_lm(
         .groupBy("w1")
         .agg(F.sum("c12").alias("c1"))
     )
+    if max_bigrams is not None:
+        bcounts = bcounts.orderBy(F.desc("c12"), F.asc("bg")).limit(
+            int(max_bigrams)
+        )
     bigram = (
         bcounts.withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
         .join(w1c, "w1")
@@ -183,6 +206,7 @@ def train_word_lm(
         "unigram": unigram,
         "lam": float(lam),
         "floor": 1.0 / t_plus_v,
+        "bounded": max_vocab is not None and max_bigrams is not None,
     }
 
 
@@ -200,13 +224,17 @@ def word_lm_score(
     tables) → per-doc partial-agg average.  Total: NULL/empty docs keep
     their row with ``n_bigrams = 0`` and NULL score."""
     lam, floor = model["lam"], model["floor"]
+    # force-broadcast ONLY when training bounded the tables; an
+    # uncapped model may exceed the broadcast ceiling, so let the
+    # optimizer choose (it still broadcasts if the stats say it fits)
+    hint = F.broadcast if model.get("bounded", False) else (lambda d: d)
     grams = docs.select(
         F.col(id_col), F.explode(_word_bigrams(text_col)).alias("bg")
     ).withColumn("w2", F.split(F.col("bg"), " ").getItem(1))
     scored = (
-        grams.join(F.broadcast(model["bigram"]), "bg", "left")
+        grams.join(hint(model["bigram"]), "bg", "left")
         .join(
-            F.broadcast(model["unigram"]),
+            hint(model["unigram"]),
             grams["w2"] == model["unigram"]["w"],
             "left",
         )

@@ -162,6 +162,13 @@ def train_pq(
     return cents
 
 
+
+def _id_type(df: DataFrame, col: str) -> str:
+    """DDL type of an id column — the mapInPandas/createDataFrame output
+    schemas carry the INPUT's id type (long doc ids and string doc ids
+    both work; the old hard-coded ``long`` crashed on string ids)."""
+    return df.schema[col].dataType.simpleString()
+
 def pq_encode(
     df: DataFrame,
     vec_col: str,
@@ -198,9 +205,9 @@ def pq_encode(
             yield pd.DataFrame({"_id": pdf["_id"], "codes": out_codes})
 
     src = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    return src.mapInPandas(encode, "_id long, codes array<int>").select(
-        F.col("_id").alias(id_col), "codes"
-    )
+    return src.mapInPandas(
+        encode, f"_id {_id_type(df, id_col)}, codes array<int>"
+    ).select(F.col("_id").alias(id_col), "codes")
 
 
 def _adc_tables(qvecs: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
@@ -282,6 +289,10 @@ def pq_topk(
     n_partitions × nq × k rows."""
     m, n_codes, sub = codebooks.shape
     dim = m * sub
+    id_col = id_col or encoded.columns[0]
+    out_ids = (
+        f"query_id {_id_type(queries, qid)}, cand_id {_id_type(encoded, id_col)}"
+    )
     qrows = (
         _valid_vectors(queries, vec_col, dim)
         .select(F.col(qid), F.col(vec_col))
@@ -294,7 +305,7 @@ def pq_topk(
         )
     if not qrows:
         return encoded.sparkSession.createDataFrame(
-            [], "query_id long, cand_id long, approx_d2 double, rnk int"
+            [], f"{out_ids}, approx_d2 double, rnk int"
         )
     qvecs = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
     qids = [r[qid] for r in qrows]
@@ -302,13 +313,12 @@ def pq_topk(
     bc_t = spark.sparkContext.broadcast(_adc_tables(qvecs, codebooks))
     bc_q = spark.sparkContext.broadcast(qids)
 
-    id_col = id_col or encoded.columns[0]
     # no global qid exclusion: a candidate that is also a query must
     # still serve every OTHER query (the kernel masks self-pairs)
     src = encoded.select(F.col(id_col).alias("_id"), F.col("codes"))
     part = src.mapInPandas(
         _topk_kernel(bc_t, bc_q, m, k),
-        "query_id long, cand_id long, approx_d2 double",
+        f"{out_ids}, approx_d2 double",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("approx_d2"), F.asc("cand_id")
@@ -354,9 +364,13 @@ def ivf_pq_topk(
     )
     if len(qrows) > _MAX_QUERIES:
         raise ValueError(f"ivf_pq_topk is bounded at {_MAX_QUERIES} queries")
+    out_ids = (
+        f"query_id {_id_type(queries, id_col)}, "
+        f"cand_id {_id_type(candidates, id_col)}"
+    )
     if not qrows:
         return spark.createDataFrame(
-            [], "query_id long, cand_id long, approx_d2 double, rnk int"
+            [], f"{out_ids}, approx_d2 double, rnk int"
         )
     qvecs = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
     qids = [r[id_col] for r in qrows]
@@ -364,10 +378,12 @@ def ivf_pq_topk(
     d2 = ((qvecs[:, None, :] - coarse_centroids[None, :, :]) ** 2).sum(axis=2)
     probes = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
     probe_rows = [
-        (int(qids[i]), int(l)) for i in range(len(qids)) for l in probes[i]
+        (qids[i], int(l)) for i in range(len(qids)) for l in probes[i]
     ]
     probe_df = F.broadcast(
-        spark.createDataFrame(probe_rows, "query_id long, cluster_id int")
+        spark.createDataFrame(
+            probe_rows, f"query_id {_id_type(queries, id_col)}, cluster_id int"
+        )
     )
 
     bc_t = spark.sparkContext.broadcast(_adc_tables(qvecs, codebooks))
@@ -399,7 +415,7 @@ def ivf_pq_topk(
             )
 
     scored = cand.select("query_id", F.col(id_col), "codes").mapInPandas(
-        score, "query_id long, cand_id long, approx_d2 double"
+        score, f"{out_ids}, approx_d2 double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("approx_d2"), F.asc("cand_id")

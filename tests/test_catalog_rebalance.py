@@ -278,3 +278,73 @@ def test_append_after_rebalance_respects_fine_leaves(spark, tmp_path):
         for o2, p2 in leaves:
             if o1 < o2:
                 assert (p2 >> (2 * (o2 - o1))) != p1, ((o1, p1), (o2, p2))
+
+
+def test_append_reconciles_a_crashed_rebalance_first(spark, tmp_path):
+    """The round-8 advisory bug: in the crash window after rebalance
+    commits its 'done' marker but before the metadata commit, a
+    restarted stream replays its batch through append() FIRST.  An
+    append planned against the stale committed coverage (parents still
+    listed) writes the batch into parent directories that the next
+    reconciliation rolls forward and removes — permanent row loss plus
+    n_sources overcount.  append() must converge the marker at entry,
+    exactly as delete() and rebalance() do."""
+    cat = _build_over(spark, tmp_path, "apx", margins=False)
+    thr = 700
+    n0 = cat.df().count()
+
+    orig = Catalog._rebalance_finish
+
+    def boom(self, *a, **k):
+        raise _Boom("crash after done marker, before finish")
+
+    Catalog._rebalance_finish = boom
+    try:
+        with pytest.raises(_Boom):
+            cat.rebalance(threshold=thr)
+    finally:
+        Catalog._rebalance_finish = orig
+
+    stale = Catalog.load(spark, cat.path, "apx")
+    assert os.path.exists(stale._rebalance_intent_path())
+    assert stale.df().count() > n0  # torn: parents + children both on disk
+
+    # the replayed batch lands squarely in the split hotspot — exactly
+    # the rows the stale parent directories would have swallowed
+    batch = pd.DataFrame(
+        {
+            "source_id": np.arange(10_000, 10_200, dtype=np.int64),
+            "ra": RNG.normal(45, 0.5, 200) % 360,
+            "dec": np.clip(RNG.normal(10, 0.5, 200), -89, 89),
+            "mag": RNG.uniform(10, 22, 200),
+        }
+    )
+    cat2 = stale.append(spark.createDataFrame(batch), batch_id=7)
+
+    assert not os.path.exists(cat2._rebalance_intent_path())
+    assert cat2.df().count() == n0 + 200
+    assert cat2.meta.n_sources == n0 + 200
+    # every appended row survived (none written into removed parents)
+    assert cat2.df().filter("source_id >= 10000").count() == 200
+    assert cat2.fsck()["consistent"]
+
+    # ...and survives a SUBSEQUENT rebalance (the window where the old
+    # behavior silently destroyed the rows)
+    cat3 = cat2.rebalance(threshold=thr)
+    assert cat3.df().count() == n0 + 200
+    assert cat3.meta.n_sources == n0 + 200
+    assert cat3.df().filter("source_id >= 10000").count() == 200
+    assert (
+        cat3.df().groupBy("source_id").count().filter("count > 1").count() == 0
+    )
+    assert cat3.fsck()["consistent"]
+
+
+def test_rebalance_threshold_zero_raises(spark, tmp_path):
+    """threshold=0 must raise, not silently fall back to the ingest
+    threshold (the old `threshold or meta.pix_threshold` coercion)."""
+    cat = _build_over(spark, tmp_path, "thr0", margins=False)
+    with pytest.raises(ValueError, match="threshold"):
+        cat.rebalance(threshold=0)
+    with pytest.raises(ValueError, match="threshold"):
+        cat.rebalance(threshold=-5)

@@ -125,3 +125,32 @@ def test_word_lm_separates_reference_from_shuffled(spark):
         for r in word_lm_score(docs, model, "text", "doc_id").collect()
     }
     assert got[1] > got[2] + 0.5  # clear margin, not a coin flip
+
+
+def test_word_lm_caps_bound_tables_and_back_off(spark):
+    """max_vocab/max_bigrams truncate the broadcast tables
+    deterministically; a truncated bigram scores through the unigram
+    backoff (same path as an unseen bigram), never a crash or a zero."""
+    from lsd2_spark.operators.lm_score import train_word_lm, word_lm_score
+
+    corpus = spark.createDataFrame(
+        [("the cat sat",), ("the cat ran",), ("the dog sat",)], "text string"
+    )
+    capped = train_word_lm(corpus, "text", max_vocab=2, max_bigrams=2)
+    assert capped["bigram"].count() == 2
+    assert capped["unigram"].count() == 2
+    full = train_word_lm(corpus, "text", max_vocab=None, max_bigrams=None)
+    assert "bounded" in capped and capped["bounded"] and not full["bounded"]
+
+    docs = spark.createDataFrame([(1, "the cat sat"), (2, "zz qq")], "doc_id long, text string")
+    out_c = {r["doc_id"]: r for r in word_lm_score(docs, capped, "text", "doc_id").collect()}
+    out_f = {r["doc_id"]: r for r in word_lm_score(docs, full, "text", "doc_id").collect()}
+    # all scores finite; capped <= full (truncation only removes mass)
+    for d in (1, 2):
+        assert out_c[d]["avg_logp"] is not None
+        assert out_c[d]["avg_logp"] <= out_f[d]["avg_logp"] + 1e-12
+    # determinism: same caps -> identical tables
+    again = train_word_lm(corpus, "text", max_vocab=2, max_bigrams=2)
+    assert sorted(map(tuple, capped["bigram"].collect())) == sorted(
+        map(tuple, again["bigram"].collect())
+    )

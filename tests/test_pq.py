@@ -216,3 +216,43 @@ def test_self_search_keeps_other_queries_as_candidates(spark, corpus, books):
     assert 100 in got[0]
     assert 0 in got[100]
     assert 0 not in got[0] and 100 not in got[100]  # self excluded
+
+
+def test_string_ids_end_to_end(spark, corpus, books):
+    """String document ids flow through encode, pq_topk, AND ivf_pq_topk
+    — the output id schemas derive from the input's id type instead of
+    the old hard-coded long (which crashed at Arrow conversion).  The
+    neighbor sets must match the long-id run exactly."""
+    from lsd2_spark.operators.similarity import kmeans_centroids
+
+    rows, df = corpus
+    sdf = df.select(
+        F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    queries = sdf.limit(6)
+    enc = pq_encode(sdf, "embedding", "vec_id", books)
+    assert dict(enc.dtypes)["vec_id"] == "string"
+    out = pq_topk(enc, queries, "embedding", "vec_id", books, k=3).collect()
+    assert out and all(isinstance(r["cand_id"], str) for r in out)
+
+    # parity vs the long-id run on identical vectors
+    enc_l = pq_encode(df, "embedding", "vec_id", books)
+    out_l = pq_topk(enc_l, df.limit(6), "embedding", "vec_id", books, k=3).collect()
+    got = {(r["query_id"], r["rnk"]): r["cand_id"] for r in out}
+    want = {
+        (f"doc-{r['query_id']}", r["rnk"]): f"doc-{r['cand_id']}" for r in out_l
+    }
+    assert got == want
+
+    coarse = kmeans_centroids(df, "embedding", "vec_id", n_lists=8, n_iters=2)
+    out2 = ivf_pq_topk(
+        sdf, queries, "embedding", "vec_id", books, coarse, k=3, nprobe=6
+    ).collect()
+    assert out2 and all(isinstance(r["cand_id"], str) for r in out2)
+
+    # empty query set keeps the derived schema too
+    empty = pq_topk(
+        enc, sdf.limit(0), "embedding", "vec_id", books, k=3
+    )
+    assert dict(empty.dtypes)["cand_id"] == "string"
+    assert empty.count() == 0
