@@ -1069,7 +1069,8 @@ _Q64_SQL = f"""
                         / {_SEQ_LEN}.0) AS BIGINT) AS seq_id
       FROM t
     )
-    SELECT source, seq_id, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
+    SELECT source, seq_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
            MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
     FROM a GROUP BY source, seq_id
     """

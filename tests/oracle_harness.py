@@ -33,6 +33,39 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def canonical_hash(df: pd.DataFrame) -> str:
+    """md5 of the canonical CSV: columns sorted by name, rows sorted by
+    all columns, floats rendered at 17 significant digits (round-trip
+    exact for doubles), None/NaN as empty.  When a driver gate row reds
+    while local is green, comparing this hash per side tells WHICH side
+    moved instead of re-deriving the whole row."""
+    import hashlib
+
+    d = _normalize(df)
+    cells = []
+    for _, row in d.iterrows():
+        parts = []
+        for v in row:
+            if v is None or (isinstance(v, float) and np.isnan(v)):
+                parts.append("")
+            elif isinstance(v, (float, np.floating)):
+                parts.append(repr(float(v)))
+            elif isinstance(v, (list, np.ndarray)):
+                parts.append(
+                    "["
+                    + ",".join(
+                        repr(float(x)) if isinstance(x, (float, np.floating)) else str(x)
+                        for x in v
+                    )
+                    + "]"
+                )
+            else:
+                parts.append(str(v))
+        cells.append("\x1f".join(parts))
+    blob = "\x1e".join([",".join(d.columns)] + cells)
+    return hashlib.md5(blob.encode("utf-8")).hexdigest()
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "") -> None:
     got = spark_df.toPandas()
     want = con.execute(sql).df()
@@ -43,7 +76,21 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "") 
     g, w = _normalize(got), _normalize(want)
     for c in g.columns:
         gv, wv = g[c].to_numpy(), w[c].to_numpy()
-        if np.issubdtype(gv.dtype, np.floating) or np.issubdtype(np.asarray(wv).dtype, np.floating):
+        # An int column on one side and float on the other is a RED gate
+        # row even when the values compare equal after casting: the
+        # driver hashes a textual canonical form, where 522 != 522.0.
+        # The classic cause is a DuckDB SUM(BIGINT) -> HUGEINT -> pandas
+        # float64 when the oracle forgot CAST(... AS BIGINT).
+        g_int = np.issubdtype(gv.dtype, np.integer)
+        w_int = np.issubdtype(np.asarray(wv).dtype, np.integer)
+        g_flt = np.issubdtype(gv.dtype, np.floating)
+        w_flt = np.issubdtype(np.asarray(wv).dtype, np.floating)
+        assert not (g_int and w_flt) and not (g_flt and w_int), (
+            f"{name}.{c}: integer/float dtype fork (spark={gv.dtype}, "
+            f"oracle={np.asarray(wv).dtype}) — formatted hashes will "
+            f"mismatch; CAST the oracle aggregate"
+        )
+        if g_flt or w_flt:
             gv = np.asarray(gv, dtype=np.float64)
             wv = np.asarray(wv, dtype=np.float64)
             both_nan = np.isnan(gv) & np.isnan(wv)

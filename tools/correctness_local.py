@@ -1,0 +1,98 @@
+"""Local replica of the driver correctness gate, with per-query
+canonical hashes for triangulating driver-environment divergences.
+
+Runs every `__spark_entry__.queries()` entry against its
+`oracle_sql()` twin on a VANILLA SparkSession (the driver builds its
+own session, so session-factory configs must not matter) and records,
+per query: rows/schema/value match, wall seconds, and the md5 of the
+canonical (sorted, 17-significant-digit) form of BOTH the Spark and
+DuckDB results.  When a future driver round reds a row that is green
+here, diffing the recorded hashes against the driver's tells which
+side moved (Spark result, oracle result, or the driver's hasher).
+
+Usage:
+    python tools/correctness_local.py [sf_dir] [out.json]
+Defaults: /root/testdata/sf0.01, stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else None
+
+    sys.path.insert(0, ".")
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+    from tests.oracle_harness import canonical_hash, compare
+    from lsd2_spark.queries import TABLES
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "48g")
+        .appName("correctness-local")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, osql = entry.queries(), entry.oracle_sql()
+    report: dict = {
+        "sf_dir": sf_dir,
+        "duckdb_version": duckdb.__version__,
+        "spark_version": spark.version,
+        "queries": {},
+    }
+    n_ok = 0
+    for name, fn in qs.items():
+        row: dict = {}
+        t0 = time.time()
+        try:
+            got = fn(spark, sf_dir).toPandas()
+            row["spark_rows"] = len(got)
+            row["spark_hash"] = canonical_hash(got)
+            if name in osql:
+                want = con.execute(osql[name]).df()
+                row["oracle_rows"] = len(want)
+                row["oracle_hash"] = canonical_hash(want)
+                compare(fn(spark, sf_dir), con, osql[name], name)
+                row["match"] = row["spark_hash"] == row["oracle_hash"]
+            else:
+                row["match"] = None  # rows-only query
+            row["status"] = "OK"
+            n_ok += 1
+        except Exception as ex:  # noqa: BLE001 — battery must finish
+            row["status"] = "FAIL"
+            row["err"] = str(ex)[:400]
+        row["sec"] = round(time.time() - t0, 2)
+        report["queries"][name] = row
+        print(
+            f"{row['status']:<5} {name} {row['sec']}s "
+            f"hash={row.get('spark_hash', '')[:12]}",
+            flush=True,
+        )
+    report["n_ok"] = n_ok
+    report["n_total"] = len(qs)
+    blob = json.dumps(report, indent=1)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(blob + "\n")
+        print(f"wrote {out_path}: {n_ok}/{len(qs)} OK")
+    else:
+        print(blob)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
