@@ -238,6 +238,114 @@ def main() -> None:
     except Exception as e:  # never let the probe break the artifact
         x10 = {"error": str(e)[:200]}
 
+    # 10x density probes for the dedup/ANN heavyweights (VERDICT r7
+    # item 5): replicate the inputs 10x with a per-replica text/vector
+    # transform that PRESERVES each replica's internal duplicate
+    # structure while decorrelating replicas from each other (vowels ->
+    # replica digit for text — identical docs stay identical within a
+    # replica; cyclic coordinate shift for embeddings — an orthogonal
+    # map, so within-replica cosines are exactly preserved; replicas
+    # may still cross-match where the operator's threshold is
+    # permissive, which only makes the probe harder).  A healthy scale
+    # shape is exec ratio <= ~10x (at-most-linear in corpus size);
+    # a quadratic bucket blowup shows up as a ratio far above 10x and
+    # fails review before production does.
+    density = {}
+    try:
+        from lsd2_spark.operators import dedup as ddp
+        from lsd2_spark.operators import similarity as simm
+        from lsd2_spark.queries.similarity import NEARDUP_THRESHOLD
+        from lsd2_spark.queries.text import (
+            _CC_STEPS,
+            _CC_THRESHOLD,
+            _HAM_MAX,
+            _Q66_BITS,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        repl = spark.range(10).select(F.col("id").alias("_rep"))
+        docs10 = docs.crossJoin(F.broadcast(repl)).select(
+            (F.col("doc_id") * 10 + F.col("_rep")).alias("doc_id"),
+            F.regexp_replace(
+                F.col("text"), F.lit("[aeiou]"), F.col("_rep").cast("string")
+            ).alias("text"),
+        )
+        dim = len(emb.select("embedding").first()["embedding"])
+        emb10 = emb.crossJoin(F.broadcast(repl)).select(
+            (F.col("vec_id") * 10 + F.col("_rep")).alias("vec_id"),
+            F.when(F.col("_rep") == 0, F.col("embedding"))
+            .otherwise(
+                F.concat(
+                    F.slice(
+                        F.col("embedding"),
+                        F.col("_rep") + 1,
+                        F.lit(dim) - F.col("_rep"),
+                    ),
+                    F.slice(F.col("embedding"), 1, F.col("_rep")),
+                )
+            )
+            .alias("embedding"),
+        )
+
+        def probe(name, base_fn, x10_fn):
+            t0 = time.perf_counter()
+            base_out = base_fn()
+            base_dt = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            x10_out = x10_fn()
+            x10_dt = time.perf_counter() - t0
+            density[name] = {
+                "base_sec": round(base_dt, 3),
+                "x10_sec": round(x10_dt, 3),
+                "exec_ratio": round(x10_dt / max(base_dt, 1e-9), 2),
+                "base_out_rows": int(base_out),
+                "x10_out_rows": int(x10_out),
+            }
+
+        probe(
+            "lsh_pairs_x10",
+            lambda: ddp.lsh_candidate_pairs(docs, "text", "doc_id").count(),
+            lambda: ddp.lsh_candidate_pairs(docs10, "text", "doc_id").count(),
+        )
+        probe(
+            "dedup_clusters_x10",
+            lambda: ddp.dedup_clusters(
+                docs, "text", "doc_id",
+                min_jaccard=_CC_THRESHOLD, n_steps=_CC_STEPS,
+            ).count(),
+            lambda: ddp.dedup_clusters(
+                docs10, "text", "doc_id",
+                min_jaccard=_CC_THRESHOLD, n_steps=_CC_STEPS,
+            ).count(),
+        )
+        probe(
+            "simhash_neardup_x10",
+            lambda: ddp.hamming_neardup_pairs(
+                ddp.simhash(docs, "text", "doc_id", bits=_Q66_BITS),
+                "doc_id", "simhash", bits=_Q66_BITS, max_hamming=_HAM_MAX,
+            ).count(),
+            lambda: ddp.hamming_neardup_pairs(
+                ddp.simhash(docs10, "text", "doc_id", bits=_Q66_BITS),
+                "doc_id", "simhash", bits=_Q66_BITS, max_hamming=_HAM_MAX,
+            ).count(),
+        )
+        probe(
+            "embedding_neardup_x10",
+            lambda: simm.embedding_neardup_pairs(
+                emb, "embedding", "vec_id",
+                threshold=NEARDUP_THRESHOLD, n_bits=4, n_tables=16,
+            ).count(),
+            lambda: simm.embedding_neardup_pairs(
+                emb10, "embedding", "vec_id",
+                threshold=NEARDUP_THRESHOLD, n_bits=4, n_tables=16,
+            ).count(),
+        )
+    except Exception as e:  # never let the probes break the artifact
+        density["error"] = str(e)[:200]
+
     # round-7 extension operators: timed on the same tables, reported
     # under "extras" (not summed into the headline total, so
     # round-over-round totals stay comparable)
@@ -265,6 +373,22 @@ def main() -> None:
             t0 = time.perf_counter()
             idx.probe(probe_batch).count()
             extras["dedup_index_probe"] = round(time.perf_counter() - t0, 3)
+            # typical-case probe (VERDICT r7 item 4): the batch above is
+            # the adversarial worst case — every doc exact-hits the whole
+            # index and every band collides.  A production batch is
+            # mostly novel; 95% of this one is vowel-rewritten (shares no
+            # shingles with the index), 5% replays indexed text.
+            typical_batch = docs.select(
+                (F.col("doc_id") + 20_000_000).alias("doc_id"),
+                F.when(F.col("doc_id") % 20 == 0, F.col("text"))
+                .otherwise(F.regexp_replace(F.col("text"), "[aeiou]", "9"))
+                .alias("text"),
+            )
+            t0 = time.perf_counter()
+            idx.probe(typical_batch).count()
+            extras["dedup_index_probe_typical"] = round(
+                time.perf_counter() - t0, 3
+            )
         finally:
             shutil.rmtree(idx_tmp, ignore_errors=True)
 
@@ -293,6 +417,7 @@ def main() -> None:
         "repeats": REPEATS,
         "streaming": streaming,
         "crossmatch_x10": x10,
+        "density_x10": density,
         "extras": extras,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],

@@ -169,7 +169,16 @@ class DedupIndex:
         tc, ic = self.text_col, self.id_col
         spark = self.spark
         exact = spark.read.parquet(os.path.join(self.path, "exact"))
-        bandtab = spark.read.parquet(os.path.join(self.path, "bands"))
+        # Explicit partition predicate on the hive-partitioned bands/
+        # table: the probe only ever joins bands 0..bands-1, and spelling
+        # that as a static filter puts it in the scan's PartitionFilters
+        # (plan-asserted in tests) — at scale the probe reads exactly the
+        # probed band directories, never a stale/foreign partition, and
+        # the guarantee doesn't depend on dynamic partition pruning
+        # firing against the exploded probe side.
+        bandtab = spark.read.parquet(os.path.join(self.path, "bands")).filter(
+            F.col("band").isin(list(range(self.bands)))
+        )
 
         probe = df.select(
             F.col(ic), F.md5(F.col(tc).cast("string")).alias("text_hash")

@@ -252,3 +252,22 @@ def test_compact_crash_between_renames_self_heals(spark, index):
     assert after == before
     assert os.path.isdir(f"{index.path}/exact")
     assert not os.path.exists(f"{index.path}/exact._old")
+
+
+def test_probe_scan_carries_band_partition_filter(spark, index):
+    """Scale guard #2: the bands/ scan must prune at the PARTITION level
+    — its PartitionFilters must carry the band predicate (spelled as a
+    static isin over the probed bands), so a probe reads exactly the
+    probed band directories rather than the whole index footprint and
+    never depends on dynamic partition pruning firing."""
+    batch = [(71, "the quick brown fox jumps over the lazy dog near the river bank")]
+    out = index.probe(_df(spark, batch))
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # the bands/ table is the only partitioned scan in the probe, so a
+    # static band IN-list in any PartitionFilters belongs to it
+    assert re.search(r"PartitionFilters: \[band#\d+ IN \(0,", plan), (
+        "bands/ scan has no static band PartitionFilter"
+    )
