@@ -697,11 +697,7 @@ class Catalog:
         # the streaming high-water mark), so it must never be observable
         # half-written.  Everything above (data overwrite, halo append) is
         # idempotent under replay; this rename is the commit point.
-        meta_path = f"{self.path}/{meta.cat_name}_meta.json"
-        tmp_path = f"{meta_path}.tmp"
-        with open(tmp_path, "w") as f:
-            f.write(new_meta.to_json())
-        os.replace(tmp_path, meta_path)
+        self._commit_meta(new_meta)
         if batch_id is not None:
             try:
                 os.remove(intent_path)
