@@ -1,0 +1,199 @@
+"""Semantic deduplication over document embeddings (SemDeDup-style).
+
+Document-level near-dup (MinHash/SimHash, dedup.py) catches *textual*
+duplicates; paraphrases and template rewrites survive it.  SemDeDup
+(Abbas et al., 2023, arXiv:2303.09540) removes *semantic* duplicates:
+cluster the embedding space with k-means, then within each cluster
+drop every document whose cosine similarity to an already-kept cluster
+member exceeds ``eps``.
+
+Spark-first shape, 100 TB lens:
+
+1. Centroids come from :func:`lsd2_spark.operators.similarity.
+   kmeans_centroids` (deterministic Lloyd's; each iteration moves only
+   n_partitions x n_clusters partial rows).
+2. Assignment is one shuffle-free Arrow pass
+   (:func:`~lsd2_spark.operators.similarity.kmeans_assign`).
+3. The quadratic part is confined *inside* each cluster: one shuffle
+   on ``cluster_id``, then a grouped Arrow kernel runs the greedy scan
+   per cluster.  Cluster population is ~n/n_clusters by construction —
+   size ``n_clusters`` so clusters hold ~1-10k members (SemDeDup used
+   50k clusters for LAION-440M) and the per-group cost stays bounded
+   no matter the corpus size.  No all-pairs join ever materializes.
+
+Determinism: members are scanned in ascending id order, so the kept
+set is a pure function of the input — no RNG, no partition-order
+dependence.  Invalid vectors (null / ragged / zero-norm) are KEPT and
+flagged, never silently dropped: a dedup pass must be total over real
+corpora.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lsd2_spark.operators.similarity import (
+    _probe_dim,
+    _valid_vectors,
+    kmeans_assign,
+    kmeans_centroids,
+)
+
+__all__ = ["semantic_dedup", "semantic_dedup_with_index"]
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_clusters: int,
+    eps: float = 0.95,
+    n_iters: int = 2,
+    sample_stride: int = 1,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Per-document semantic-dedup verdicts.
+
+    Returns ``(id_col, cluster_id, keep, dup_of, max_sim)`` — one row
+    per input row:
+
+    - ``keep = 1``: the document survives the dedup pass;
+    - ``keep = 0``: a kept member of the same cluster is within
+      ``eps`` cosine; ``dup_of`` names it (the most similar kept
+      member) and ``max_sim`` carries the similarity;
+    - invalid vectors: ``keep = 1`` with NULL ``cluster_id`` (null or
+      ragged) or NULL ``max_sim`` (zero-norm) — flagged, not dropped.
+
+    ``filter(keep = 1)`` joined back to the corpus is the deduplicated
+    set.  Pass precomputed ``centroids`` (e.g. from a saved IVF index)
+    to skip the k-means build on repeated runs.
+    """
+    return semantic_dedup_with_index(
+        df,
+        vec_col,
+        id_col,
+        n_clusters=n_clusters,
+        eps=eps,
+        n_iters=n_iters,
+        sample_stride=sample_stride,
+        centroids=centroids,
+    )[0]
+
+
+def semantic_dedup_with_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_clusters: int,
+    eps: float = 0.95,
+    n_iters: int = 2,
+    sample_stride: int = 1,
+    centroids: np.ndarray | None = None,
+) -> tuple[DataFrame, np.ndarray]:
+    """:func:`semantic_dedup` plus the centroid matrix it used, so a
+    caller can persist it (``save_ivf_index``) and feed later batches
+    through the same partition of embedding space."""
+    if not 0.0 < eps <= 1.0:
+        raise ValueError(f"eps must be in (0, 1], got {eps}")
+    if n_clusters < 1:
+        raise ValueError(f"n_clusters must be >= 1, got {n_clusters}")
+    dim = _probe_dim(df, vec_col)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    # SemDeDup clusters DIRECTIONS, not magnitudes: k-means on raw
+    # vectors separates by norm and can strand a scaled duplicate in a
+    # different cluster from its source.  Normalize to unit length
+    # first (zero-norm vectors become NULL and ride the invalid path).
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(dv, F.lit(0.0), lambda a, x: a + x * x))
+    base = df.select(
+        id_col,
+        F.when(norm > 0.0, F.transform(dv, lambda x: x / norm)).alias("_unit"),
+    )
+    vec_col = "_unit"
+    if dim is None:
+        # No valid vector anywhere: everything is kept-and-flagged.
+        out = base.select(
+            F.col(id_col),
+            F.lit(None).cast("int").alias("cluster_id"),
+            F.lit(1).alias("keep"),
+            F.lit(None).cast(id_type).alias("dup_of"),
+            F.lit(None).cast("double").alias("max_sim"),
+        )
+        return out, np.zeros((0, 0), dtype=np.float64)
+
+    if centroids is None:
+        valid = _valid_vectors(base, vec_col, dim)
+        centroids = kmeans_centroids(
+            valid,
+            vec_col,
+            id_col,
+            n_lists=n_clusters,
+            n_iters=n_iters,
+            sample_stride=sample_stride,
+            dim=dim,
+        )
+    assigned = base.join(
+        kmeans_assign(base, vec_col, id_col, centroids), on=id_col, how="left"
+    )
+    invalid = assigned.filter(F.col("cluster_id").isNull()).select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        F.lit(1).alias("keep"),
+        F.lit(None).cast(id_type).alias("dup_of"),
+        F.lit(None).cast("double").alias("max_sim"),
+    )
+
+    out_schema = (
+        f"{id_col} {id_type}, cluster_id int, keep int, "
+        f"dup_of {id_type}, max_sim double"
+    )
+    eps_f = float(eps)
+    dim_i = int(dim)
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        m = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        ).reshape(n, dim_i)
+        norms = np.sqrt((m * m).sum(axis=1))
+        ok = norms > 0.0
+        unit = np.zeros_like(m)
+        unit[ok] = m[ok] / norms[ok, None]
+
+        keep = np.ones(n, dtype=np.int32)
+        dup_of = np.full(n, None, dtype=object)
+        max_sim = np.full(n, np.nan)
+        kept_rows: list[int] = []
+        for i in range(n):
+            if not ok[i]:
+                continue  # zero-norm: kept, flagged by NULL max_sim
+            if kept_rows:
+                sims = unit[kept_rows] @ unit[i]
+                j = int(np.argmax(sims))
+                max_sim[i] = float(sims[j])
+                if sims[j] >= eps_f:
+                    keep[i] = 0
+                    dup_of[i] = pdf[id_col].iloc[kept_rows[j]]
+                    continue
+            kept_rows.append(i)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "cluster_id": pdf["cluster_id"].astype("int32"),
+                "keep": keep,
+                "dup_of": dup_of,
+                "max_sim": [None if np.isnan(s) else s for s in max_sim],
+            }
+        )
+
+    verdicts = (
+        assigned.filter(F.col("cluster_id").isNotNull())
+        .groupBy("cluster_id")
+        .applyInPandas(_greedy, out_schema)
+    )
+    return verdicts.unionByName(invalid), centroids
