@@ -404,6 +404,35 @@ def main() -> None:
         pq_topk(enc, pq_q, "embedding", "vec_id", books, k=KNN_K).count()
         extras["pq_search"] = round(time.perf_counter() - t0, 3)
         enc.unpersist()
+
+        # round-8 extension operators
+        from lsd2_spark.operators.line_dedup import remove_frequent_lines
+
+        t0 = time.perf_counter()
+        remove_frequent_lines(docs, "text", "doc_id", min_docs=5).count()
+        extras["line_dedup"] = round(time.perf_counter() - t0, 3)
+
+        from lsd2_spark.operators.semdedup import semantic_dedup
+
+        t0 = time.perf_counter()
+        semantic_dedup(
+            emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")),
+            "embedding",
+            "vec_id",
+            n_clusters=16,
+            eps=0.99,
+        ).count()
+        extras["semdedup"] = round(time.perf_counter() - t0, 3)
+
+        from lsd2_spark.operators.dsir import dsir_resample, train_dsir
+
+        t0 = time.perf_counter()
+        dsir_target = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+        dsir_model = train_dsir(dsir_target, docs, "text", n_buckets=10_000)
+        dsir_resample(
+            docs, "text", "doc_id", dsir_model, n=100, normalize="mean"
+        ).count()
+        extras["dsir_train_resample"] = round(time.perf_counter() - t0, 3)
     except Exception as e:  # never let the extras break the artifact
         extras["error"] = str(e)[:200]
 
