@@ -126,6 +126,13 @@ def train_dsir(
             + F.lit(denom_r)
         ).alias("log_ratio"),
     )
+    # Materialize: the table is plan-sized (<= n_buckets rows) but its
+    # LINEAGE is two full corpus scans — without this, every scoring
+    # action would re-read both corpora.
+    spark = target.sparkSession
+    ratios = spark.createDataFrame(
+        ratios.collect(), "bucket long, log_ratio double"
+    )
     default = (math.log(s) - denom_t) - (math.log(s) - denom_r)
     return {"ratios": ratios, "n_buckets": b, "default": default}
 
