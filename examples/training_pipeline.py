@@ -5,6 +5,11 @@ or through the test suite.
 
 Stages (each one scan/shuffle-bounded; no driver row materialization):
 
+0. boilerplate strip — optional CCNet-style corpus-level line dedup
+                       (line_dedup): lines occurring in >= N distinct
+                       docs removed BEFORE any scoring, so shared
+                       banners/footers neither deflate quality scores
+                       nor glue unrelated pages into near-dup clusters
 1. PII scrub         — email/IP/SSN/phone redaction (before dedup, so
                        documents differing only in PII dedup together);
                        optional token blocklist gate
@@ -22,8 +27,15 @@ Stages (each one scan/shuffle-bounded; no driver row materialization):
 5c. model gate       — optional CCNet-style linear quality classifier
                        (quality_model; pyspark.ml, projection-only
                        scoring)
+5d. semantic dedup   — optional SemDeDup pass (semdedup): hashed doc
+                       embeddings → k-means space partition → greedy
+                       eps-cosine scan inside each cluster; catches
+                       paraphrases textual dedup misses
 6. decontamination   — drop docs sharing word-5-grams with the
                        held-out eval set (decontam; broadcast join)
+6b. DSIR selection   — optional importance resampling toward a target
+                       corpus (dsir): hashed-ngram log ratios,
+                       Gumbel-top-k without replacement
 7. source mixing     — deterministic stratified sampling, a
                        p∝n^alpha temperature mixture, or an
                        epoch-capped TOKEN-budget water-fill
@@ -80,6 +92,11 @@ def build_training_corpus(
     token_budget: int | None = None,
     mixture_alpha: float = 0.7,
     max_epochs: float = 4.0,
+    boilerplate_min_docs: int | None = None,
+    semantic_eps: float | None = None,
+    semantic_clusters: int = 64,
+    dsir_target: DataFrame | None = None,
+    dsir_n: int | None = None,
 ) -> DataFrame:
     """documents(text, doc_id, source) → (doc_id, text, source, split).
 
@@ -87,6 +104,15 @@ def build_training_corpus(
     water-fill plan: a doc_id can appear multiple times, one row per
     epoch, with an extra ``epoch`` column making (doc_id, epoch)
     unique — by design: that is the training mixture."""
+    if boilerplate_min_docs is not None:
+        from lsd2_spark.operators import line_dedup
+
+        stripped = line_dedup.remove_frequent_lines(
+            docs, "text", "doc_id", min_docs=boilerplate_min_docs
+        )
+        docs = stripped.drop("text").withColumnRenamed(
+            "clean_text", "text"
+        ).select(*docs.columns)
     docs = text_analysis.redact_pii(docs, "text").select(*docs.columns)
     if blocklist:
         docs = text_analysis.blocklist_filter(
@@ -146,11 +172,30 @@ def build_training_corpus(
             "doc_id",
             "left_semi",
         )
+    if semantic_eps is not None:
+        from lsd2_spark.operators import doc_embed, semdedup
+
+        emb = doc_embed.doc_embeddings(kept, "text", "doc_id", dim=64)
+        verdicts = semdedup.semantic_dedup(
+            emb, "embedding", "doc_id",
+            n_clusters=semantic_clusters, eps=semantic_eps,
+        )
+        kept = kept.join(
+            verdicts.filter("keep = 1").select("doc_id"), "doc_id", "left_semi"
+        )
     if eval_docs is not None:
         contam = decontam.decontaminate(kept, eval_docs, "text", "doc_id")
         kept = kept.join(
             contam.filter("NOT contaminated").select("doc_id"), "doc_id", "left_semi"
         )
+    if dsir_target is not None:
+        from lsd2_spark.operators import dsir
+
+        model = dsir.train_dsir(dsir_target, kept, "text")
+        n_pick = dsir_n if dsir_n is not None else max(1, kept.count() // 2)
+        kept = dsir.dsir_resample(
+            kept, "text", "doc_id", model, n=n_pick, normalize="mean"
+        ).select(*docs.columns)
     if token_budget is not None:
         # epoch-capped water-fill over TOKENS: small sources up-sampled
         # (docs replicated per epoch, epoch column kept for packing)

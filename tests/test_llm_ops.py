@@ -482,6 +482,44 @@ def test_training_pipeline_round7_stages(spark):
     corpus.unpersist()
 
 
+def test_training_pipeline_round8_stages(spark):
+    """The round-8 stages compose: boilerplate line-dedup strips a
+    planted footer before scoring, SemDeDup kills planted paraphrase
+    pairs textual dedup misses, and DSIR selection bounds the corpus."""
+    import sys as _sys
+    _sys.path.insert(0, "/root/repo")
+    from examples.training_pipeline import build_training_corpus
+
+    from pyspark.sql import functions as SF
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    footer = "COPYRIGHT FOOTER PLANTED FOR TEST"
+    planted = docs.withColumn(
+        "text",
+        SF.when(
+            SF.col("doc_id") % 2 == 0,
+            SF.concat(SF.col("text"), SF.lit("\n" + footer)),
+        ).otherwise(SF.col("text")),
+    )
+    target = docs.filter(SF.col("doc_id") % 9 == 1).select("doc_id", "text")
+    corpus = build_training_corpus(
+        spark,
+        planted,
+        quality_cutoff=0,
+        boilerplate_min_docs=5,
+        semantic_eps=0.995,
+        semantic_clusters=8,
+        dsir_target=target,
+        dsir_n=50,
+    )
+    corpus.cache()
+    n_out = corpus.count()
+    assert 0 < n_out <= 50  # DSIR selection bound
+    # the planted boilerplate never reaches the output corpus
+    assert corpus.filter(SF.col("text").contains(footer)).count() == 0
+    corpus.unpersist()
+
+
 def test_connected_components_long_chain_converges(spark):
     """A chain-shaped component (diameter >> 4) must fully merge: the
     fixpoint loop keeps going until no label changes, while a
