@@ -128,7 +128,12 @@ def remove_frequent_lines(
         n_chars_removed   characters dropped (original minus clean)
 
     Use ``sep="\\n\\n"`` (with documents normalized to blank-line
-    paragraph breaks) for paragraph-level removal.
+    paragraph breaks) for paragraph-level removal.  ``sep`` is used
+    both as a Java regex (splitting) and as a literal (rejoining), so
+    pass only separators where the two coincide — ``"\\n"`` and
+    ``"\\n\\n"`` do; regex metacharacters do not.  ``id_col`` must be
+    a non-null unique key (the convention across every dedup
+    operator here).
 
     100 TB: shuffle #1 builds the frequency table (Zipf head — small),
     shuffle #2 joins it to the exploded lines on ``line_key`` (AQE
