@@ -34,18 +34,23 @@ from pyspark.sql.window import Window
 
 from lsd2_spark.functions.portable_hash import hash64
 
-__all__ = ["kmv_distinct", "corpus_quantiles", "profile_table"]
+__all__ = [
+    "kmv_distinct",
+    "kmv_sketch",
+    "kmv_set_stats",
+    "corpus_quantiles",
+    "profile_table",
+]
 
 _TWO60 = float(1 << 60)
 
 
-def kmv_distinct(
-    df: DataFrame, col: str, group_cols: list[str], k: int = 64
+def _bottom_k_rows(
+    df: DataFrame, col: str, group_cols: list[str], k: int
 ) -> DataFrame:
-    """Per-group distinct-count estimate via a deterministic KMV
-    sketch over ``col``.  Returns ``group_cols + (n_kept, est_distinct)``
-    where ``n_kept`` is the sketch occupancy (= exact distinct count
-    when below k) and ``est_distinct`` the cardinality estimate."""
+    """The global per-group bottom-k DISTINCT hash rows (``group_cols +
+    _h``) — the KMV sketch in row form, shared by the estimate and the
+    sketch-table builders."""
     assert k >= 2
     proj = df.select(*group_cols, hash64(F.col(col)).alias("_h")).filter(
         F.col("_h").isNotNull()
@@ -77,11 +82,22 @@ def kmv_distinct(
     # global merge: bottom-k of the per-partition bottom-ks (≤ k rows
     # per group per partition enter this shuffle)
     w = Window.partitionBy(*group_cols).orderBy(F.col("_h").asc())
-    kept = (
+    return (
         partials.dropDuplicates([*group_cols, "_h"])
         .withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= k)
+        .drop("_r")
     )
+
+
+def kmv_distinct(
+    df: DataFrame, col: str, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Per-group distinct-count estimate via a deterministic KMV
+    sketch over ``col``.  Returns ``group_cols + (n_kept, est_distinct)``
+    where ``n_kept`` is the sketch occupancy (= exact distinct count
+    when below k) and ``est_distinct`` the cardinality estimate."""
+    kept = _bottom_k_rows(df, col, group_cols, k)
     agg = kept.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_kept"), F.max("_h").alias("_hk")
     )
@@ -91,6 +107,87 @@ def kmv_distinct(
         F.lit(float(k - 1)) * F.lit(_TWO60) / F.col("_hk").cast("double")
     )
     return agg.select(*group_cols, "n_kept", est.alias("est_distinct"))
+
+
+def kmv_sketch(
+    df: DataFrame, col: str, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Materialize the per-group KMV sketch itself: ``group_cols +
+    sketch`` where ``sketch`` is the ascending array of the group's
+    bottom-k distinct hashes (``size(sketch) < k`` means the group is
+    EXACT).  Sketch tables are tiny (k longs per group), persistable,
+    and mergeable — the input to :func:`kmv_set_stats`."""
+    kept = _bottom_k_rows(df, col, group_cols, k)
+    return kept.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("_h")).alias("sketch")
+    )
+
+
+def _est_from(sketch, k: int):
+    occ = F.size(sketch)
+    return F.when(occ < k, occ.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(_TWO60) / F.element_at(sketch, k).cast("double")
+    )
+
+
+def kmv_set_stats(
+    left: DataFrame,
+    right: DataFrame,
+    group_cols: list[str],
+    k: int = 64,
+) -> DataFrame:
+    """Cross-corpus set-cardinality estimates from two KMV sketch
+    tables (both built by :func:`kmv_sketch` with the SAME ``k``):
+    per group, ``est_left``, ``est_right``, ``est_union``,
+    ``est_intersection``, and ``jaccard_est``.
+
+    The estimator is the standard KMV set algebra: the union sketch is
+    the bottom-k of the merged hash sets (bottom-k of bottom-ks — the
+    sketch's mergeability), and with ``L`` = union sketch,
+    ``J = |L ∩ A ∩ B| / |L|`` estimates Jaccard, so
+    ``est_intersection = J · est_union``.  When both groups are below
+    occupancy the numbers are EXACT, not estimates.
+
+    100 TB shape: the heavy lifting happened in ``kmv_sketch`` (one
+    bounded-shuffle pass per corpus); this join moves only k-long
+    arrays per group — compare two petabyte corpora with a
+    kilobyte-per-group exchange.  Groups present in one corpus only
+    get an empty sketch on the other side (union = that side,
+    intersection = 0).
+    """
+    if not group_cols:
+        raise ValueError(
+            "group_cols must be non-empty; for a whole-corpus comparison "
+            "add a constant group column before kmv_sketch"
+        )
+    empty = F.array().cast("array<long>")
+    a = left.select(*group_cols, F.col("sketch").alias("_a"))
+    b = right.select(*group_cols, F.col("sketch").alias("_b"))
+    j = (
+        a.join(b, on=group_cols, how="full")
+        .withColumn("_a", F.coalesce(F.col("_a"), empty))
+        .withColumn("_b", F.coalesce(F.col("_b"), empty))
+    )
+    union_sketch = F.slice(
+        F.array_sort(F.array_union(F.col("_a"), F.col("_b"))), 1, k
+    )
+    j = j.withColumn("_u", union_sketch)
+    common_in_u = F.size(
+        F.array_intersect(F.col("_u"), F.array_intersect(F.col("_a"), F.col("_b")))
+    )
+    occ_u = F.size(F.col("_u"))
+    jaccard = F.when(occ_u > 0, common_in_u.cast("double") / occ_u).otherwise(
+        F.lit(0.0)
+    )
+    est_union = _est_from(F.col("_u"), k)
+    return j.select(
+        *group_cols,
+        _est_from(F.col("_a"), k).alias("est_left"),
+        _est_from(F.col("_b"), k).alias("est_right"),
+        est_union.alias("est_union"),
+        (jaccard * est_union).alias("est_intersection"),
+        jaccard.alias("jaccard_est"),
+    )
 
 
 def corpus_quantiles(
