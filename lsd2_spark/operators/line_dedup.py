@@ -16,9 +16,15 @@ Spark-first design, 100 TB shape:
 
 1. ``split`` + ``posexplode`` the documents into ``(doc, pos, line)``
    rows — zero shuffle, whole-stage codegen.
-2. One shuffle: ``groupBy(line_key)`` counting *distinct documents*
-   per normalized line (duplicate lines inside one doc count once, so
-   a single spammy page cannot promote its own refrain to "frequent").
+2. ``count(DISTINCT doc)`` per normalized line (duplicate lines
+   inside one doc count once, so a single spammy page cannot promote
+   its own refrain to "frequent").  Spark's distinct rewrite plans
+   the shape you want at 100 TB: map-side (key, doc) dedup BEFORE the
+   first exchange (so repeated boilerplate collapses locally), then a
+   second, plan-sized exchange of per-key partial counts.  A
+   single-exchange alternative (repartition then dedup in place)
+   would shuffle the raw exploded rows undeduped — strictly more
+   bytes.
 3. The frequent set (``n_docs >= min_docs``) is the boilerplate — by
    construction a tiny fraction of distinct lines (Zipf head), so the
    join back to the exploded lines is broadcast-able; we leave the
@@ -29,7 +35,9 @@ Spark-first design, 100 TB shape:
    — order restored from the recorded position, never from partition
    order, so the output is deterministic under any shuffle plan.
 
-Total: two data shuffles plus one on the (small) line-frequency side.
+Total: three data-bearing exchanges (deduped pairs, the line-join,
+reassembly) plus two plan-sized ones (per-key partial counts, the
+small frequent-set side of the join).
 No Python in the hot path; every expression is a JVM built-in.
 """
 
@@ -75,18 +83,18 @@ def line_doc_counts(
 ) -> DataFrame:
     """Per normalized line: how many *distinct documents* contain it.
 
-    Returns ``(line_key, n_docs)``.  One shuffle: the duplicate-
-    (key, doc) collapse and the count ride the same hash partitioning
-    on ``_key`` (Catalyst reuses the exchange), with map-side partial
-    aggregation on both steps.  Blank lines are excluded — they are
-    structure, not boilerplate."""
+    Returns ``(line_key, n_docs)``.  ``count(DISTINCT doc)`` plans as
+    the two-phase distinct aggregate: map-side (key, doc) dedup, an
+    exchange on (key, doc) moving only the deduped pairs, then a
+    plan-sized exchange of per-key partial counts — see the module
+    docstring for why this beats a single raw-row exchange.  Blank
+    lines are excluded — they are structure, not boilerplate."""
     ex = _exploded(df, text_col, id_col, sep)
     return (
         ex.filter(F.col("_key") != "")
         .select(F.col("_key").alias("line_key"), "_doc")
-        .distinct()
         .groupBy("line_key")
-        .agg(F.count("*").alias("n_docs"))
+        .agg(F.count_distinct(F.col("_doc")).alias("n_docs"))
     )
 
 

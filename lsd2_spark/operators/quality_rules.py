@@ -12,7 +12,8 @@ Rules (paper defaults, all parameters overridable):
 
 1. word count in [50, 100,000]
 2. mean word length in [3, 10] characters
-3. symbol-to-word ratio (``#`` and ellipsis) <= 0.1
+3. symbol-to-word ratio <= 0.1 for EACH of ``#`` and ellipsis
+   (tested separately, as the paper specifies)
 4. <= 90% of lines starting with a bullet
 5. <= 30% of lines ending with an ellipsis
 6. >= 80% of words containing an alphabetic character
@@ -61,8 +62,9 @@ def gopher_quality_flags(
 ) -> DataFrame:
     """Per-document Gopher rule metrics and flags.
 
-    Returns ``(id_col, n_words, mean_word_len, symbol_word_ratio,
-    bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+    Returns ``(id_col, n_words, mean_word_len, hash_word_ratio,
+    ellipsis_word_ratio, bullet_line_frac, ellipsis_line_frac,
+    alpha_word_frac,
     n_stop_words, words_ok, word_len_ok, symbol_ok, bullet_ok,
     ellipsis_ok, alpha_ok, stop_ok, gopher_pass)`` — one row per input
     row.  ``filter(gopher_pass)`` is the paper's filter; the
@@ -81,10 +83,16 @@ def gopher_quality_flags(
     word_chars = F.length(F.regexp_replace(text, WS, ""))
     mean_word_len = F.try_divide(word_chars.cast("double"), n_words)
 
-    n_symbols = F.regexp_count(text, F.lit(r"#")) + F.regexp_count(
-        text, F.lit(r"\.\.\.")
-    ) + F.regexp_count(text, F.lit("…"))
-    symbol_ratio = F.try_divide(n_symbols.cast("double"), n_words)
+    # A1.1 tests each symbol's ratio SEPARATELY ("symbol-to-word ratio
+    # greater than 0.1 for either the hash symbol or the ellipsis") —
+    # pooling them would wrongly reject a doc at 0.07 hash + 0.07
+    # ellipsis
+    n_hash = F.regexp_count(text, F.lit(r"#"))
+    n_ellipsis = F.regexp_count(text, F.lit(r"\.\.\.")) + F.regexp_count(
+        text, F.lit("…")
+    )
+    hash_ratio = F.try_divide(n_hash.cast("double"), n_words)
+    ellipsis_ratio = F.try_divide(n_ellipsis.cast("double"), n_words)
 
     lines = F.filter(
         F.split(F.coalesce(text, F.lit("")), "\n", -1),
@@ -125,7 +133,10 @@ def gopher_quality_flags(
     word_len_ok = _flag(
         (mean_word_len >= min_mean_word_len) & (mean_word_len <= max_mean_word_len)
     )
-    symbol_ok = _flag(symbol_ratio <= max_symbol_word_ratio)
+    symbol_ok = _flag(
+        (hash_ratio <= max_symbol_word_ratio)
+        & (ellipsis_ratio <= max_symbol_word_ratio)
+    )
     # a doc with words but no non-blank lines cannot exist (words imply
     # a non-blank line), so the line rules share the has_words gate
     bullet_ok = _flag(has_lines & (bullet_frac <= max_bullet_line_frac))
@@ -140,7 +151,8 @@ def gopher_quality_flags(
         F.col(id_col),
         F.when(text.isNotNull(), n_words).cast("bigint").alias("n_words"),
         _metric(mean_word_len).alias("mean_word_len"),
-        _metric(symbol_ratio).alias("symbol_word_ratio"),
+        _metric(hash_ratio).alias("hash_word_ratio"),
+        _metric(ellipsis_ratio).alias("ellipsis_word_ratio"),
         F.when(has_words & has_lines, round6(bullet_frac)).alias("bullet_line_frac"),
         F.when(has_words & has_lines, round6(ellipsis_frac)).alias(
             "ellipsis_line_frac"

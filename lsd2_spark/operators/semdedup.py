@@ -64,8 +64,10 @@ def semantic_dedup(
     - ``keep = 0``: a kept member of the same cluster is within
       ``eps`` cosine; ``dup_of`` names it (the most similar kept
       member) and ``max_sim`` carries the similarity;
-    - invalid vectors: ``keep = 1`` with NULL ``cluster_id`` (null or
-      ragged) or NULL ``max_sim`` (zero-norm) — flagged, not dropped.
+    - invalid vectors (null, ragged, or zero-norm — anything that has
+      no unit direction): ``keep = 1`` with NULL ``cluster_id`` —
+      flagged, not dropped.  (``max_sim`` is NULL both for these and
+      for each cluster's first kept member.)
 
     ``filter(keep = 1)`` joined back to the corpus is the deduplicated
     set.  Pass precomputed ``centroids`` (e.g. from a saved IVF index)
@@ -100,7 +102,6 @@ def semantic_dedup_with_index(
         raise ValueError(f"eps must be in (0, 1], got {eps}")
     if n_clusters < 1:
         raise ValueError(f"n_clusters must be >= 1, got {n_clusters}")
-    dim = _probe_dim(df, vec_col)
     id_type = df.schema[id_col].dataType.simpleString()
 
     # SemDeDup clusters DIRECTIONS, not magnitudes: k-means on raw
@@ -114,8 +115,13 @@ def semantic_dedup_with_index(
         F.when(norm > 0.0, F.transform(dv, lambda x: x / norm)).alias("_unit"),
     )
     vec_col = "_unit"
+    # probe the NORMALIZED column: a corpus whose every vector is
+    # null/ragged/zero-norm must take the everything-kept path, not
+    # feed an empty sample to k-means
+    dim = _probe_dim(base, vec_col)
     if dim is None:
         # No valid vector anywhere: everything is kept-and-flagged.
+        # A caller-supplied index passes through untouched.
         out = base.select(
             F.col(id_col),
             F.lit(None).cast("int").alias("cluster_id"),
@@ -123,7 +129,9 @@ def semantic_dedup_with_index(
             F.lit(None).cast(id_type).alias("dup_of"),
             F.lit(None).cast("double").alias("max_sim"),
         )
-        return out, np.zeros((0, 0), dtype=np.float64)
+        if centroids is None:
+            centroids = np.zeros((0, 0), dtype=np.float64)
+        return out, centroids
 
     if centroids is None:
         valid = _valid_vectors(base, vec_col, dim)
@@ -157,21 +165,17 @@ def semantic_dedup_with_index(
     def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
         n = len(pdf)
-        m = np.asarray(
+        # rows reaching the kernel are already unit vectors (zero-norm
+        # never survives the normalization projection)
+        unit = np.asarray(
             [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
         ).reshape(n, dim_i)
-        norms = np.sqrt((m * m).sum(axis=1))
-        ok = norms > 0.0
-        unit = np.zeros_like(m)
-        unit[ok] = m[ok] / norms[ok, None]
 
         keep = np.ones(n, dtype=np.int32)
         dup_of = np.full(n, None, dtype=object)
         max_sim = np.full(n, np.nan)
         kept_rows: list[int] = []
         for i in range(n):
-            if not ok[i]:
-                continue  # zero-norm: kept, flagged by NULL max_sim
             if kept_rows:
                 sims = unit[kept_rows] @ unit[i]
                 j = int(np.argmax(sims))

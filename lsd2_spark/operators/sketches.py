@@ -145,8 +145,12 @@ def kmv_set_stats(
     the bottom-k of the merged hash sets (bottom-k of bottom-ks — the
     sketch's mergeability), and with ``L`` = union sketch,
     ``J = |L ∩ A ∩ B| / |L|`` estimates Jaccard, so
-    ``est_intersection = J · est_union``.  When both groups are below
-    occupancy the numbers are EXACT, not estimates.
+    ``est_intersection = J · est_union``.  When BOTH groups are below
+    occupancy their sketches are the complete hash sets, so every
+    number is EXACT — including the union and intersection, which are
+    then computed from the full merged sets rather than the k-sliced
+    sketch (a union of two complete 40-element sets is its true size,
+    not a bottom-64 estimate).
 
     100 TB shape: the heavy lifting happened in ``kmv_sketch`` (one
     bounded-shuffle pass per corpus); this join moves only k-long
@@ -168,18 +172,21 @@ def kmv_set_stats(
         .withColumn("_a", F.coalesce(F.col("_a"), empty))
         .withColumn("_b", F.coalesce(F.col("_b"), empty))
     )
-    union_sketch = F.slice(
-        F.array_sort(F.array_union(F.col("_a"), F.col("_b"))), 1, k
-    )
-    j = j.withColumn("_u", union_sketch)
+    both_exact = (F.size(F.col("_a")) < k) & (F.size(F.col("_b")) < k)
+    merged = F.array_sort(F.array_union(F.col("_a"), F.col("_b")))
+    # exact path: both sketches are the complete hash sets — never
+    # slice, the merged set IS the union
+    j = j.withColumn("_u", F.when(both_exact, merged).otherwise(F.slice(merged, 1, k)))
     common_in_u = F.size(
         F.array_intersect(F.col("_u"), F.array_intersect(F.col("_a"), F.col("_b")))
     )
     occ_u = F.size(F.col("_u"))
-    jaccard = F.when(occ_u > 0, common_in_u.cast("double") / occ_u).otherwise(
-        F.lit(0.0)
+    jaccard = F.when(
+        occ_u > 0, F.try_divide(common_in_u.cast("double"), occ_u)
+    ).otherwise(F.lit(0.0))
+    est_union = F.when(both_exact, occ_u.cast("double")).otherwise(
+        _est_from(F.col("_u"), k)
     )
-    est_union = _est_from(F.col("_u"), k)
     return j.select(
         *group_cols,
         _est_from(F.col("_a"), k).alias("est_left"),

@@ -41,6 +41,19 @@ def test_exact_below_occupancy(spark):
     assert abs(r["jaccard_est"] - 2.0 / 42.0) < 1e-12
 
 
+def test_exact_even_when_union_exceeds_k(spark):
+    """Both inputs below occupancy -> sketches are COMPLETE sets, so
+    the union is exact even when the merged size exceeds k."""
+    a = _mkdf(spark, [f"a{i}" for i in range(40)])
+    b = _mkdf(spark, [f"b{i}" for i in range(40)] + ["a0", "a1", "a2"])
+    sa, sb = (kmv_sketch(d, "v", ["g"], k=64) for d in (a, b))
+    r = kmv_set_stats(sa, sb, ["g"], k=64).collect()[0]
+    assert r["est_left"] == 40.0 and r["est_right"] == 43.0
+    assert r["est_union"] == 80.0  # exact, not a bottom-64 estimate
+    assert r["est_intersection"] == 3.0
+    assert abs(r["jaccard_est"] - 3.0 / 80.0) < 1e-12
+
+
 def test_estimates_above_occupancy(spark):
     # |A|=20k, |B|=20k, |A∩B|=10k, |A∪B|=30k, J=1/3
     a = _mkdf(spark, range(0, 20_000))

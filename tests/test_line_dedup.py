@@ -166,3 +166,22 @@ def test_plan_no_cartesian(spark, corpus_df):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_counts_plan_is_two_phase_distinct_aggregate(spark, corpus_df):
+    """Pin the scale-right shape: map-side (key, doc) dedup before the
+    first exchange (the deduped-pair exchange), plus the plan-sized
+    per-key partial-count exchange — exactly two, no raw-row shuffle
+    of undeduped lines."""
+    import re
+
+    plan = line_doc_counts(
+        corpus_df, "text", "doc_id"
+    )._jdf.queryExecution().executedPlan().toString()
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(keys) == 2, keys
+    assert any("_doc" in k for k in keys)  # deduped-pair exchange
+    assert any("_doc" not in k for k in keys)  # partial-count exchange
+    # map-side partial dedup precedes the pair exchange
+    pair_ex = plan.index("_doc", plan.index("Exchange"))
+    assert "HashAggregate" in plan[pair_ex:], plan

@@ -26,8 +26,9 @@ P = dict(
 
 def _ref(text: str | None) -> dict:
     out = dict.fromkeys(
-        ["n_words", "mean_word_len", "symbol_word_ratio", "bullet_line_frac",
-         "ellipsis_line_frac", "alpha_word_frac", "n_stop_words"], None)
+        ["n_words", "mean_word_len", "hash_word_ratio", "ellipsis_word_ratio",
+         "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+         "n_stop_words"], None)
     flags = dict.fromkeys(
         ["words_ok", "word_len_ok", "symbol_ok", "bullet_ok", "ellipsis_ok",
          "alpha_ok", "stop_ok"], False)
@@ -40,8 +41,8 @@ def _ref(text: str | None) -> dict:
         return {**out, **flags, "gopher_pass": False}
     n = len(toks)
     mean = len(re.sub(WS, "", text)) / n
-    sym = (len(re.findall(r"#", text)) + len(re.findall(r"\.\.\.", text))
-           + len(re.findall("…", text))) / n
+    hashr = len(re.findall(r"#", text)) / n
+    ellr = (len(re.findall(r"\.\.\.", text)) + len(re.findall("…", text))) / n
     lines = [l for l in text.split("\n") if l.strip(WS_CHARS)]
     bullet = (sum(1 for l in lines if l.strip(WS_CHARS)[0] in "-*•") / len(lines)
               if lines else None)
@@ -52,7 +53,8 @@ def _ref(text: str | None) -> dict:
     flags = {
         "words_ok": P["min_words"] <= n <= P["max_words"],
         "word_len_ok": P["min_mean_word_len"] <= mean <= P["max_mean_word_len"],
-        "symbol_ok": sym <= P["max_symbol_word_ratio"],
+        "symbol_ok": (hashr <= P["max_symbol_word_ratio"]
+                      and ellr <= P["max_symbol_word_ratio"]),
         "bullet_ok": bullet is not None and bullet <= P["max_bullet_line_frac"],
         "ellipsis_ok": ell is not None and ell <= P["max_ellipsis_line_frac"],
         "alpha_ok": alpha >= P["min_alpha_word_frac"],
@@ -60,7 +62,8 @@ def _ref(text: str | None) -> dict:
     }
     r6 = lambda x: None if x is None else float(round6_np(x))
     return {
-        "n_words": n, "mean_word_len": r6(mean), "symbol_word_ratio": r6(sym),
+        "n_words": n, "mean_word_len": r6(mean), "hash_word_ratio": r6(hashr),
+        "ellipsis_word_ratio": r6(ellr),
         "bullet_line_frac": r6(bullet), "ellipsis_line_frac": r6(ell),
         "alpha_word_frac": r6(alpha), "n_stop_words": stops,
         **flags, "gopher_pass": all(flags.values()),
@@ -87,6 +90,9 @@ DOCS = {
     11: "   \t  \n ",                             # whitespace only
     12: None,                                     # null
     13: "…" + _GOOD + " … okay…",                 # unicode ellipsis counted
+    # 0.07 hash + 0.07 ellipsis: passes the paper's PER-SYMBOL rule,
+    # would fail a pooled 0.1 cutoff — guards against re-pooling
+    14: _GOOD + " " + "... " * 4 + "# " * 4,
 }
 
 
@@ -124,6 +130,8 @@ def test_each_planted_doc_fails_its_rule(flags_df):
     for d in (10, 11, 12):  # degenerate docs: all flags false, total
         assert rows[d]["gopher_pass"] is False
         assert rows[d]["mean_word_len"] is None
+    # per-symbol rule: 0.07 hash + 0.07 ellipsis passes (pooled would fail)
+    assert rows[14]["symbol_ok"] is True and rows[14]["gopher_pass"] is True
 
 
 def test_plan_is_projection_only(spark):

@@ -128,6 +128,26 @@ def test_string_ids(spark):
     assert rows["c"]["keep"] == 1
 
 
+def test_all_invalid_corpus_total(spark):
+    """A batch whose every vector is null/ragged/zero-norm must keep
+    and flag every row — not crash k-means — and must hand a
+    caller-supplied index back untouched."""
+    df = spark.createDataFrame(
+        [(1, None), (2, [0.0, 0.0]), (3, [0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = semantic_dedup(df, "embedding", "vec_id", n_clusters=2)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert all(r["keep"] == 1 and r["cluster_id"] is None for r in rows.values())
+    given = np.eye(2)
+    _, back = semantic_dedup_with_index(
+        df.filter("vec_id = 2"), "embedding", "vec_id",
+        n_clusters=2, centroids=given,
+    )
+    assert back is given
+
+
 def test_validation(spark, planted):
     with pytest.raises(ValueError):
         semantic_dedup(planted, "embedding", "vec_id", n_clusters=2, eps=0.0)
