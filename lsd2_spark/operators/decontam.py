@@ -254,3 +254,135 @@ def decontaminate_bloom(
             ),
         )
     )
+
+def fuzzy_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_jaccard: float = 0.5,
+    n: int = 3,
+    bands: int = 8,
+) -> DataFrame:
+    """Near-duplicate decontamination: flag training documents whose
+    distinct word-``n``-gram (shingle) Jaccard similarity to ANY
+    evaluation document reaches ``min_jaccard`` — the companion to
+    :func:`decontaminate` for leakage that exact long-n-gram matching
+    misses (an eval passage with every 6th word edited contains no
+    shared 8-gram, but ~a third of its 3-gram shingles survive, giving
+    shingle-Jaccard ~0.3 while unrelated documents sit near 0; this is
+    the Llama-style fuzzy decontamination signal).
+
+    Shingles, not unigram token sets, on purpose: corpora with a
+    narrow shared vocabulary make every pair of documents look alike
+    under unigram Jaccard (measured: 73% of a synthetic corpus
+    false-flagged at 0.7), while word ORDER still separates them —
+    shingle Jaccard between unrelated same-vocabulary docs is ~r²/V^n.
+    ``n=1`` recovers token-set behavior if wanted.
+
+    Returns one row per train document: ``fuzzy_contaminated``,
+    ``matched_eval_id`` (the most similar flagged eval doc; ties to
+    the smaller id), and ``jaccard`` (exact distinct-shingle Jaccard
+    to it; NULL when clean).
+
+    Candidate recall: a pair with true Jaccard J survives banding with
+    probability 1-(1-J^r)^bands for r rows/band — the default (8 bands
+    x 1 row over the 8-permutation signature) keeps ~96% recall at
+    J=0.33 and 100% at J=1; fewer, wider bands trade recall for fewer
+    candidates.
+
+    Scale shape: both sides get shingle-minhash signatures
+    (projection-only); the eval side's band table is BROADCAST (eval
+    sets are tiny), so candidate generation is a map-side join — never
+    O(train x eval).  Only candidate hits are exact-verified, joining
+    the (small) candidate list back to the shingle arrays with the
+    eval side again broadcast; the per-document argmax is two
+    partial-aggregable groupBys over the verified sliver.
+    """
+    from lsd2_spark.functions.portable_hash import MINHASH_PERMS, MOD, hash64
+    from lsd2_spark.operators.common import spread_partitions
+
+    if not 0.0 < min_jaccard <= 1.0:
+        raise ValueError(f"min_jaccard must be in (0, 1], got {min_jaccard}")
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    k = len(MINHASH_PERMS)
+    if k % bands:
+        raise ValueError(f"bands={bands} must divide the signature length k={k}")
+    rows_per_band = k // bands
+    if rows_per_band > 2:
+        raise ValueError(
+            f"bands={bands} gives {rows_per_band} rows/band; bucket packing "
+            f"fits int64 only for <=2 rows/band (use bands >= {(k + 1) // 2})"
+        )
+
+    shingles = F.array_distinct(word_ngrams(F.col(text_col), n))
+
+    def tag(df: DataFrame, out_id: str) -> DataFrame:
+        sh_hashes = F.transform(shingles, lambda s: hash64(s) % MOD)
+        sig = df.select(F.col(id_col).alias(out_id), sh_hashes.alias("_sh"))
+        for i, (a, b) in enumerate(MINHASH_PERMS):
+            sig = sig.withColumn(
+                f"mh{i}",
+                F.array_min(F.transform(F.col("_sh"), lambda h: (h * a + b) % MOD)),
+            )
+        sig = sig.drop("_sh")
+
+        def bucket_of(b: int):
+            parts = [
+                F.col(f"mh{i}")
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ]
+            expr = parts[0]
+            for p in parts[1:]:
+                expr = expr * MOD + p  # fits: MOD^2 < 2^40
+            return expr
+
+        band_cols = [
+            F.struct(F.lit(b).alias("band"), bucket_of(b).alias("bucket"))
+            for b in range(bands)
+        ]
+        return sig.withColumn("_band", F.explode(F.array(*band_cols))).select(
+            out_id, "_band.band", "_band.bucket"
+        )
+
+    tt = tag(spread_partitions(train), "_tid")
+    et = tag(eval_df, "_eid")
+    cands = (
+        tt.join(F.broadcast(et), on=["band", "bucket"])
+        .select("_tid", "_eid")
+        .dropDuplicates(["_tid", "_eid"])
+    )
+
+    # exact verify over the SAME shingle sets the signatures hashed
+    train_sh = train.select(F.col(id_col).alias("_tid"), shingles.alias("_tsh"))
+    eval_sh = eval_df.select(F.col(id_col).alias("_eid"), shingles.alias("_esh"))
+    inter = F.size(F.array_intersect(F.col("_tsh"), F.col("_esh")))
+    union = F.size(F.array_union(F.col("_tsh"), F.col("_esh")))
+    verified = (
+        cands.join(train_sh, "_tid")
+        .join(F.broadcast(eval_sh), "_eid")
+        .select(
+            "_tid",
+            "_eid",
+            F.try_divide(inter.cast("double"), union).alias("_j"),
+        )
+        .filter(F.col("_j") >= float(min_jaccard))
+    )
+    # per-train argmax, ties to the smaller eval id — two partial-agg
+    # groupBys over the (small) verified set, id-type-generic
+    best_j = verified.groupBy("_tid").agg(F.max("_j").alias("_j"))
+    best = (
+        verified.join(best_j, on=["_tid", "_j"])
+        .groupBy("_tid", "_j")
+        .agg(F.min("_eid").alias("_eid"))
+    )
+    out = train.select(F.col(id_col)).join(
+        best, train[id_col] == best["_tid"], "left"
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("_tid").isNotNull().alias("fuzzy_contaminated"),
+        F.col("_eid").alias("matched_eval_id"),
+        F.col("_j").alias("jaccard"),
+    )

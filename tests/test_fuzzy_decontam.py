@@ -1,0 +1,142 @@
+"""Fuzzy (MinHash) decontamination: catches edited eval leakage that
+exact n-gram matching misses, exact-Jaccard parity with a Python
+oracle, thresholds, totality, determinism, and plan shape."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from lsd2_spark.operators.decontam import decontaminate, fuzzy_decontaminate
+
+WS = r"[ \t\n\r\f]+"
+
+EVAL_DOC = (
+    "the mitochondria is the powerhouse of the cell and produces energy "
+    "through oxidative phosphorylation while ribosomes synthesize proteins "
+    "from messenger rna templates inside every living organism on earth"
+)
+
+
+def _edit_every_kth(text: str, k: int) -> str:
+    """Replace every k-th token — breaks all n-grams of length >= k
+    while keeping token-set Jaccard high."""
+    toks = text.split()
+    return " ".join(
+        f"EDIT{i}" if i % k == 0 else t for i, t in enumerate(toks)
+    )
+
+
+def _shingles(t: str, n: int = 3) -> set:
+    toks = re.split(WS, t.lower())
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _jaccard(a: str, b: str) -> float:
+    sa, sb = _shingles(a), _shingles(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    edited = _edit_every_kth(EVAL_DOC, 6)
+    train = spark.createDataFrame(
+        [
+            (1, EVAL_DOC),                       # verbatim leak
+            (2, edited),                         # edited leak
+            (3, "completely unrelated text about football matches and goals"),
+            (4, None),                           # null text
+            (5, EVAL_DOC + " extra suffix words appended here"),  # superset leak
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, EVAL_DOC), (101, "another benchmark question entirely different")],
+        "doc_id long, text string",
+    )
+    return train, eval_df, edited
+
+
+def test_catches_what_exact_ngrams_miss(spark, data):
+    """THE motivating case: every-6th-token edits kill all 8-grams, so
+    exact decontamination misses doc 2 — fuzzy flags it."""
+    train, eval_df, edited = data
+    exact = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(train, eval_df, "text", "doc_id", n=8).collect()
+    }
+    assert exact[1] is True and exact[2] is False  # exact misses the edit
+    fuzzy = {
+        r["doc_id"]: r
+        for r in fuzzy_decontaminate(
+            train, eval_df, "text", "doc_id", min_jaccard=0.2
+        ).collect()
+    }
+    assert fuzzy[1]["fuzzy_contaminated"] is True
+    assert fuzzy[2]["fuzzy_contaminated"] is True  # fuzzy catches it
+    assert fuzzy[3]["fuzzy_contaminated"] is False
+    assert fuzzy[4]["fuzzy_contaminated"] is False  # null text: clean, kept
+    assert fuzzy[5]["fuzzy_contaminated"] is True
+    # exact-Jaccard parity with the Python oracle, matched id correct
+    assert fuzzy[1]["matched_eval_id"] == 100
+    assert abs(fuzzy[1]["jaccard"] - 1.0) < 1e-12
+    assert abs(fuzzy[2]["jaccard"] - _jaccard(edited, EVAL_DOC)) < 1e-12
+    assert abs(
+        fuzzy[5]["jaccard"] - _jaccard(EVAL_DOC + " extra suffix words appended here", EVAL_DOC)
+    ) < 1e-12
+
+
+def test_threshold_respected(spark, data):
+    train, eval_df, edited = data
+    j_edit = _jaccard(edited, EVAL_DOC)
+    strict = {
+        r["doc_id"]: r["fuzzy_contaminated"]
+        for r in fuzzy_decontaminate(
+            train, eval_df, "text", "doc_id", min_jaccard=j_edit + 0.05
+        ).collect()
+    }
+    assert strict[1] is True  # verbatim still flagged
+    assert strict[2] is False  # edited falls below the raised bar
+
+
+def test_empty_eval_and_determinism(spark, data):
+    train, _, _ = data
+    empty = train.filter("doc_id < 0").select("doc_id", "text")
+    out = fuzzy_decontaminate(train, empty, "text", "doc_id")
+    assert out.filter("fuzzy_contaminated").count() == 0
+    assert out.count() == train.count()
+    _, eval_df, _ = data
+    a = sorted(map(tuple, fuzzy_decontaminate(train, eval_df, "text", "doc_id").collect()))
+    b = sorted(map(tuple, fuzzy_decontaminate(train, eval_df, "text", "doc_id").collect()))
+    assert a == b
+
+
+def test_string_ids_and_tiebreak(spark):
+    """Two identical eval docs: the match must tie to the smaller id,
+    with string ids working end to end."""
+    train = spark.createDataFrame([("t1", EVAL_DOC)], "doc_id string, text string")
+    eval_df = spark.createDataFrame(
+        [("e9", EVAL_DOC), ("e1", EVAL_DOC)], "doc_id string, text string"
+    )
+    r = fuzzy_decontaminate(train, eval_df, "text", "doc_id").collect()[0]
+    assert r["fuzzy_contaminated"] is True and r["matched_eval_id"] == "e1"
+
+
+def test_validation(spark, data):
+    train, eval_df, _ = data
+    with pytest.raises(ValueError):
+        fuzzy_decontaminate(train, eval_df, "text", "doc_id", min_jaccard=0.0)
+    with pytest.raises(ValueError):
+        fuzzy_decontaminate(train, eval_df, "text", "doc_id", bands=3)
+
+
+def test_plan_broadcast_no_cartesian(spark, data):
+    train, eval_df, _ = data
+    plan = fuzzy_decontaminate(
+        train, eval_df, "text", "doc_id"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
