@@ -433,6 +433,34 @@ def main() -> None:
             docs, "text", "doc_id", dsir_model, n=100, normalize="mean"
         ).count()
         extras["dsir_train_resample"] = round(time.perf_counter() - t0, 3)
+
+        from lsd2_spark.operators.quality_rules import gopher_quality_flags
+
+        t0 = time.perf_counter()
+        gopher_quality_flags(docs, "text", "doc_id").count()
+        extras["gopher_rules"] = round(time.perf_counter() - t0, 3)
+
+        from lsd2_spark.operators.decontam import fuzzy_decontaminate
+
+        t0 = time.perf_counter()
+        fuzzy_decontaminate(
+            docs,
+            docs.filter(F.col("doc_id") % 25 == 0).select("doc_id", "text"),
+            "text",
+            "doc_id",
+            min_jaccard=0.5,
+        ).count()
+        extras["fuzzy_decontam"] = round(time.perf_counter() - t0, 3)
+
+        from lsd2_spark.operators.sketches import kmv_set_stats, kmv_sketch
+
+        t0 = time.perf_counter()
+        tok = docs.select(
+            "source", F.explode(F.split(F.col("text"), r"[ \t\n\r\f]+")).alias("tok")
+        ).filter("tok != ''")
+        ska = kmv_sketch(tok, "tok", ["source"], k=128)
+        kmv_set_stats(ska, ska, ["source"], k=128).count()
+        extras["kmv_set_stats"] = round(time.perf_counter() - t0, 3)
     except Exception as e:  # never let the extras break the artifact
         extras["error"] = str(e)[:200]
 

@@ -18,7 +18,9 @@ Stages (each one scan/shuffle-bounded; no driver row materialization):
 2. quality gate      — heuristic score ≥ cutoff AND Gopher repetition
                        caps (dup-line / top-bigram fractions); the
                        score also picks each near-dup cluster's
-                       canonical survivor (keep-best, not min-id)
+                       canonical survivor (keep-best, not min-id);
+                       optional FULL Gopher rule battery
+                       (quality_rules.gopher_quality_flags)
 3. language filter   — n-gram language ID (text_analysis)
 4. exact dedup       — md5 canonical rows (dedup)
 5. fuzzy dedup       — LSH pairs → connected components → survivors
@@ -32,7 +34,9 @@ Stages (each one scan/shuffle-bounded; no driver row materialization):
                        eps-cosine scan inside each cluster; catches
                        paraphrases textual dedup misses
 6. decontamination   — drop docs sharing word-5-grams with the
-                       held-out eval set (decontam; broadcast join)
+                       held-out eval set (decontam; broadcast join);
+                       optionally ALSO fuzzy (shingle-minhash) matches
+                       that exact n-grams miss
 6b. DSIR selection   — optional importance resampling toward a target
                        corpus (dsir): hashed-ngram log ratios,
                        Gumbel-top-k without replacement
@@ -97,6 +101,8 @@ def build_training_corpus(
     semantic_clusters: int = 64,
     dsir_target: DataFrame | None = None,
     dsir_n: int | None = None,
+    gopher_rules: bool = False,
+    fuzzy_decontam_jaccard: float | None = None,
 ) -> DataFrame:
     """documents(text, doc_id, source) → (doc_id, text, source, split).
 
@@ -137,6 +143,13 @@ def build_training_corpus(
         )
         .select(*docs.columns)
     )
+    if gopher_rules:
+        from lsd2_spark.operators import quality_rules
+
+        flags = quality_rules.gopher_quality_flags(kept, "text", "doc_id")
+        kept = kept.join(
+            flags.filter("gopher_pass").select("doc_id"), "doc_id", "left_semi"
+        )
     exact = dedup.exact_dedup(kept, "text", "doc_id").filter("is_canonical = 1")
     kept = kept.join(exact.select("doc_id"), "doc_id", "left_semi")
     # fuzzy dedup keeps the HIGHEST-quality member of each near-dup
@@ -183,11 +196,29 @@ def build_training_corpus(
         kept = kept.join(
             verdicts.filter("keep = 1").select("doc_id"), "doc_id", "left_semi"
         )
+        # Cut lineage here: the embedding/kernel stages put Python exec
+        # nodes (mapInPandas/applyInPandas) into the plan, and once the
+        # downstream pipeline grows enough exchanges, AQE's
+        # exchange-reuse canonicalization rebuilds MapInPandasExec with
+        # a null session and NPEs (observed on Spark 4.1).  A
+        # checkpoint between macro-stages is also the production shape
+        # for a corpus build this deep.
+        kept = kept.localCheckpoint(eager=True)
     if eval_docs is not None:
         contam = decontam.decontaminate(kept, eval_docs, "text", "doc_id")
         kept = kept.join(
             contam.filter("NOT contaminated").select("doc_id"), "doc_id", "left_semi"
         )
+        if fuzzy_decontam_jaccard is not None:
+            fz = decontam.fuzzy_decontaminate(
+                kept, eval_docs, "text", "doc_id",
+                min_jaccard=fuzzy_decontam_jaccard,
+            )
+            kept = kept.join(
+                fz.filter("NOT fuzzy_contaminated").select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
     if dsir_target is not None:
         from lsd2_spark.operators import dsir
 

@@ -502,6 +502,25 @@ def test_training_pipeline_round8_stages(spark):
         ).otherwise(SF.col("text")),
     )
     target = docs.filter(SF.col("doc_id") % 9 == 1).select("doc_id", "text")
+    # eval set + planted EDITED eval leaks (every 6th word swapped —
+    # invisible to exact 5-grams, caught by the fuzzy stage)
+    eval_docs = docs.filter(SF.col("doc_id") % 11 == 2).limit(10).select(
+        "doc_id", "text"
+    )
+    edited_leaks = eval_docs.select(
+        (SF.col("doc_id") + 7_000_000).alias("doc_id"),
+        SF.concat_ws(
+            " ",
+            SF.transform(
+                SF.split("text", r"[ \t\n\r\f]+"),
+                lambda t, i: SF.when(i % 6 == 0, SF.lit("EDITW")).otherwise(t),
+            ),
+        ).alias("text"),
+        SF.lit("en").alias("lang"),
+        SF.lit("srcX").alias("source"),
+        SF.length("text").alias("n_chars"),
+    )
+    planted = planted.unionByName(edited_leaks.select(*planted.columns))
     corpus = build_training_corpus(
         spark,
         planted,
@@ -511,12 +530,17 @@ def test_training_pipeline_round8_stages(spark):
         semantic_clusters=8,
         dsir_target=target,
         dsir_n=50,
+        eval_docs=eval_docs,
+        fuzzy_decontam_jaccard=0.2,
     )
     corpus.cache()
     n_out = corpus.count()
     assert 0 < n_out <= 50  # DSIR selection bound
     # the planted boilerplate never reaches the output corpus
     assert corpus.filter(SF.col("text").contains(footer)).count() == 0
+    # neither do the edited eval leaks (fuzzy decontam) nor the eval
+    # docs themselves (exact decontam)
+    assert corpus.filter(SF.col("doc_id") >= 7_000_000).count() == 0
     corpus.unpersist()
 
 
