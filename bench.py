@@ -343,6 +343,27 @@ def main() -> None:
                 threshold=NEARDUP_THRESHOLD, n_bits=4, n_tables=16,
             ).count(),
         )
+        # SemDeDup's scale rule: grow n_clusters WITH the corpus so the
+        # per-cluster population (the quadratic unit) stays constant —
+        # a ~linear exec ratio here certifies the rule; running 10x the
+        # data into the SAME cluster count would show ~100x kernel work
+        from lsd2_spark.operators import semdedup as sdd
+
+        emb_d = emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        emb10_d = emb10.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        probe(
+            "semdedup_x10",
+            lambda: sdd.semantic_dedup(
+                emb_d, "embedding", "vec_id", n_clusters=16, eps=0.99
+            ).filter("keep = 0").count(),
+            lambda: sdd.semantic_dedup(
+                emb10_d, "embedding", "vec_id", n_clusters=160, eps=0.99
+            ).filter("keep = 0").count(),
+        )
     except Exception as e:  # never let the probes break the artifact
         density["error"] = str(e)[:200]
 
