@@ -54,6 +54,7 @@ def semantic_dedup(
     n_iters: int = 2,
     sample_stride: int = 1,
     centroids: np.ndarray | None = None,
+    project_dim: int | None = None,
 ) -> DataFrame:
     """Per-document semantic-dedup verdicts.
 
@@ -82,6 +83,7 @@ def semantic_dedup(
         n_iters=n_iters,
         sample_stride=sample_stride,
         centroids=centroids,
+        project_dim=project_dim,
     )[0]
 
 
@@ -94,10 +96,22 @@ def semantic_dedup_with_index(
     n_iters: int = 2,
     sample_stride: int = 1,
     centroids: np.ndarray | None = None,
+    project_dim: int | None = None,
 ) -> tuple[DataFrame, np.ndarray]:
     """:func:`semantic_dedup` plus the centroid matrix it used, so a
     caller can persist it (``save_ivf_index``) and feed later batches
-    through the same partition of embedding space."""
+    through the same partition of embedding space.
+
+    ``project_dim``: cluster in a Johnson-Lindenstrauss projection of
+    that dimension instead of the native space.  Clustering is only a
+    partition heuristic here — the eps-cosine verdicts are ALWAYS
+    computed on the true unit vectors — so projecting trades a small
+    probability of splitting a near-dup pair across a cluster boundary
+    (the same risk any space partition takes) for an
+    ``native_dim/project_dim``-fold cut in the O(n x n_clusters x dim)
+    assignment flops, the dominant cost when clusters scale with the
+    corpus.  The returned centroids live in the projected space; reuse
+    them only with the same ``project_dim``."""
     if not 0.0 < eps <= 1.0:
         raise ValueError(f"eps must be in (0, 1], got {eps}")
     if n_clusters < 1:
@@ -133,20 +147,34 @@ def semantic_dedup_with_index(
             centroids = np.zeros((0, 0), dtype=np.float64)
         return out, centroids
 
+    # optional JL projection for the clustering side only — the greedy
+    # eps verdicts below always use the true unit vectors
+    cluster_col, cluster_dim = vec_col, dim
+    if project_dim is not None:
+        if project_dim < 1:
+            raise ValueError(f"project_dim must be >= 1, got {project_dim}")
+        if project_dim < dim:
+            from lsd2_spark.operators.similarity import random_project
+
+            base = random_project(base, vec_col, int(project_dim), out_col="_proj")
+            cluster_col, cluster_dim = "_proj", int(project_dim)
+
     if centroids is None:
-        valid = _valid_vectors(base, vec_col, dim)
+        valid = _valid_vectors(base, cluster_col, cluster_dim)
         centroids = kmeans_centroids(
             valid,
-            vec_col,
+            cluster_col,
             id_col,
             n_lists=n_clusters,
             n_iters=n_iters,
             sample_stride=sample_stride,
-            dim=dim,
+            dim=cluster_dim,
         )
     assigned = base.join(
-        kmeans_assign(base, vec_col, id_col, centroids), on=id_col, how="left"
+        kmeans_assign(base, cluster_col, id_col, centroids), on=id_col, how="left"
     )
+    if cluster_col != vec_col:
+        assigned = assigned.drop(cluster_col)
     invalid = assigned.filter(F.col("cluster_id").isNull()).select(
         F.col(id_col),
         F.col("cluster_id"),

