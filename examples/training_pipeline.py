@@ -196,14 +196,12 @@ def build_training_corpus(
         kept = kept.join(
             verdicts.filter("keep = 1").select("doc_id"), "doc_id", "left_semi"
         )
-        # Cut lineage here: the embedding/kernel stages put Python exec
-        # nodes (mapInPandas/applyInPandas) into the plan, and once the
-        # downstream pipeline grows enough exchanges, AQE's
-        # exchange-reuse canonicalization rebuilds MapInPandasExec with
-        # a null session and NPEs (observed on Spark 4.1).  A
-        # checkpoint between macro-stages is also the production shape
-        # for a corpus build this deep.
-        kept = kept.localCheckpoint(eager=True)
+        # Cut lineage after the Python-exec stage (see cut_lineage's
+        # docstring for the Spark 4.1 AQE NPE this avoids, and why a
+        # checkpoint between macro-stages is the production shape)
+        from lsd2_spark.operators.common import cut_lineage
+
+        kept = cut_lineage(kept)
     if eval_docs is not None:
         contam = decontam.decontaminate(kept, eval_docs, "text", "doc_id")
         kept = kept.join(

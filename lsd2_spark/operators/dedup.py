@@ -98,6 +98,10 @@ def lsh_candidate_pairs(
     Band buckets turn the O(n²) pair space into per-bucket equi-joins.
     """
     k = len(MINHASH_PERMS)
+    if bands < 1:
+        # a negative divisor of k would pass the modulo check below and
+        # silently emit zero bands (= no candidate pairs at all)
+        raise ValueError(f"bands must be >= 1, got {bands}")
     if k % bands:
         raise ValueError(
             f"bands={bands} must divide the signature length k={k}; "

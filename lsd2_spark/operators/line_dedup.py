@@ -88,7 +88,9 @@ def line_doc_counts(
     exchange on (key, doc) moving only the deduped pairs, then a
     plan-sized exchange of per-key partial counts — see the module
     docstring for why this beats a single raw-row exchange.  Blank
-    lines are excluded — they are structure, not boilerplate."""
+    lines are excluded — they are structure, not boilerplate.
+    ``id_col`` must be non-null (``count(DISTINCT doc)`` ignores NULL
+    ids, same contract as :func:`remove_frequent_lines`)."""
     ex = _exploded(df, text_col, id_col, sep)
     return (
         ex.filter(F.col("_key") != "")

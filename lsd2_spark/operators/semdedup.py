@@ -26,6 +26,12 @@ set is a pure function of the input — no RNG, no partition-order
 dependence.  Invalid vectors (null / ragged / zero-norm) are KEPT and
 flagged, never silently dropped: a dedup pass must be total over real
 corpora.
+
+Composition note: the grouped kernel puts Python exec nodes in the
+output's lineage; when composing MANY further stages on top on Spark
+4.1, cut the plan after this operator with
+:func:`lsd2_spark.operators.common.cut_lineage` (see its docstring
+for the AQE canonicalization NPE it avoids).
 """
 
 from __future__ import annotations
@@ -116,6 +122,10 @@ def semantic_dedup_with_index(
         raise ValueError(f"eps must be in (0, 1], got {eps}")
     if n_clusters < 1:
         raise ValueError(f"n_clusters must be >= 1, got {n_clusters}")
+    if project_dim is not None and project_dim < 1:
+        # validated up front: input validation must not depend on
+        # whether the batch happens to contain a valid vector
+        raise ValueError(f"project_dim must be >= 1, got {project_dim}")
     id_type = df.schema[id_col].dataType.simpleString()
 
     # SemDeDup clusters DIRECTIONS, not magnitudes: k-means on raw
@@ -150,15 +160,22 @@ def semantic_dedup_with_index(
     # optional JL projection for the clustering side only — the greedy
     # eps verdicts below always use the true unit vectors
     cluster_col, cluster_dim = vec_col, dim
-    if project_dim is not None:
-        if project_dim < 1:
-            raise ValueError(f"project_dim must be >= 1, got {project_dim}")
-        if project_dim < dim:
-            from lsd2_spark.operators.similarity import random_project
+    if project_dim is not None and project_dim < dim:
+        from lsd2_spark.operators.similarity import random_project
 
-            base = random_project(base, vec_col, int(project_dim), out_col="_proj")
-            cluster_col, cluster_dim = "_proj", int(project_dim)
+        base = random_project(
+            base, vec_col, int(project_dim), out_col="_proj", dim=dim
+        )
+        cluster_col, cluster_dim = "_proj", int(project_dim)
 
+    if centroids is not None and centroids.shape[1] != cluster_dim:
+        # a silently mismatched index would NULL-cluster every row and
+        # turn the whole pass into a keep-everything no-op
+        raise ValueError(
+            f"supplied centroids have dim {centroids.shape[1]} but the "
+            f"clustering space has dim {cluster_dim} — was the index built "
+            f"with a different project_dim?"
+        )
     if centroids is None:
         valid = _valid_vectors(base, cluster_col, cluster_dim)
         centroids = kmeans_centroids(

@@ -580,6 +580,7 @@ def random_project(
     vec_col: str,
     out_dim: int,
     out_col: str = "projected",
+    dim: int | None = None,
 ) -> DataFrame:
     """Johnson-Lindenstrauss dimensionality reduction:
     ``y = x @ P.T`` with ``P ~ N(0, 1/out_dim)`` drawn from a FIXED
@@ -590,11 +591,15 @@ def random_project(
     dimension makes candidate scoring the bottleneck.
 
     One Arrow pass, shuffle-free; invalid vectors (null/ragged) yield
-    NULL projections instead of dropping rows."""
+    NULL projections instead of dropping rows.  Callers that already
+    probed the input dimension pass it via ``dim`` to skip the probe
+    job (and to pin the dimension on ragged corpora, where two
+    independent probes could disagree)."""
     from pyspark.sql.types import ArrayType, DoubleType
 
     spark = df.sparkSession
-    dim = _probe_dim(df, vec_col)
+    if dim is None:
+        dim = _probe_dim(df, vec_col)
     if dim is None:
         return df.withColumn(out_col, F.lit(None).cast("array<double>"))
     rng = np.random.default_rng(1_000_003 * out_dim + dim)

@@ -128,8 +128,45 @@ def test_validation(spark, data):
     train, eval_df, _ = data
     with pytest.raises(ValueError):
         fuzzy_decontaminate(train, eval_df, "text", "doc_id", min_jaccard=0.0)
-    with pytest.raises(ValueError):
-        fuzzy_decontaminate(train, eval_df, "text", "doc_id", bands=3)
+    # non-positive bands would emit ZERO band rows -> an
+    # everything-clean no-op
+    for bad in (-1, -8, 0):
+        with pytest.raises(ValueError):
+            fuzzy_decontaminate(train, eval_df, "text", "doc_id", bands=bad)
+    # bucket packing of MOD-reduced rows fits int64 only to MOD^3
+    for bad_r in (0, -1, 4):
+        with pytest.raises(ValueError):
+            fuzzy_decontaminate(
+                train, eval_df, "text", "doc_id", rows_per_band=bad_r
+            )
+    # wider bands are legal now (signature length = bands*rows)
+    got = fuzzy_decontaminate(
+        train, eval_df, "text", "doc_id", min_jaccard=0.9, bands=4,
+        rows_per_band=2,
+    )
+    assert got.filter("doc_id = 1 AND fuzzy_contaminated").count() == 1
+
+
+def test_long_doc_band_collisions_bounded(spark):
+    """The 60-bit XOR minhash keeps band buckets of long UNRELATED
+    docs from colliding — the mod-2^20 family concentrates long-doc
+    minima near zero and false-collides at ~m/(2*MOD)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30_000)]
+
+    def long_doc():
+        return " ".join(rng.choice(vocab) for _ in range(8_000))
+
+    train = spark.createDataFrame(
+        [(i, long_doc()) for i in range(30)], "doc_id long, text string"
+    )
+    eval_df = spark.createDataFrame(
+        [(100 + i, long_doc()) for i in range(30)], "doc_id long, text string"
+    )
+    out = fuzzy_decontaminate(train, eval_df, "text", "doc_id", min_jaccard=0.2)
+    assert out.filter("fuzzy_contaminated").count() == 0
 
 
 def test_plan_broadcast_no_cartesian(spark, data):

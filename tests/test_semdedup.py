@@ -158,6 +158,16 @@ def test_project_dim_clustering(spark):
             assert _cos(vecs[vid], vecs[r["dup_of"]]) >= 0.999
     with pytest.raises(ValueError):
         semantic_dedup(df, "embedding", "vec_id", n_clusters=8, project_dim=0)
+    # an index built in one clustering space must not silently
+    # NULL-cluster everything when reused in another
+    _, native_cents = semantic_dedup_with_index(
+        emb, "embedding", "vec_id", n_clusters=4
+    )
+    with pytest.raises(ValueError, match="project_dim"):
+        semantic_dedup(
+            emb, "embedding", "vec_id", n_clusters=4,
+            centroids=native_cents, project_dim=8,
+        )
 
 
 def test_all_invalid_corpus_total(spark):
