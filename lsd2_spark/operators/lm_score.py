@@ -126,9 +126,19 @@ _WLM_LAMBDA = 0.7  # weight on the bigram ML estimate
 
 
 def _word_tokens(text_col: str) -> "F.Column":
-    return F.split(
-        F.concat(F.lit("<s> "), F.regexp_replace(F.lower(F.col(text_col)), WS, " ")),
-        " ",
+    # empty tokens from leading/trailing whitespace (or an empty doc)
+    # must not become bigram partners: "" would score as a real word
+    # through the unigram floor and an empty doc would claim
+    # n_bigrams = 1 ("<s>" -> "") instead of the documented 0
+    return F.filter(
+        F.split(
+            F.concat(
+                F.lit("<s> "),
+                F.regexp_replace(F.lower(F.col(text_col)), WS, " "),
+            ),
+            " ",
+        ),
+        lambda x: x != F.lit(""),
     )
 
 
@@ -206,7 +216,11 @@ def train_word_lm(
         "unigram": unigram,
         "lam": float(lam),
         "floor": 1.0 / t_plus_v,
-        "bounded": max_vocab is not None and max_bigrams is not None,
+        # per-table: capping only the bigram table (the realistic
+        # config — it is the one that grows without bound) must still
+        # earn the bigram join its broadcast hint
+        "bounded_unigram": max_vocab is not None,
+        "bounded_bigram": max_bigrams is not None,
     }
 
 
@@ -224,17 +238,24 @@ def word_lm_score(
     tables) → per-doc partial-agg average.  Total: NULL/empty docs keep
     their row with ``n_bigrams = 0`` and NULL score."""
     lam, floor = model["lam"], model["floor"]
-    # force-broadcast ONLY when training bounded the tables; an
-    # uncapped model may exceed the broadcast ceiling, so let the
-    # optimizer choose (it still broadcasts if the stats say it fits)
-    hint = F.broadcast if model.get("bounded", False) else (lambda d: d)
+
+    # force-broadcast only the tables training actually bounded; an
+    # uncapped table may exceed the broadcast ceiling, so it is left to
+    # the optimizer (which still broadcasts when the stats say it fits)
+    def hint_if(bounded_key: str):
+        # legacy "bounded" models (both-or-neither) stay supported
+        bounded = model.get(bounded_key, model.get("bounded", False))
+        return F.broadcast if bounded else (lambda d: d)
+
+    hint_big = hint_if("bounded_bigram")
+    hint_uni = hint_if("bounded_unigram")
     grams = docs.select(
         F.col(id_col), F.explode(_word_bigrams(text_col)).alias("bg")
     ).withColumn("w2", F.split(F.col("bg"), " ").getItem(1))
     scored = (
-        grams.join(hint(model["bigram"]), "bg", "left")
+        grams.join(hint_big(model["bigram"]), "bg", "left")
         .join(
-            hint(model["unigram"]),
+            hint_uni(model["unigram"]),
             grams["w2"] == model["unigram"]["w"],
             "left",
         )

@@ -29,19 +29,25 @@ def _assign_seq_ids(
     seq_len: int,
     strata_col: str,
     extra_cols: list[str] | None = None,
+    tiebreak: Column | None = None,
 ) -> DataFrame:
     """The shared prefix-sum assignment: each doc joins the sequence
     where its first token lands (per-shard window cumsum).
 
-    The window orders by ``(id_col, token_count)`` — the token count is
-    a pure tiebreak so that even a corpus with duplicate ids produces one
-    engine-independent running sum (ROWS frames over equal order keys are
-    otherwise nondeterministic in both Spark and DuckDB).
+    The window orders by ``(id_col, token_count)`` — the token count
+    tiebreak makes the running SUM engine-independent even with
+    duplicate ids (rows tying on both keys are interchangeable for
+    every cumulative sum).  Sequence MEMBERSHIP of such tied rows is
+    still arbitrary; callers that materialize per-sequence content
+    (not just sums) pass a content-derived ``tiebreak`` column to pin
+    it — the gate aggregates deliberately do not, keeping the oracle
+    window two-key.
     """
     toks = token_count.cast("long")
+    order = [F.col(id_col), toks] + ([tiebreak] if tiebreak is not None else [])
     w = (
         Window.partitionBy(strata_col)
-        .orderBy(F.col(id_col), toks)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.select(
@@ -154,10 +160,14 @@ def write_packed_corpus(
     documents (in ``id_col`` order) into one training-example text row
     and write parquet partitioned by the shard column.
 
-    Same prefix-sum assignment as :func:`pack_sequences`; the
-    concatenation is ``array_sort(collect_list(struct(id, text)))`` so
-    order is deterministic inside the one per-shard shuffle.  Returns
-    the written DataFrame (source, seq_id, n_docs, n_tokens, text).
+    Same prefix-sum assignment as :func:`pack_sequences`, plus an
+    md5(text) window tiebreak: rows tying on (id, token_count) with
+    DIFFERENT text are interchangeable for the gate's sums but not for
+    the materialized text, so membership is pinned by content here;
+    the concatenation is ``array_sort(collect_list(struct(id, text)))``
+    so in-sequence order is deterministic inside the one per-shard
+    shuffle.  Returns the written DataFrame (source, seq_id, n_docs,
+    n_tokens, text).
     """
     assigned = _assign_seq_ids(
         df,
@@ -166,6 +176,7 @@ def write_packed_corpus(
         seq_len,
         strata_col,
         extra_cols=[text_col],
+        tiebreak=F.md5(F.col(text_col).cast("string")),
     )
     packed = (
         assigned.groupBy(strata_col, "seq_id")

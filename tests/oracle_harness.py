@@ -43,7 +43,11 @@ def canonical_hash(df: pd.DataFrame) -> str:
 
     d = _normalize(df)
     cells = []
-    for _, row in d.iterrows():
+    # itertuples, NOT iterrows: iterrows materializes each row as a
+    # Series, upcasting mixed numeric rows to float64 — an int id next
+    # to a float score would render as '522.0' and defeat the hash's
+    # whole purpose of catching textual int/float forks
+    for row in d.itertuples(index=False, name=None):
         parts = []
         for v in row:
             if v is None or (isinstance(v, float) and np.isnan(v)):
@@ -67,8 +71,13 @@ def canonical_hash(df: pd.DataFrame) -> str:
 
 
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "") -> None:
-    got = spark_df.toPandas()
-    want = con.execute(sql).df()
+    compare_frames(spark_df.toPandas(), con.execute(sql).df(), name)
+
+
+def compare_frames(got: pd.DataFrame, want: pd.DataFrame, name: str = "") -> None:
+    """compare() over already-materialized frames — callers that also
+    hash the results pass the SAME execution's frames here, instead of
+    re-running the query and validating a different execution."""
     assert len(got) == len(want), f"{name}: row count {len(got)} != {len(want)}"
     assert sorted(got.columns) == sorted(want.columns), (
         f"{name}: columns {sorted(got.columns)} != {sorted(want.columns)}"

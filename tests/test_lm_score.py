@@ -97,6 +97,26 @@ def test_word_lm_matches_python_reference(spark):
     assert got[3]["n_bigrams"] == 0 and got[3]["avg_logp"] is None
 
 
+def test_word_lm_empty_and_padded_docs(spark):
+    """Empty / all-whitespace docs keep their row with n_bigrams = 0
+    and NULL score (the documented total contract), and surrounding
+    whitespace cannot mint phantom empty-token bigrams."""
+    from lsd2_spark.operators.lm_score import train_word_lm, word_lm_score
+
+    corpus = spark.createDataFrame([("the cat sat",)], "text string")
+    model = train_word_lm(corpus, "text")
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, " \t\n "), (4, "  the cat  "), (5, "the cat")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in word_lm_score(docs, model, "text", "doc_id").collect()}
+    for did in (1, 2, 3):
+        assert out[did]["n_bigrams"] == 0 and out[did]["avg_logp"] is None, out[did]
+    # padding is invisible: same bigrams, same score as the clean doc
+    assert out[4]["n_bigrams"] == 2 and out[5]["n_bigrams"] == 2
+    assert out[4]["avg_logp"] == out[5]["avg_logp"]
+
+
 def test_word_lm_separates_reference_from_shuffled(spark):
     """In-domain word order scores above the same words shuffled —
     the signal the char model cannot see."""
@@ -140,7 +160,17 @@ def test_word_lm_caps_bound_tables_and_back_off(spark):
     assert capped["bigram"].count() == 2
     assert capped["unigram"].count() == 2
     full = train_word_lm(corpus, "text", max_vocab=None, max_bigrams=None)
-    assert "bounded" in capped and capped["bounded"] and not full["bounded"]
+    assert capped["bounded_unigram"] and capped["bounded_bigram"]
+    assert not full["bounded_unigram"] and not full["bounded_bigram"]
+    # capping only ONE table still earns THAT table its broadcast hint
+    half = train_word_lm(corpus, "text", max_vocab=None, max_bigrams=2)
+    assert half["bounded_bigram"] and not half["bounded_unigram"]
+    docs_h = spark.createDataFrame([(1, "the cat sat")], "doc_id long, text string")
+    from lsd2_spark.operators.lm_score import word_lm_score as _wls
+
+    plan = _wls(docs_h, half, "text", "doc_id")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
 
     docs = spark.createDataFrame([(1, "the cat sat"), (2, "zz qq")], "doc_id long, text string")
     out_c = {r["doc_id"]: r for r in word_lm_score(docs, capped, "text", "doc_id").collect()}

@@ -31,8 +31,7 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entry
-    from tests.oracle_harness import canonical_hash, compare
-    from lsd2_spark.queries import TABLES
+    from tests.oracle_harness import canonical_hash, compare_frames, duck_connection
 
     spark = (
         SparkSession.builder.master("local[32]")
@@ -41,11 +40,7 @@ def main() -> None:
         .appName("correctness-local")
         .getOrCreate()
     )
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    con = duck_connection(sf_dir)
 
     qs, osql = entry.queries(), entry.oracle_sql()
     report: dict = {
@@ -66,7 +61,10 @@ def main() -> None:
                 want = con.execute(osql[name]).df()
                 row["oracle_rows"] = len(want)
                 row["oracle_hash"] = canonical_hash(want)
-                compare(fn(spark, sf_dir), con, osql[name], name)
+                # compare the SAME executions the hashes came from —
+                # re-running fn/sql would validate a different result
+                # (and double the battery's wall time)
+                compare_frames(got, want, name)
                 row["match"] = row["spark_hash"] == row["oracle_hash"]
             else:
                 row["match"] = None  # rows-only query
