@@ -461,6 +461,12 @@ def main() -> None:
         gopher_quality_flags(docs, "text", "doc_id").count()
         extras["gopher_rules"] = round(time.perf_counter() - t0, 3)
 
+        from lsd2_spark.operators.text_normalize import clean_text
+
+        t0 = time.perf_counter()
+        clean_text(docs.select("doc_id", "text"), "text").count()
+        extras["clean_text"] = round(time.perf_counter() - t0, 3)
+
         from lsd2_spark.operators.decontam import fuzzy_decontaminate
 
         t0 = time.perf_counter()
