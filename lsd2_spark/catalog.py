@@ -1445,6 +1445,106 @@ class Catalog:
             pass
         return Catalog(spark, self.path, new_meta)
 
+    def _multifile_cells(
+        self, root: str, max_files: int
+    ) -> list[tuple[int, int]]:
+        """Driver-side census of cell dirs holding more than
+        ``max_files`` parquet files (one entry per CELL, so the walk is
+        plan-sized in the same sense as the coverage map; a deployment
+        past local filesystems would read the ``_metadata`` sidecar or
+        the object-store listing instead of os.listdir)."""
+        out = []
+        base = os.path.join(self.path, root)
+        if not os.path.isdir(base):
+            return out
+        for od in os.listdir(base):
+            if not od.startswith("Norder="):
+                continue
+            o = int(od.split("=", 1)[1])
+            for dd in os.listdir(os.path.join(base, od)):
+                if not dd.startswith("Dir="):
+                    continue
+                for pd_ in os.listdir(os.path.join(base, od, dd)):
+                    if not pd_.startswith("Npix="):
+                        continue
+                    cell = os.path.join(base, od, dd, pd_)
+                    n = sum(
+                        1 for f in os.listdir(cell) if f.endswith(".parquet")
+                    )
+                    if n > max_files:
+                        out.append((o, int(pd_.split("=", 1)[1])))
+        return sorted(out)
+
+    def compact(self, max_files: int = 1) -> "Catalog":
+        """Merge the small files incremental ingest leaves behind.  The
+        engine's own cell rewrites are one-file-per-cell (the rank
+        kernel's per-cell shuffle guarantees it), but the ``neighbor/``
+        halo table APPENDS one file per batch to every halo cell it
+        touches (catalog.py halo append: ``mode("append")``) — under
+        streaming ingest that grows without bound, and at 100 TB
+        per-cell file count is what governs open/seek cost for every
+        margin-union read.  The main table is covered too, for cells
+        fragmented by external bulk loaders writing the hive layout
+        directly.
+
+        Only cells (catalog AND neighbor halos) holding more than
+        ``max_files`` parquet files are read — partition-pruned, the
+        rest of the catalog is never opened — re-sorted by ``_ID``
+        (the storage-order contract), coalesced to one file per cell
+        by a single shuffle on the partition key, and rewritten with
+        dynamic partition overwrite.
+
+        Unlike delete/rebalance, compact needs NO write-ahead marker:
+        the rewrite is content-identical (same rows, same ``_ID``,
+        same metadata — ``n_sources`` and the coverage map do not
+        change), so a crash at any point leaves every cell holding
+        either its old files or its new ones, both correct, and the
+        next compact converges the remainder.  Idempotent: a second
+        call is a no-op.
+
+        Like the other lifecycle ops it converges a crashed
+        delete/rebalance first, and is not snapshot-isolated for
+        concurrent readers (re-resolve handles afterwards)."""
+        if max_files < 1:
+            raise ValueError(f"max_files must be >= 1, got {max_files}")
+        if os.path.exists(self._rebalance_intent_path()):
+            return self._reconcile_rebalance_intent().compact(max_files)
+        if os.path.exists(self._delete_intent_path()):
+            return self._reconcile_delete_intent().compact(max_files)
+        spark = self.spark
+        for root, df in (("catalog", self.df()), ("neighbor", self.margin_df())):
+            cells = self._multifile_cells(root, max_files)
+            if not cells or df is None:
+                continue
+            # predicate over partition columns only -> file-level prune
+            cell_key = F.col("Norder").cast("long") * F.lit(1 << 40) + F.col(
+                "Npix"
+            ).cast("long")
+            pred = cell_key.isin([(o << 40) + p for o, p in cells])
+            sort_cols = ["Norder", "Dir", "Npix"] + (
+                ["_ID"] if "_ID" in df.columns else []
+            )
+            part = (
+                df.filter(pred)
+                .repartition("Norder", "Dir", "Npix")
+                .sortWithinPartitions(*sort_cols)
+            )
+            prev_mode = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                (
+                    part.write.mode("overwrite")
+                    .partitionBy("Norder", "Dir", "Npix")
+                    .parquet(f"{self.path}/{root}")
+                )
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev_mode
+                )
+        return Catalog(spark, self.path, self.meta)
+
     def fsck(self, repair: bool = False) -> dict:
         """Consistency check between the metadata commit record and the
         bytes on disk — the audit to run after a crash, a partial

@@ -99,7 +99,7 @@ def test_randomized_lifecycle_interleaving(spark, tmp_path):
                     assert (p2 >> (2 * (o2 - o1))) != p1
 
     ops = [
-        "append", "append", "delete", "rebalance",
+        "append", "append", "delete", "rebalance", "compact",
         "append_crash", "delete_crash", "rebalance_crash", "fsck",
     ]
     torn = False
@@ -174,6 +174,11 @@ def test_randomized_lifecycle_interleaving(spark, tmp_path):
             else:
                 cat = cat.rebalance(threshold=600)
                 torn = False
+
+        elif op == "compact":
+            # content-identical by contract: the oracle doesn't move
+            cat = cat.compact()
+            torn = False
 
         elif op == "fsck":
             cat.fsck(repair=True)
