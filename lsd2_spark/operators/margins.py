@@ -169,6 +169,16 @@ def margin_rows(
     Column expression (``zip_with`` + ``array_min``) over the per-entry
     local samples riding the same broadcast table — no extra join, no
     shuffle."""
+    clash = {"Norder", "Npix", "ring_pix"} & set(df.columns)
+    if clash:
+        # the owner-partition columns this emits would be shadowed by
+        # (or ambiguous with) same-named input columns — e.g. a catalog
+        # frame's native partition columns — producing silently wrong
+        # halo assignments; make the caller drop them first
+        raise ValueError(
+            f"margin_rows input must not carry {sorted(clash)} — drop the "
+            "catalog partition columns and pass the bare source frame"
+        )
     spark = df.sparkSession
     entries = margin_candidate_entries(cat.meta.hips, cat.meta.margin_threshold)
     if not entries:

@@ -1,0 +1,164 @@
+"""Web-corpus text sources: WARC/WET record scan and JSONL corpora.
+
+Common Crawl publishes the extracted-text form of every crawl as WET
+files — concatenated WARC records where each record is a small
+``key: value`` header block, a blank line, and the plain-text payload.
+They are the canonical raw input of the public LLM-pretraining
+pipelines (C4, CCNet, RefinedWeb, Dolma all start from WET/WARC), so a
+training-data engine needs a first-class scan for them.  (The
+reference engine has no web-text source — its scans stop at
+CSV/parquet/FITS, hipscat/dask_utils.py:43-61; this module is part of
+the training-pipeline extension surface.)
+
+Spark-first design — the whole parse is JVM-side:
+
+- ``spark.read.text(..., lineSep="WARC/1.0")`` splits each file into
+  one row per record at the record sentinel.  No custom InputFormat,
+  no Python in the scan path; ``.wet.gz`` decompresses through the
+  Hadoop codec exactly like ``.csv.gz`` (one task per gz member — at
+  100 TB the parallelism is the ~64k files of a monthly crawl, the
+  same sharding the public pipelines use).
+- Header fields are pulled with ``regexp_extract`` Column expressions
+  (whole-stage codegen), never a row-at-a-time UDF.
+- The text payload is everything after the first blank line, found
+  with ``instr`` + ``substring`` on the JVM.
+
+``read_wet`` returns one row per *conversion* record (the text
+records; ``warcinfo`` preamble records are dropped) with the columns
+a downstream pipeline keys on: ``url``, ``ts`` (capture time),
+``record_id``, ``content_length`` (the header's byte claim) and
+``text``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: record split sentinel: the version line of the NEXT record together
+#: with the CRLF that closes the current record's content block (WARC
+#: records are framed ``content CRLF CRLF`` before the next version
+#: line).  Anchoring on the surrounding CRLFs means a payload that
+#: merely *contains* the substring ``WARC/1.0`` (a page quoting the
+#: spec) does not split a record unless it reproduces the full
+#: blank-line + version-line framing — the same ambiguity any
+#: non-Content-Length parser has, vanishingly rare in extracted text.
+WARC_SENTINEL = "\r\nWARC/1.0\r\n"
+
+# header values run to end-of-line; WET headers are \r\n-terminated but
+# tolerate bare-\n writers (some mirrors re-terminate).  NOTE [ \t] not
+# \s after the colon: Java-regex-only surface, but keep the portable
+# discipline used everywhere else in the repo.
+_HDR = "(?m)^{name}:[ \\t]*([^\\r\\n]+)"
+
+
+def _header(col, name: str):
+    return F.regexp_extract(col, _HDR.format(name=name), 1)
+
+
+def read_wet(
+    spark: SparkSession,
+    path: str,
+    min_length: int = 0,
+    record_sep: str = WARC_SENTINEL,
+) -> DataFrame:
+    """Scan WET (WARC extracted-text) files into a documents frame.
+
+    One output row per ``WARC-Type: conversion`` record::
+
+        url string, ts string, record_id string,
+        content_length long, text string
+
+    ``min_length`` drops records whose payload is shorter (after the
+    trailing record-separator blank lines are stripped) — the standard
+    first gate of every CC pipeline.
+
+    The scan is a native text scan split on the record sentinel; all
+    field extraction is Column expressions, so Catalyst prunes and
+    pushes as usual and nothing leaves the JVM.  ``record_sep`` is the
+    spec-mandated CRLF framing; a mirror that rewrote the files to
+    bare-LF line endings needs ``record_sep="\\nWARC/1.0\\n"``.
+    """
+    raw = spark.read.text(path, lineSep=record_sep)
+    # each row: "\r\nWARC-Type: ...\r\n...\r\n\r\n<payload>\r\n\r\n"
+    # (the sentinel itself is consumed by the split); the chunk before
+    # the first sentinel is the file preamble -> filtered by type below
+    rec = raw.select(F.col("value").alias("_rec"))
+    # header block = up to the first blank line; payload = after it
+    sep_rn = F.instr(F.col("_rec"), "\r\n\r\n")
+    sep_n = F.instr(F.col("_rec"), "\n\n")
+    # whichever blank-line form appears first (0 = absent)
+    use_rn = (sep_rn > 0) & ((sep_n == 0) | (sep_rn <= sep_n))
+    sep_pos = F.when(use_rn, sep_rn).otherwise(sep_n)
+    sep_len = F.when(use_rn, F.lit(4)).otherwise(F.lit(2))
+    hdr = F.when(sep_pos > 0, F.substring(F.col("_rec"), 1, sep_pos - 1)).otherwise(
+        F.col("_rec")
+    )
+    body = F.when(
+        sep_pos > 0,
+        F.expr("substring(_rec, sep_pos + sep_len)"),
+    ).otherwise(F.lit(""))
+    out = (
+        rec.withColumn("sep_pos", sep_pos.cast("int"))
+        .withColumn("sep_len", sep_len.cast("int"))
+        .select(
+            _header(hdr, "WARC-Target-URI").alias("url"),
+            _header(hdr, "WARC-Date").alias("ts"),
+            _header(hdr, "WARC-Record-ID").alias("record_id"),
+            _header(hdr, "Content-Length").cast("long").alias("content_length"),
+            _header(hdr, "WARC-Type").alias("_type"),
+            # records are separated by \r\n\r\n which the NEXT record's
+            # sentinel split leaves at the tail of THIS payload
+            F.regexp_replace(body, "[\\r\\n]+$", "").alias("text"),
+        )
+        .filter(F.col("_type") == "conversion")
+        .drop("_type")
+    )
+    if min_length > 0:
+        out = out.filter(F.length("text") >= min_length)
+    return out
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    text_col: str = "text",
+    require_text: bool = True,
+) -> DataFrame:
+    """Scan JSONL corpora (the interchange format of the public
+    LLM-data releases — Dolma, RedPajama, FineWeb all ship
+    ``*.jsonl.gz``).
+
+    Thin, convention-pinning wrapper over the native JSON source:
+
+    - ``schema`` (DDL string) pins the shape so a 100 TB scan never
+      pays the sample-the-world inference pass and never drifts when
+      one shard adds a field; unset, inference is left to Spark
+      (fine for exploration, logged cost at scale).
+    - malformed lines land in ``_corrupt_json`` instead of killing the
+      job (PERMISSIVE), so one torn shard of a million-file corpus
+      costs rows, not the run;
+    - ``require_text=True`` drops rows whose ``text_col`` is NULL —
+      including the corrupt-line rows — which is what every consumer
+      in :mod:`lsd2_spark.operators` assumes.
+    """
+    reader = spark.read.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_json"
+    )
+    if schema is not None:
+        sch = schema if "_corrupt_json" in schema else schema + ", _corrupt_json string"
+        reader = reader.schema(sch)
+    df = reader.json(path)
+    if require_text and text_col in df.columns:
+        df = df.filter(F.col(text_col).isNotNull())
+    return df
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str = "gzip") -> None:
+    """Write a corpus frame as ``*.jsonl(.gz)`` shards — one JSON
+    object per line, the shape every external tokenizer/trainer
+    ingests.  Shard count = the frame's partitioning; repartition
+    upstream to pick shard size (CC-scale convention: ~150-300 MB
+    compressed per shard)."""
+    df.write.mode("overwrite").option("compression", compression).json(path)

@@ -201,6 +201,8 @@ def stream_into_catalog(
     catalog,
     auto_rebalance: bool = False,
     rebalance_every: int = 10,
+    auto_compact: bool = False,
+    compact_every: int = 20,
 ) -> "StreamingCatalogWriter":
     """Incremental catalog ingest: each micro-batch appends to an
     existing :class:`~lsd2_spark.catalog.Catalog` via ``foreachBatch`` →
@@ -217,6 +219,14 @@ def stream_into_catalog(
     attempt (append's own replay marker is unaffected — rebalance never
     changes ``n_sources``).
 
+    ``auto_compact=True`` runs ``Catalog.compact()`` after every
+    ``compact_every``-th applied batch: each applied batch APPENDS one
+    file per touched halo cell to ``neighbor/`` (the main table's
+    per-cell rewrite does not fragment), so an unbounded stream
+    otherwise degrades every margin-union read.  compact is
+    content-identical and markerless, so it composes with the append
+    replay marker and a crash mid-compact is harmless.
+
     ``stream_df`` must carry the catalog's ra/dec/id columns.  Batches
     are applied serially by Structured Streaming, so metadata updates
     never race.
@@ -224,6 +234,7 @@ def stream_into_catalog(
     return StreamingCatalogWriter(
         stream_df, catalog, auto_rebalance=auto_rebalance,
         rebalance_every=rebalance_every,
+        auto_compact=auto_compact, compact_every=compact_every,
     )
 
 
@@ -234,11 +245,15 @@ class StreamingCatalogWriter:
         catalog,
         auto_rebalance: bool = False,
         rebalance_every: int = 10,
+        auto_compact: bool = False,
+        compact_every: int = 20,
     ) -> None:
         self._stream_df = stream_df
         self.catalog = catalog
         self._auto_rebalance = auto_rebalance
         self._rebalance_every = max(1, int(rebalance_every))
+        self._auto_compact = auto_compact
+        self._compact_every = max(1, int(compact_every))
         self._applied = 0
 
     def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -251,6 +266,8 @@ class StreamingCatalogWriter:
         self._applied += 1
         if self._auto_rebalance and self._applied % self._rebalance_every == 0:
             self.catalog = self.catalog.rebalance()
+        if self._auto_compact and self._applied % self._compact_every == 0:
+            self.catalog = self.catalog.compact()
 
     def start(self, checkpoint_dir: str):
         return (

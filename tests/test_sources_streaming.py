@@ -892,3 +892,83 @@ def test_streaming_auto_rebalance_keeps_density_contract(spark, tmp_path):
     }
     assert all(c <= 400 for c in cells.values()), cells
     assert final.fsck()["consistent"]
+
+
+def test_streaming_auto_compact_bounds_halo_files(spark, tmp_path):
+    """Streaming ingest appends one file per batch to every touched
+    halo cell; with auto_compact the final neighbor/ table is back to
+    one file per cell, with the halo row set and catalog untouched."""
+    import glob
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from lsd2_spark.catalog import partition_catalog
+    from lsd2_spark.streaming import events as sev
+
+    rng = np.random.default_rng(23)
+
+    def batch_pdf(n, offset):
+        return pd.DataFrame(
+            {
+                "sid": np.arange(offset, offset + n, dtype=np.int64),
+                "ra": rng.uniform(0, 360, n),
+                "dec": np.degrees(np.arcsin(rng.uniform(-1, 1, n))),
+            }
+        )
+
+    cat = partition_catalog(
+        spark.createDataFrame(batch_pdf(300, 0)),
+        str(tmp_path / "cat"), "ccat",
+        ra_col="ra", dec_col="dec", id_col="sid",
+        threshold=100_000, order_k=1, write_margins=True,
+    )
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    n_batches, per_batch = 2, 150
+    for b in range(n_batches):
+        spark.createDataFrame(
+            batch_pdf(per_batch, 1000 + b * per_batch)
+        ).write.parquet(str(inbox / f"b{b}"))
+
+    stream = (
+        spark.readStream.schema("sid long, ra double, dec double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{inbox}/*")
+    )
+    # compact on the LAST batch so fragmentation accumulates first
+    writer = sev.stream_into_catalog(
+        stream, cat, auto_compact=True, compact_every=n_batches
+    )
+    writer.run_available(str(tmp_path / "ckpt"))
+    final = writer.catalog
+
+    per_cell: dict = {}
+    for f in glob.glob(
+        f"{final.path}/neighbor/Norder=*/Dir=*/Npix=*/*.parquet"
+    ):
+        per_cell[os.path.dirname(f)] = per_cell.get(os.path.dirname(f), 0) + 1
+    assert per_cell and all(v == 1 for v in per_cell.values()), per_cell
+    assert final.meta.n_sources == 300 + n_batches * per_batch
+    assert final.fsck()["consistent"]
+    # halo contract after compaction: still a superset of the
+    # from-scratch margin rebuild (the engine's documented guarantee)
+    from lsd2_spark.operators.margins import margin_rows
+
+    # margin_rows expects a SOURCE frame: the owner-partition columns it
+    # emits would be shadowed by the catalog's native partition columns
+    src = final.df().drop("Norder", "Dir", "Npix", "_ID")
+    want = {
+        (r["sid"], r["Norder"], r["Npix"])
+        for r in margin_rows(
+            src, final, ra_col="ra", dec_col="dec"
+        ).collect()
+    }
+    got = {
+        (r["sid"], r["Norder"], r["Npix"])
+        for r in final.margin_df()
+        .select("sid", "Norder", "Npix")
+        .collect()
+    }
+    assert want <= got, want - got
