@@ -461,6 +461,12 @@ def main() -> None:
         gopher_quality_flags(docs, "text", "doc_id").count()
         extras["gopher_rules"] = round(time.perf_counter() - t0, 3)
 
+        from lsd2_spark.operators.code_rules import starcoder_code_flags
+
+        t0 = time.perf_counter()
+        starcoder_code_flags(docs, "text", "doc_id").count()
+        extras["code_rules"] = round(time.perf_counter() - t0, 3)
+
         from lsd2_spark.operators.text_normalize import clean_text
 
         t0 = time.perf_counter()
