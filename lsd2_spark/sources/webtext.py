@@ -119,6 +119,86 @@ def read_wet(
     return out
 
 
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    record_sep: str = WARC_SENTINEL,
+    content_type_filter: str | None = "text/html",
+) -> DataFrame:
+    """Scan full WARC crawl files (``WARC-Type: response`` records —
+    the raw-HTML form of Common Crawl, one step upstream of WET).
+
+    A response record's payload is itself an HTTP message: status
+    line, response headers, blank line, body.  Both splits (WARC
+    header / payload, then HTTP header / body) are native ``instr`` +
+    ``substring``; the HTTP status and Content-Type come from
+    ``regexp_extract``.  Output::
+
+        url string, ts string, record_id string, http_status int,
+        content_type string, body string
+
+    ``content_type_filter`` keeps only responses whose Content-Type
+    contains the substring (default ``text/html`` — the pretraining
+    path); pass ``None`` to keep everything.  Non-text payloads
+    (images served as text/html, torn truncations) simply come out as
+    mojibake strings for the downstream quality gates to drop —
+    binary-exact handling belongs to the media path, not the text
+    path.
+
+    Feed the result through
+    :func:`lsd2_spark.operators.html_text.html_to_text` to get the
+    documents-table shape.
+    """
+    raw = spark.read.text(path, lineSep=record_sep)
+    rec = raw.select(F.col("value").alias("_rec"))
+    # WARC header | HTTP payload
+    wsep = F.instr(F.col("_rec"), "\r\n\r\n")
+    hdr = F.when(wsep > 0, F.substring(F.col("_rec"), 1, wsep - 1)).otherwise(
+        F.col("_rec")
+    )
+    payload = F.when(wsep > 0, F.expr("substring(_rec, wsep + 4)")).otherwise(
+        F.lit("")
+    )
+    out = (
+        rec.withColumn("wsep", wsep.cast("int"))
+        .select(
+            _header(hdr, "WARC-Target-URI").alias("url"),
+            _header(hdr, "WARC-Date").alias("ts"),
+            _header(hdr, "WARC-Record-ID").alias("record_id"),
+            _header(hdr, "WARC-Type").alias("_type"),
+            payload.alias("_http"),
+        )
+        .filter(F.col("_type") == "response")
+        .drop("_type")
+    )
+    # HTTP header block | body
+    hsep = F.instr(F.col("_http"), "\r\n\r\n")
+    http_hdr = F.when(hsep > 0, F.substring(F.col("_http"), 1, hsep - 1)).otherwise(
+        F.col("_http")
+    )
+    body = F.when(hsep > 0, F.expr("substring(_http, hsep + 4)")).otherwise(
+        F.lit("")
+    )
+    out = (
+        out.withColumn("hsep", hsep.cast("int"))
+        .select(
+            "url",
+            "ts",
+            "record_id",
+            F.regexp_extract(http_hdr, r"^HTTP/[0-9.]+ ([0-9]{3})", 1)
+            .cast("int")
+            .alias("http_status"),
+            F.regexp_extract(
+                http_hdr, "(?mi)^Content-Type:[ \\t]*([^\\r\\n]+)", 1
+            ).alias("content_type"),
+            F.regexp_replace(body, "[\\r\\n]+$", "").alias("body"),
+        )
+    )
+    if content_type_filter is not None:
+        out = out.filter(F.col("content_type").contains(content_type_filter))
+    return out
+
+
 def read_jsonl(
     spark: SparkSession,
     path: str,

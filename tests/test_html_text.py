@@ -1,0 +1,163 @@
+"""read_warc (sources/webtext.py) and html_to_text (operators/html_text.py).
+
+A synthetic spec-conformant WARC response file (HTTP headers inside the
+payload, one non-HTML response, one request record) drives the full
+raw-crawl path: read_warc → html_to_text → token_stats.  The extractor
+is probed on the structures that break naive strippers: script/style
+contents, comments, entity round-trips (&amp;lt; must NOT become <),
+block-boundary newlines, attribute values containing '>', null/empty.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lsd2_spark.operators.html_text import html_to_text, html_text_column
+from lsd2_spark.sources.webtext import read_warc
+
+CRLF = "\r\n"
+
+
+def _response(url: str, ctype: str, body: str, status: int = 200) -> str:
+    http = (
+        f"HTTP/1.1 {status} OK" + CRLF
+        + f"Content-Type: {ctype}" + CRLF
+        + f"Content-Length: {len(body)}" + CRLF + CRLF
+        + body
+    )
+    head = CRLF.join(
+        [
+            "WARC-Type: response",
+            f"WARC-Target-URI: {url}",
+            "WARC-Date: 2026-08-01T00:00:00Z",
+            f"WARC-Record-ID: <urn:uuid:{url[-1]}>",
+            f"Content-Length: {len(http)}",
+        ]
+    )
+    return "WARC/1.0" + CRLF + head + CRLF + CRLF + http + CRLF + CRLF
+
+
+REQUEST_REC = (
+    "WARC/1.0" + CRLF
+    + "WARC-Type: request" + CRLF
+    + "WARC-Target-URI: https://x.com/a" + CRLF
+    + "Content-Length: 20" + CRLF + CRLF
+    + "GET /a HTTP/1.1" + CRLF + CRLF
+)
+
+HTML_A = "<html><head><title>T</title></head><body><p>Hello crawl.</p></body></html>"
+HTML_B = "<html><body><p>Second &amp; page.</p></body></html>"
+
+
+def _warc_file(tmp_path):
+    p = tmp_path / "f.warc"
+    p.write_bytes(
+        (
+            _response("https://x.com/a", "text/html; charset=utf-8", HTML_A)
+            + REQUEST_REC
+            + _response("https://x.com/img", "image/png", "PNGBYTES")
+            + _response("https://x.com/b", "text/html", HTML_B, status=301)
+        ).encode()
+    )
+    return str(p)
+
+
+def test_read_warc_http_split_and_filter(spark, tmp_path):
+    rows = {r["url"]: r for r in read_warc(spark, _warc_file(tmp_path)).collect()}
+    # request + image records filtered; both html responses kept
+    assert set(rows) == {"https://x.com/a", "https://x.com/b"}
+    a = rows["https://x.com/a"]
+    assert a["http_status"] == 200
+    assert a["content_type"].startswith("text/html")
+    assert a["body"] == HTML_A
+    assert rows["https://x.com/b"]["http_status"] == 301
+
+
+def test_read_warc_no_filter(spark, tmp_path):
+    rows = read_warc(
+        spark, _warc_file(tmp_path), content_type_filter=None
+    ).collect()
+    assert {r["url"] for r in rows} == {
+        "https://x.com/a",
+        "https://x.com/img",
+        "https://x.com/b",
+    }
+
+
+def _extract(spark, html):
+    df = spark.createDataFrame([("d", html)], "doc_id string, html string")
+    return html_to_text(df, "html").collect()[0]["text"]
+
+
+def test_extractor_structures(spark):
+    page = (
+        "<!DOCTYPE html><html><head>"
+        "<title>My Title</title>"
+        "<style>body { color: red; }</style>"
+        "<script>var hidden = 'SCRIPTTEXT';</script>"
+        "</head><body>"
+        "<!-- COMMENTTEXT -->"
+        "<h1>Heading</h1>"
+        "<p>Para one with <a href='/x?a=1&amp;b=2'>a link</a>.</p>"
+        "<p>Entities: &lt;tag&gt; &quot;q&quot; &apos;a&apos; &amp;lt; 3&nbsp;4</p>"
+        '<img alt="5 > 4" src="i.png">'
+        "<ul><li>one</li><li>two</li></ul>"
+        "</body></html>"
+    )
+    text = _extract(spark, page)
+    assert "SCRIPTTEXT" not in text and "COMMENTTEXT" not in text
+    assert "color: red" not in text
+    assert "My Title" in text and "Heading" in text
+    assert "Para one with a link ." in text or "Para one with a link." in text.replace(
+        " .", "."
+    )
+    # entity round-trips: displayed forms, and &amp;lt; -> literal "&lt;"
+    assert '<tag> "q" \'a\' &lt; 3 4' in text
+    # block closers became newlines: title/heading/paras/li on own lines
+    lines = text.split("\n")
+    assert "My Title" in lines and "Heading" in lines
+    assert "one" in lines and "two" in lines
+    assert "href" not in text and "i.png" not in text
+
+
+def test_extractor_null_empty_and_min_length(spark):
+    df = spark.createDataFrame(
+        [("n", None), ("e", ""), ("s", "<p>keep me here</p>")],
+        "doc_id string, html string",
+    )
+    out = {r["doc_id"]: r["text"] for r in html_to_text(df, "html").collect()}
+    assert out == {"n": "", "e": "", "s": "keep me here"}
+    kept = html_to_text(df, "html", min_length=5).collect()
+    assert [r["doc_id"] for r in kept] == ["s"]
+
+
+def test_extractor_plan_native(spark):
+    df = spark.createDataFrame([("d", "<p>x</p>")], "doc_id string, html string")
+    plan = (
+        html_to_text(df, "html")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan
+
+
+def test_warc_to_documents_pipeline(spark, tmp_path):
+    """The full raw-crawl path: read_warc → html_to_text → token_stats."""
+    from lsd2_spark.operators.text_analysis import token_stats
+
+    docs = html_to_text(
+        read_warc(spark, _warc_file(tmp_path)).select(
+            F.col("url").alias("doc_id"), "body"
+        ),
+        "body",
+    )
+    got = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert got["https://x.com/a"] == "T\nHello crawl."
+    assert got["https://x.com/b"] == "Second & page."
+    stats = {
+        r["doc_id"]: r["n_tokens"]
+        for r in token_stats(docs, "text", "doc_id").collect()
+    }
+    assert stats["https://x.com/b"] == 3
