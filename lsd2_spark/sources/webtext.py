@@ -78,9 +78,23 @@ def read_wet(
     pushes as usual and nothing leaves the JVM.  ``record_sep`` is the
     spec-mandated CRLF framing; a mirror that rewrote the files to
     bare-LF line endings needs ``record_sep="\\nWARC/1.0\\n"``.
+
+    The projection half is :func:`wet_records` — call it directly on
+    ``spark.readStream.option("lineSep", WARC_SENTINEL).text(inbox)``
+    for continuous crawl ingestion (pure projection, streams
+    unchanged; parity-tested).
     """
-    raw = spark.read.text(path, lineSep=record_sep)
-    # each row: "\r\nWARC-Type: ...\r\n...\r\n\r\n<payload>\r\n\r\n"
+    out = wet_records(spark.read.text(path, lineSep=record_sep))
+    if min_length > 0:
+        out = out.filter(F.length("text") >= min_length)
+    return out
+
+
+def wet_records(raw: DataFrame) -> DataFrame:
+    """The WET record projection over an already-split frame (one row
+    per record chunk in ``value``) — shared by the batch scan and any
+    ``readStream`` twin."""
+    # each row: "WARC-Type: ...\r\n...\r\n\r\n<payload>\r\n\r\n"
     # (the sentinel itself is consumed by the split); the chunk before
     # the first sentinel is the file preamble -> filtered by type below
     rec = raw.select(F.col("value").alias("_rec"))
@@ -114,8 +128,6 @@ def read_wet(
         .filter(F.col("_type") == "conversion")
         .drop("_type")
     )
-    if min_length > 0:
-        out = out.filter(F.length("text") >= min_length)
     return out
 
 
@@ -147,9 +159,20 @@ def read_warc(
 
     Feed the result through
     :func:`lsd2_spark.operators.html_text.html_to_text` to get the
-    documents-table shape.
+    documents-table shape.  The projection half is
+    :func:`warc_records` — call it on a ``readStream`` text source for
+    continuous crawl ingestion (pure projection, streams unchanged;
+    parity-tested).
     """
-    raw = spark.read.text(path, lineSep=record_sep)
+    out = warc_records(spark.read.text(path, lineSep=record_sep))
+    if content_type_filter is not None:
+        out = out.filter(F.col("content_type").contains(content_type_filter))
+    return out
+
+
+def warc_records(raw: DataFrame) -> DataFrame:
+    """The WARC response-record projection over an already-split frame
+    — shared by the batch scan and any ``readStream`` twin."""
     rec = raw.select(F.col("value").alias("_rec"))
     # WARC header | HTTP payload
     wsep = F.instr(F.col("_rec"), "\r\n\r\n")
@@ -194,8 +217,6 @@ def read_warc(
             F.regexp_replace(body, "[\\r\\n]+$", "").alias("body"),
         )
     )
-    if content_type_filter is not None:
-        out = out.filter(F.col("content_type").contains(content_type_filter))
     return out
 
 
