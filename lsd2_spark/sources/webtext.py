@@ -256,10 +256,55 @@ def read_jsonl(
     return df
 
 
-def write_jsonl(df: DataFrame, path: str, compression: str = "gzip") -> None:
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    compression: str = "gzip",
+    shard_key: str | None = None,
+    n_shards: int | None = None,
+    target_shard_bytes: int | None = None,
+    size_sample_frac: float = 0.01,
+) -> None:
     """Write a corpus frame as ``*.jsonl(.gz)`` shards — one JSON
     object per line, the shape every external tokenizer/trainer
-    ingests.  Shard count = the frame's partitioning; repartition
-    upstream to pick shard size (CC-scale convention: ~150-300 MB
-    compressed per shard)."""
+    ingests.
+
+    Sharding, in order of preference:
+
+    - ``shard_key`` + (``n_shards`` or ``target_shard_bytes``):
+      DETERMINISTIC shards — rows are hash-partitioned on the key
+      (murmur3 with Spark's fixed seed), so re-running the write on
+      the same input produces the same shard membership (reproducible
+      corpus builds; round-robin ``repartition(n)`` does not).
+      ``target_shard_bytes`` sizes ``n`` from a ``size_sample_frac``
+      sample of the serialized rows — one cheap sampled pass, never a
+      full pre-scan (CC-scale convention: ~150-300 MB compressed per
+      shard, so pass ~5x that uncompressed).
+    - neither: shard count = the frame's existing partitioning.
+    """
+    if shard_key is not None:
+        if n_shards is None:
+            if target_shard_bytes is None:
+                raise ValueError(
+                    "shard_key needs n_shards or target_shard_bytes"
+                )
+            est = (
+                df.sample(fraction=size_sample_frac, seed=7)
+                .select(
+                    F.sum(
+                        F.octet_length(F.to_json(F.struct(*df.columns)))
+                    ).alias("b"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()[0]
+            )
+            if not est["n"]:
+                n_shards = 1
+            else:
+                total = df.count()
+                per_row = est["b"] / est["n"]
+                n_shards = max(
+                    1, int(total * per_row / target_shard_bytes + 0.5)
+                )
+        df = df.repartition(int(n_shards), F.col(shard_key))
     df.write.mode("overwrite").option("compression", compression).json(path)

@@ -194,3 +194,53 @@ def test_wet_to_pipeline_composes(spark, tmp_path):
         for r in token_stats(docs, "text", "doc_id").collect()
     }
     assert stats["https://example.com/a"] == 4
+
+
+def test_write_jsonl_deterministic_shards(spark, tmp_path):
+    """shard_key sharding is reproducible: two writes of the same frame
+    put every doc in the same shard file index both times; and
+    target_shard_bytes picks a sensible shard count from a sample."""
+    import glob
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(f"d{i}", "text " * 20) for i in range(400)],
+        "doc_id string, text string",
+    )
+
+    def shard_map(path):
+        m = {}
+        files = sorted(glob.glob(f"{path}/part-*"))
+        for idx, f in enumerate(files):
+            import gzip
+
+            with gzip.open(f, "rt") as fh:
+                for line in fh:
+                    m[_json.loads(line)["doc_id"]] = idx
+        return len(files), m
+
+    write_jsonl(df, str(tmp_path / "a"), shard_key="doc_id", n_shards=8)
+    write_jsonl(df, str(tmp_path / "b"), shard_key="doc_id", n_shards=8)
+    na, ma = shard_map(tmp_path / "a")
+    nb, mb = shard_map(tmp_path / "b")
+    assert na == nb == 8
+    assert ma == mb  # same doc -> same shard index, both runs
+    assert len(ma) == 400
+
+    # size-targeted: ~400 rows x ~130 serialized bytes / 5000 target -> ~10 shards
+    write_jsonl(
+        df,
+        str(tmp_path / "c"),
+        shard_key="doc_id",
+        target_shard_bytes=5000,
+        size_sample_frac=0.5,
+    )
+    nc, mc = shard_map(tmp_path / "c")
+    assert len(mc) == 400
+    assert 5 <= nc <= 20, nc
+
+    # misuse fails fast
+    with pytest.raises(ValueError):
+        write_jsonl(df, str(tmp_path / "d"), shard_key="doc_id")
