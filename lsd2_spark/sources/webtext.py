@@ -12,8 +12,9 @@ the training-pipeline extension surface.)
 
 Spark-first design — the whole parse is JVM-side:
 
-- ``spark.read.text(..., lineSep="WARC/1.0")`` splits each file into
-  one row per record at the record sentinel.  No custom InputFormat,
+- ``spark.read.text(..., lineSep=WARC_SENTINEL)`` splits each file
+  into one row per record at the CRLF-anchored version-line sentinel.
+  No custom InputFormat,
   no Python in the scan path; ``.wet.gz`` decompresses through the
   Hadoop codec exactly like ``.csv.gz`` (one task per gz member — at
   100 TB the parallelism is the ~64k files of a monthly crawl, the
@@ -301,10 +302,11 @@ def write_jsonl(
             if not est["n"]:
                 n_shards = 1
             else:
-                total = df.count()
-                per_row = est["b"] / est["n"]
-                n_shards = max(
-                    1, int(total * per_row / target_shard_bytes + 0.5)
-                )
+                # total bytes ~= sampled bytes / fraction — sizes the
+                # shard count from the SAME sampled pass; a separate
+                # df.count() would re-execute the whole upstream
+                # pipeline just to count it
+                total_bytes = est["b"] / size_sample_frac
+                n_shards = max(1, int(total_bytes / target_shard_bytes + 0.5))
         df = df.repartition(int(n_shards), F.col(shard_key))
     df.write.mode("overwrite").option("compression", compression).json(path)
