@@ -55,14 +55,14 @@ def html_text_column(col: Column) -> Column:
     x = F.regexp_replace(
         x,
         f"(?is)<(?:{_DROP_ELEMENTS})\\b(?:[^>\"']|\"[^\"]*\"|'[^']*')*>"
-        f".*?</(?:{_DROP_ELEMENTS})\\s*>",
+        f".*?</(?:{_DROP_ELEMENTS})[ \\t\\r\\n\\f]*>",
         " ",
     )
     # 2. comments
     x = F.regexp_replace(x, "(?s)<!--.*?-->", " ")
     # 3. block boundaries -> newline (openers for void/br, closers for blocks)
-    x = F.regexp_replace(x, "(?i)<br\\s*/?>", "\n")
-    x = F.regexp_replace(x, f"(?i)</(?:{_BLOCK_CLOSERS})\\s*>", "\n")
+    x = F.regexp_replace(x, "(?i)<br[ \\t\\r\\n\\f]*/?>", "\n")
+    x = F.regexp_replace(x, f"(?i)</(?:{_BLOCK_CLOSERS})[ \\t\\r\\n\\f]*>", "\n")
     # 4. every remaining tag (incl. doctype / xml prolog) — a '>'
     # inside a quoted attribute value (alt="5 > 4") must not end the
     # tag, so the body alternates unquoted chars with quoted spans
