@@ -52,10 +52,13 @@ def html_text_column(col: Column) -> Column:
     projections); ``html_to_text`` is the DataFrame wrapper."""
     x = F.coalesce(col, F.lit(""))
     # 1. container elements, contents and all
+    # the closer is pinned to the OPENING tag via backreference: with a
+    # plain alternation an unclosed <script> would be "closed" by the
+    # next </style>, deleting the legitimate content between them
     x = F.regexp_replace(
         x,
-        f"(?is)<(?:{_DROP_ELEMENTS})\\b(?:[^>\"']|\"[^\"]*\"|'[^']*')*>"
-        f".*?</(?:{_DROP_ELEMENTS})[ \\t\\r\\n\\f]*>",
+        f"(?is)<({_DROP_ELEMENTS})\\b(?:[^>\"']|\"[^\"]*\"|'[^']*')*>"
+        ".*?</\\1[ \\t\\r\\n\\f]*>",
         " ",
     )
     # 2. comments

@@ -100,15 +100,23 @@ def fix_mojibake(
     out_col: str | None = None,
     flag_col: str = "mojibake_fixed",
     max_rounds: int = 3,
+    normalize_form: str | None = None,
 ) -> DataFrame:
     """Undo UTF-8-decoded-as-cp1252/latin-1 damage ("cafÃ©" → "café"),
     including doubly-encoded text (one extra round per layer, capped at
     ``max_rounds``).  Only whole-string strict roundtrips rewrite;
     everything else — legit accented text, CJK, NULLs — passes through
     byte-identical with ``flag_col`` false.  One shuffle-free Arrow
-    pass; the marker scan keeps the per-row repair off clean rows."""
+    pass; the marker scan keeps the per-row repair off clean rows.
+
+    ``normalize_form`` additionally Unicode-normalizes the repaired
+    series inside the SAME Arrow pass (``Series.str.normalize``, C
+    codec work) — ``clean_text`` uses this so repair + normalization
+    cost one JVM↔Python round-trip, not two."""
     if max_rounds < 1:
         raise ValueError("max_rounds must be >= 1")
+    if normalize_form is not None and normalize_form not in _FORMS:
+        raise ValueError(f"form must be one of {_FORMS}, got {normalize_form!r}")
 
     @F.pandas_udf("struct<t:string,f:boolean>")
     def _fix(s: pd.Series) -> pd.DataFrame:
@@ -124,7 +132,10 @@ def fix_mojibake(
             r, f = _repair_one(t, max_rounds)
             texts.append(r)
             flags.append(f)
-        return pd.DataFrame({"t": texts, "f": flags})
+        out = pd.Series(texts, dtype="object")
+        if normalize_form is not None:
+            out = out.str.normalize(normalize_form)
+        return pd.DataFrame({"t": out, "f": flags})
 
     return (
         df.withColumn("_tn_st", _fix(F.col(text_col)))
@@ -159,9 +170,11 @@ def clean_text(
     byte patterns repair needs), then Unicode normalization, then
     control-char stripping.  In-place on ``text_col``; adds
     ``flag_col`` when ``fix_encoding``.  Still one shuffle-free pass —
-    all three stages fuse into a single projection."""
-    out = df
+    all three stages fuse into a single projection, and repair +
+    normalization share ONE Arrow round-trip (the normalize runs on the
+    repaired series inside the same pandas UDF)."""
     if fix_encoding:
-        out = fix_mojibake(out, text_col, flag_col=flag_col)
-    out = unicode_normalize(out, text_col, form=form)
+        out = fix_mojibake(df, text_col, flag_col=flag_col, normalize_form=form)
+    else:
+        out = unicode_normalize(df, text_col, form=form)
     return out.withColumn(text_col, strip_control_chars(F.col(text_col)))

@@ -137,6 +137,7 @@ def read_warc(
     path: str,
     record_sep: str = WARC_SENTINEL,
     content_type_filter: str | None = "text/html",
+    identity_body_only: bool = True,
 ) -> DataFrame:
     """Scan full WARC crawl files (``WARC-Type: response`` records —
     the raw-HTML form of Common Crawl, one step upstream of WET).
@@ -148,15 +149,21 @@ def read_warc(
     ``regexp_extract``.  Output::
 
         url string, ts string, record_id string, http_status int,
-        content_type string, body string
+        content_type string, identity_body boolean, body string
 
     ``content_type_filter`` keeps only responses whose Content-Type
-    contains the substring (default ``text/html`` — the pretraining
-    path); pass ``None`` to keep everything.  Non-text payloads
-    (images served as text/html, torn truncations) simply come out as
-    mojibake strings for the downstream quality gates to drop —
-    binary-exact handling belongs to the media path, not the text
-    path.
+    contains the substring, case-insensitively (default ``text/html``
+    — the pretraining path); pass ``None`` to keep everything.
+    ``identity_body_only`` (default) additionally drops responses
+    whose body is not verbatim text: ``Transfer-Encoding: chunked``
+    interleaves hex chunk-size framing into the body and
+    ``Content-Encoding: gzip/br/deflate`` bodies are binary — a
+    native dechunk/inflate does not belong in the scan path, so those
+    records are surfaced via the ``identity_body`` flag and gated.
+    Remaining non-text payloads (images served as text/html, torn
+    truncations) come out as mojibake strings for the downstream
+    quality gates to drop — binary-exact handling belongs to the
+    media path, not the text path.
 
     Feed the result through
     :func:`lsd2_spark.operators.html_text.html_to_text` to get the
@@ -167,7 +174,12 @@ def read_warc(
     """
     out = warc_records(spark.read.text(path, lineSep=record_sep))
     if content_type_filter is not None:
-        out = out.filter(F.col("content_type").contains(content_type_filter))
+        # servers emit TEXT/HTML / Text/Html in real crawls
+        out = out.filter(
+            F.lower(F.col("content_type")).contains(content_type_filter.lower())
+        )
+    if identity_body_only:
+        out = out.filter(F.col("identity_body"))
     return out
 
 
@@ -203,6 +215,16 @@ def warc_records(raw: DataFrame) -> DataFrame:
     body = F.when(hsep > 0, F.expr("substring(_http, hsep + 4)")).otherwise(
         F.lit("")
     )
+    te = F.lower(
+        F.regexp_extract(
+            http_hdr, "(?mi)^Transfer-Encoding:[ \\t]*([^\\r\\n]+)", 1
+        )
+    )
+    ce = F.lower(
+        F.regexp_extract(
+            http_hdr, "(?mi)^Content-Encoding:[ \\t]*([^\\r\\n]+)", 1
+        )
+    )
     out = (
         out.withColumn("hsep", hsep.cast("int"))
         .select(
@@ -215,6 +237,13 @@ def warc_records(raw: DataFrame) -> DataFrame:
             F.regexp_extract(
                 http_hdr, "(?mi)^Content-Type:[ \\t]*([^\\r\\n]+)", 1
             ).alias("content_type"),
+            # a chunked body is interleaved with hex chunk-size framing
+            # lines and a gzip/br/deflate body is binary — neither is
+            # usable text verbatim; surface the fact so callers (and
+            # read_warc's identity_body_only default) can gate on it
+            (te.isin("", "identity") & ce.isin("", "identity")).alias(
+                "identity_body"
+            ),
             F.regexp_replace(body, "[\\r\\n]+$", "").alias("body"),
         )
     )

@@ -121,3 +121,27 @@ def test_zero_shuffle_plan(spark):
     assert "Exchange" not in plan, plan
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, plan
+
+
+def test_xml_behind_bom_or_newline_still_flagged(spark):
+    """Review finding: default btrim strips spaces only, so a BOM or
+    leading newline hid the <?xml prolog."""
+    got = _flags(
+        spark,
+        [
+            ("bom", "﻿<?xml version=\"1.0\"?><root/>"),
+            ("nl", "\n<?xml version=\"1.0\"?><root/>"),
+        ],
+    )
+    assert not got["bom"]["not_xml"]
+    assert not got["nl"]["not_xml"]
+
+
+def test_hex_digest_runs_counted(spark):
+    """A 40-char sha1 hex constant is a blob run (hex threshold 32 —
+    at 64 the hex branch was dead, subsumed by the base64 class)."""
+    doc = CLEAN + "SHA = 'da39a3ee5e6b4b0d3255bfef95601890afd80709'\n"
+    got = _flags(spark, [("h", doc)])
+    assert got["h"]["longest_blob_run"] == 40
+    # a single digest in a normal file is fine overall
+    assert got["h"]["blob_ok"] and got["h"]["code_pass"]

@@ -161,3 +161,88 @@ def test_warc_to_documents_pipeline(spark, tmp_path):
         for r in token_stats(docs, "text", "doc_id").collect()
     }
     assert stats["https://x.com/b"] == 3
+
+
+def test_unclosed_script_not_closed_by_other_element(spark):
+    """An unclosed <script> must not be 'closed' by a later </style>,
+    deleting the legitimate content between them (review finding:
+    closer pinned to the opener via backreference)."""
+    page = (
+        '<p>before</p><script src="x.js"><p>REAL CONTENT HERE</p>'
+        "<style>b{}</style><p>after</p>"
+    )
+    text = _extract(spark, page)
+    assert "REAL CONTENT HERE" in text
+    assert "before" in text and "after" in text
+    # matched pairs still drop their contents
+    paired = _extract(
+        spark, "<p>a</p><script>var x='HIDden';</script><style>c{}</style><p>b</p>"
+    )
+    assert "HIDden" not in paired and "c{}" not in paired
+
+
+def test_read_warc_case_insensitive_content_type(spark, tmp_path):
+    """Review finding: servers emit TEXT/HTML / Text/Html; the filter
+    must be case-insensitive."""
+    p = tmp_path / "u.warc"
+    p.write_bytes(
+        (
+            _response("https://x.com/u", "TEXT/HTML; charset=UTF-8", HTML_A)
+            + _response("https://x.com/m", "Text/Html", HTML_B)
+        ).encode()
+    )
+    rows = read_warc(spark, str(p)).collect()
+    assert {r["url"] for r in rows} == {"https://x.com/u", "https://x.com/m"}
+
+
+def test_read_warc_gates_non_identity_bodies(spark, tmp_path):
+    """Review finding: chunked bodies carry hex framing lines and
+    gzip bodies are binary — identity_body_only (default) drops them,
+    and the flag surfaces them when kept."""
+    chunked_http = (
+        "HTTP/1.1 200 OK" + CRLF
+        + "Content-Type: text/html" + CRLF
+        + "Transfer-Encoding: chunked" + CRLF + CRLF
+        + "1f4" + CRLF + "<html>part</html>" + CRLF + "0" + CRLF
+    )
+    hdr = CRLF.join(
+        [
+            "WARC-Type: response",
+            "WARC-Target-URI: https://x.com/chunked",
+            "WARC-Date: 2026-08-01T00:00:00Z",
+            "WARC-Record-ID: <urn:uuid:ch>",
+            f"Content-Length: {len(chunked_http)}",
+        ]
+    )
+    rec = "WARC/1.0" + CRLF + hdr + CRLF + CRLF + chunked_http + CRLF + CRLF
+    gz_http = (
+        "HTTP/1.1 200 OK" + CRLF
+        + "Content-Type: text/html" + CRLF
+        + "Content-Encoding: gzip" + CRLF + CRLF
+        + "\x1f\x8b_binarygarbage"
+    )
+    hdr2 = CRLF.join(
+        [
+            "WARC-Type: response",
+            "WARC-Target-URI: https://x.com/gz",
+            "WARC-Date: 2026-08-01T00:00:00Z",
+            "WARC-Record-ID: <urn:uuid:gz>",
+            f"Content-Length: {len(gz_http)}",
+        ]
+    )
+    rec2 = "WARC/1.0" + CRLF + hdr2 + CRLF + CRLF + gz_http + CRLF + CRLF
+    p = tmp_path / "c.warc"
+    p.write_bytes(
+        (rec + rec2 + _response("https://x.com/ok", "text/html", HTML_A)).encode()
+    )
+    kept = read_warc(spark, str(p)).collect()
+    assert {r["url"] for r in kept} == {"https://x.com/ok"}
+    allr = {
+        r["url"]: r["identity_body"]
+        for r in read_warc(spark, str(p), identity_body_only=False).collect()
+    }
+    assert allr == {
+        "https://x.com/chunked": False,
+        "https://x.com/gz": False,
+        "https://x.com/ok": True,
+    }

@@ -177,3 +177,28 @@ def test_zero_row_batches(spark):
     df = spark.createDataFrame([], "doc_id long, text string")
     assert clean_text(df, "text").count() == 0
     assert unicode_normalize(df, "text", "NFKD").count() == 0
+
+
+def test_clean_text_single_arrow_pass(spark):
+    """Review finding: repair + normalization previously ran as two
+    pandas UDFs, serializing every document across the Arrow boundary
+    twice.  clean_text's plan must now carry exactly ONE Python eval
+    node, and the fused result must equal the two-stage composition."""
+    moji = "caf\u00c3\u00a9"  # "cafe-acute" shipped through cp1252
+    nfd = "cafe\u0301"  # e + combining acute, no mojibake
+    rows = [("m", moji), ("d", nfd), ("c", "plain ascii"), ("n", None)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = clean_text(df, "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+    got = {r["doc_id"]: (r["text"], r["mojibake_fixed"]) for r in out.collect()}
+    assert got["m"] == ("caf\u00e9", True)
+    # NFD composed inside the SAME fused UDF, on the not-suspect path
+    assert got["d"] == ("caf\u00e9", False)
+    assert got["c"] == ("plain ascii", False)
+    assert got["n"] == (None, None)
+    # parity with the unfused composition
+    ref = unicode_normalize(fix_mojibake(df, "text"), "text")
+    ref = ref.withColumn("text", strip_control_chars(F.col("text")))
+    want = {r["doc_id"]: (r["text"], r["mojibake_fixed"]) for r in ref.collect()}
+    assert got == want
