@@ -449,6 +449,8 @@ class Catalog:
             return self._reconcile_rebalance_intent().append(df, batch_id=batch_id)
         if os.path.exists(self._delete_intent_path()):
             return self._reconcile_delete_intent().append(df, batch_id=batch_id)
+        if os.path.exists(self._compact_intent_path()):
+            return self._reconcile_compact_intent().append(df, batch_id=batch_id)
         spark = self.spark
         meta = self.meta
         # Fail fast on schema drift: the touched-cell rewrite writes
@@ -916,6 +918,8 @@ class Catalog:
             return self._reconcile_rebalance_intent().delete(predicate)
         if os.path.exists(self._delete_intent_path()):
             return self._reconcile_delete_intent().delete(predicate)
+        if os.path.exists(self._compact_intent_path()):
+            return self._reconcile_compact_intent().delete(predicate)
         meta = self.meta
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         pred_true = F.coalesce(pred, F.lit(False))
@@ -1295,6 +1299,10 @@ class Catalog:
             return self._reconcile_delete_intent().rebalance(
                 threshold, max_order
             )
+        if os.path.exists(self._compact_intent_path()):
+            return self._reconcile_compact_intent().rebalance(
+                threshold, max_order
+            )
         meta = self.meta
         thr = int(threshold) if threshold is not None else meta.pix_threshold
         if thr < 1:
@@ -1475,6 +1483,86 @@ class Catalog:
                         out.append((o, int(pd_.split("=", 1)[1])))
         return sorted(out)
 
+    def _compact_file_census(
+        self, root: str, max_files: int
+    ) -> dict[str, list[str]]:
+        """Like :meth:`_multifile_cells` but returns the actual parquet
+        file NAMES per over-threshold cell, keyed by the cell dir
+        relative to the root (``Norder=o/Dir=d/Npix=p``) — the exact
+        old-file set the compact intent marker records."""
+        out: dict[str, list[str]] = {}
+        base = os.path.join(self.path, root)
+        if not os.path.isdir(base):
+            return out
+        for od in os.listdir(base):
+            if not od.startswith("Norder="):
+                continue
+            for dd in os.listdir(os.path.join(base, od)):
+                if not dd.startswith("Dir="):
+                    continue
+                for pd_ in os.listdir(os.path.join(base, od, dd)):
+                    if not pd_.startswith("Npix="):
+                        continue
+                    cell = os.path.join(base, od, dd, pd_)
+                    files = sorted(
+                        f for f in os.listdir(cell) if f.endswith(".parquet")
+                    )
+                    if len(files) > max_files:
+                        out[f"{od}/{dd}/{pd_}"] = files
+        return out
+
+    def _compact_intent_path(self) -> str:
+        return f"{self.path}/{self.meta.cat_name}_compact_intent.json"
+
+    def _compact_checkpoint(self, phase: str) -> None:
+        """Crash-injection seam for tests (no-op in production):
+        called with ``"appended"`` after the merged files land but
+        before the marker flips to done, and with ``"done"`` after the
+        flip but before the old files are deleted."""
+
+    def _reconcile_compact_intent(self) -> "Catalog":
+        """Converge a crashed :meth:`compact`.
+
+        ``phase == "pre"`` — the merged-file append may be partial (or
+        a torn parquet): ROLL BACK by deleting, in each recorded cell,
+        every parquet file NOT in the recorded old set; the old files
+        were never touched in this phase, so the original state is
+        restored exactly.  ``phase == "done"`` — the append completed:
+        ROLL FORWARD by deleting the recorded old files (idempotent —
+        already-deleted files are skipped).  Either way any Spark
+        ``_temporary`` staging left under the root is removed and the
+        marker is cleared."""
+        import shutil
+
+        intent_path = self._compact_intent_path()
+        with open(intent_path) as f:
+            intent = json.load(f)
+        roll_forward = intent["phase"] == "done"
+        for root, cells in intent["roots"].items():
+            for cell_rel, old_files in cells.items():
+                cell = os.path.join(self.path, root, cell_rel)
+                if not os.path.isdir(cell):
+                    continue
+                old = set(old_files)
+                if roll_forward:
+                    doomed = [f for f in os.listdir(cell) if f in old]
+                else:
+                    doomed = [
+                        f
+                        for f in os.listdir(cell)
+                        if f.endswith(".parquet") and f not in old
+                    ]
+                for f_ in doomed:
+                    try:
+                        os.remove(os.path.join(cell, f_))
+                    except FileNotFoundError:
+                        pass
+            shutil.rmtree(
+                os.path.join(self.path, root, "_temporary"), ignore_errors=True
+            )
+        os.remove(intent_path)
+        return Catalog(self.spark, self.path, self.meta)
+
     def compact(self, max_files: int = 1) -> "Catalog":
         """Merge the small files incremental ingest leaves behind.  The
         engine's own cell rewrites are one-file-per-cell (the rank
@@ -1494,55 +1582,80 @@ class Catalog:
         by a single shuffle on the partition key, and rewritten with
         dynamic partition overwrite.
 
-        Unlike delete/rebalance, compact needs NO write-ahead marker:
-        the rewrite is content-identical (same rows, same ``_ID``,
-        same metadata — ``n_sources`` and the coverage map do not
-        change), so a crash at any point leaves every cell holding
-        either its old files or its new ones, both correct, and the
-        next compact converges the remainder.  Idempotent: a second
-        call is a no-op.
+        Crash safety is a two-phase intent marker — NOT dynamic
+        partition overwrite, whose commit deletes each existing cell
+        dir before renaming the staged one in: a crash in that gap
+        loses the only copy of the cell.  Instead the marker records
+        the exact old file names per cell (phase ``pre``), the merged
+        replacement files are APPENDED next to them (new names, old
+        files untouched), the marker flips to ``done``, and only then
+        are the old files deleted.  Recovery
+        (:meth:`_reconcile_compact_intent`, run at entry of every
+        lifecycle op and ``fsck(repair)``): ``pre`` rolls back by
+        deleting non-recorded files in the recorded cells; ``done``
+        rolls forward by deleting the recorded old files.  Every
+        intermediate state holds at least one complete copy of every
+        row; the only reader-visible anomaly is transient duplication
+        between append-complete and old-file deletion — the same
+        non-snapshot-isolation caveat delete/rebalance carry.
+        Idempotent: a second call is a no-op.
 
         Like the other lifecycle ops it converges a crashed
-        delete/rebalance first, and is not snapshot-isolated for
-        concurrent readers (re-resolve handles afterwards)."""
+        delete/rebalance/compact first."""
         if max_files < 1:
             raise ValueError(f"max_files must be >= 1, got {max_files}")
         if os.path.exists(self._rebalance_intent_path()):
             return self._reconcile_rebalance_intent().compact(max_files)
         if os.path.exists(self._delete_intent_path()):
             return self._reconcile_delete_intent().compact(max_files)
+        if os.path.exists(self._compact_intent_path()):
+            return self._reconcile_compact_intent().compact(max_files)
         spark = self.spark
-        for root, df in (("catalog", self.df()), ("neighbor", self.margin_df())):
-            cells = self._multifile_cells(root, max_files)
-            if not cells or df is None:
-                continue
-            # predicate over partition columns only -> file-level prune
-            cell_key = F.col("Norder").cast("long") * F.lit(1 << 40) + F.col(
-                "Npix"
-            ).cast("long")
-            pred = cell_key.isin([(o << 40) + p for o, p in cells])
-            sort_cols = ["Norder", "Dir", "Npix"] + (
-                ["_ID"] if "_ID" in df.columns else []
+        plan = {
+            root: census
+            for root in ("catalog", "neighbor")
+            if (census := self._compact_file_census(root, max_files))
+        }
+        if not plan:
+            return self
+        intent_path = self._compact_intent_path()
+        tmp = intent_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"phase": "pre", "roots": plan}, f)
+        os.replace(tmp, intent_path)
+
+        for root, census in plan.items():
+            base = f"{self.path}/{root}"
+            old_paths = [
+                os.path.join(base, cell_rel, fname)
+                for cell_rel, files in census.items()
+                for fname in files
+            ]
+            # read EXACTLY the recorded old files (basePath keeps the
+            # hive partition columns) so a replay after a partial
+            # append never double-reads the already-merged rows
+            df = spark.read.option("basePath", base).parquet(*old_paths)
+            sort_tail = ["_ID"] if "_ID" in df.columns else []
+            (
+                df.repartition("Norder", "Dir", "Npix")
+                .sortWithinPartitions("Norder", "Dir", "Npix", *sort_tail)
+                .write.mode("append")
+                .partitionBy("Norder", "Dir", "Npix")
+                .parquet(base)
             )
-            part = (
-                df.filter(pred)
-                .repartition("Norder", "Dir", "Npix")
-                .sortWithinPartitions(*sort_cols)
-            )
-            prev_mode = spark.conf.get(
-                "spark.sql.sources.partitionOverwriteMode", "static"
-            )
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            try:
-                (
-                    part.write.mode("overwrite")
-                    .partitionBy("Norder", "Dir", "Npix")
-                    .parquet(f"{self.path}/{root}")
-                )
-            finally:
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", prev_mode
-                )
+        self._compact_checkpoint("appended")
+        with open(tmp, "w") as f:
+            json.dump({"phase": "done", "roots": plan}, f)
+        os.replace(tmp, intent_path)
+        self._compact_checkpoint("done")
+        for root, census in plan.items():
+            for cell_rel, files in census.items():
+                for fname in files:
+                    try:
+                        os.remove(os.path.join(self.path, root, cell_rel, fname))
+                    except FileNotFoundError:
+                        pass
+        os.remove(intent_path)
         return Catalog(spark, self.path, self.meta)
 
     def fsck(self, repair: bool = False) -> dict:
@@ -1571,6 +1684,14 @@ class Catalog:
             # directories the recount would otherwise snapshot stale
             healed = self._reconcile_rebalance_intent()
             self.meta = healed.meta
+            report = self.fsck(repair=True)
+            report["repaired"] = True
+            return report
+        if repair and os.path.exists(self._compact_intent_path()):
+            # same ordering argument: a half-compacted cell holds
+            # either a partial merged file (pre) or duplicated rows
+            # (done) — the recount below must see the converged state
+            self._reconcile_compact_intent()
             report = self.fsck(repair=True)
             report["repaired"] = True
             return report
@@ -1622,6 +1743,7 @@ class Catalog:
             "stale_rebalance_intent": os.path.exists(
                 self._rebalance_intent_path()
             ),
+            "stale_compact_intent": os.path.exists(self._compact_intent_path()),
             "consistent": (
                 meta.n_sources == n_rows
                 and meta_cells == disk_cells
@@ -1630,6 +1752,7 @@ class Catalog:
                 and orphan_halo == 0
                 and not os.path.exists(self._delete_intent_path())
                 and not os.path.exists(self._rebalance_intent_path())
+                and not os.path.exists(self._compact_intent_path())
             ),
             "repaired": False,
         }

@@ -186,3 +186,90 @@ def test_compact_converges_stale_rebalance_marker_first(spark, tmp_path):
     assert not os.path.exists(cat2._rebalance_intent_path())
     assert all(len(fs) == 1 for fs in _cell_files(cat2).values())
     assert cat2.fsck()["consistent"]
+
+
+class _Boom(RuntimeError):
+    pass
+
+
+def _rows_snapshot(cat):
+    return sorted(
+        (r["source_id"], r["_ID"], r["Norder"], r["Npix"], round(r["mag"], 9))
+        for r in cat.df().collect()
+    )
+
+
+def _crash_compact_at(spark, tmp_path, name, phase):
+    """Run compact with an injected crash at the given phase; return
+    (pre-crash snapshot, catalog path)."""
+    cat = _build_appended(spark, tmp_path, name, batches=2)
+    _fragment_cells(cat)
+    before = _rows_snapshot(cat)
+
+    def boom(self, p):
+        if p == phase:
+            raise _Boom(p)
+
+    orig = Catalog._compact_checkpoint
+    Catalog._compact_checkpoint = boom
+    try:
+        with pytest.raises(_Boom):
+            cat.compact()
+    finally:
+        Catalog._compact_checkpoint = orig
+    return before, cat.path, name
+
+
+def test_compact_crash_before_done_rolls_back(spark, tmp_path):
+    """Crash after the merged files land but BEFORE the marker flips:
+    recovery rolls back (deletes the merged files), the original rows
+    and file set are intact, and a rerun completes cleanly."""
+    before, path, name = _crash_compact_at(spark, tmp_path, "ccb", "appended")
+    torn = Catalog.load(spark, path, name)
+    # the torn state is flagged, and every row still exists at least once
+    assert torn.fsck()["stale_compact_intent"]
+    healed = torn._reconcile_compact_intent()
+    assert _rows_snapshot(healed) == before
+    assert not os.path.exists(healed._compact_intent_path())
+    done = healed.compact()
+    assert _rows_snapshot(done) == before
+    assert all(len(fs) == 1 for fs in _cell_files(done).values())
+    assert done.fsck()["consistent"]
+
+
+def test_compact_crash_after_done_rolls_forward(spark, tmp_path):
+    """Crash AFTER the marker flips but before the old files are
+    deleted: the cells transiently hold both copies; recovery rolls
+    forward (deletes the old files) and exactly the merged set
+    remains."""
+    before, path, name = _crash_compact_at(spark, tmp_path, "cca", "done")
+    torn = Catalog.load(spark, path, name)
+    # duplicated rows while torn — every original row still present
+    torn_rows = _rows_snapshot(torn)
+    assert set(torn_rows) == set(before) and len(torn_rows) > len(before)
+    healed = torn._reconcile_compact_intent()
+    assert _rows_snapshot(healed) == before
+    assert all(len(fs) == 1 for fs in _cell_files(healed).values())
+    assert healed.fsck()["consistent"]
+    # idempotent: nothing left to do
+    assert _rows_snapshot(healed.compact()) == before
+
+
+def test_stale_compact_marker_converged_by_other_ops(spark, tmp_path):
+    """append / fsck(repair) reconcile a crashed compact at entry, the
+    same contract delete/rebalance markers have."""
+    before, path, name = _crash_compact_at(spark, tmp_path, "ccx", "appended")
+    torn = Catalog.load(spark, path, name)
+    nxt = spark.createDataFrame(_pdf(120, start=90_000))
+    appended = torn.append(nxt)
+    assert not os.path.exists(appended._compact_intent_path())
+    assert appended.df().count() == len(before) + 120
+    assert appended.fsck()["consistent"]
+
+    before2, path2, name2 = _crash_compact_at(spark, tmp_path, "ccy", "done")
+    torn2 = Catalog.load(spark, path2, name2)
+    rep = torn2.fsck(repair=True)
+    assert rep["repaired"]
+    healed2 = Catalog.load(spark, path2, name2)
+    assert _rows_snapshot(healed2) == before2
+    assert healed2.fsck()["consistent"]

@@ -100,7 +100,8 @@ def test_randomized_lifecycle_interleaving(spark, tmp_path):
 
     ops = [
         "append", "append", "delete", "rebalance", "compact",
-        "append_crash", "delete_crash", "rebalance_crash", "fsck",
+        "append_crash", "delete_crash", "rebalance_crash",
+        "compact_crash", "fsck",
     ]
     torn = False
     for step in range(N_STEPS):
@@ -175,10 +176,31 @@ def test_randomized_lifecycle_interleaving(spark, tmp_path):
                 cat = cat.rebalance(threshold=600)
                 torn = False
 
-        elif op == "compact":
+        elif op in ("compact", "compact_crash"):
             # content-identical by contract: the oracle doesn't move
-            cat = cat.compact()
-            torn = False
+            if op == "compact_crash":
+                # alternate which phase the crash hits: 'appended'
+                # exercises rollback, 'done' exercises roll-forward
+                phase = ("appended", "done")[int(rng.integers(2))]
+
+                def _boom_at(self, p, _phase=phase):
+                    if p == _phase:
+                        raise _Boom(p)
+
+                orig = Catalog._compact_checkpoint
+                Catalog._compact_checkpoint = _boom_at
+                try:
+                    try:
+                        cat.compact()
+                    except _Boom:
+                        torn = True
+                    else:
+                        torn = False  # nothing was fragmented
+                finally:
+                    Catalog._compact_checkpoint = orig
+            else:
+                cat = cat.compact()
+                torn = False
 
         elif op == "fsck":
             cat.fsck(repair=True)
@@ -194,3 +216,4 @@ def test_randomized_lifecycle_interleaving(spark, tmp_path):
     check(final)
     assert not os.path.exists(final._delete_intent_path())
     assert not os.path.exists(final._rebalance_intent_path())
+    assert not os.path.exists(final._compact_intent_path())
