@@ -1456,40 +1456,26 @@ class Catalog:
     def _multifile_cells(
         self, root: str, max_files: int
     ) -> list[tuple[int, int]]:
-        """Driver-side census of cell dirs holding more than
-        ``max_files`` parquet files (one entry per CELL, so the walk is
-        plan-sized in the same sense as the coverage map; a deployment
-        past local filesystems would read the ``_metadata`` sidecar or
-        the object-store listing instead of os.listdir)."""
+        """Census of cells holding more than ``max_files`` parquet
+        files, as ``(order, npix)`` tuples — a thin view over
+        :meth:`_compact_file_census` (which keeps the file names)."""
         out = []
-        base = os.path.join(self.path, root)
-        if not os.path.isdir(base):
-            return out
-        for od in os.listdir(base):
-            if not od.startswith("Norder="):
-                continue
-            o = int(od.split("=", 1)[1])
-            for dd in os.listdir(os.path.join(base, od)):
-                if not dd.startswith("Dir="):
-                    continue
-                for pd_ in os.listdir(os.path.join(base, od, dd)):
-                    if not pd_.startswith("Npix="):
-                        continue
-                    cell = os.path.join(base, od, dd, pd_)
-                    n = sum(
-                        1 for f in os.listdir(cell) if f.endswith(".parquet")
-                    )
-                    if n > max_files:
-                        out.append((o, int(pd_.split("=", 1)[1])))
+        for cell_rel in self._compact_file_census(root, max_files):
+            od, _, pd_ = cell_rel.split("/")
+            out.append((int(od.split("=", 1)[1]), int(pd_.split("=", 1)[1])))
         return sorted(out)
 
     def _compact_file_census(
         self, root: str, max_files: int
     ) -> dict[str, list[str]]:
-        """Like :meth:`_multifile_cells` but returns the actual parquet
-        file NAMES per over-threshold cell, keyed by the cell dir
+        """Driver-side census: the parquet file NAMES per cell dir
+        holding more than ``max_files`` of them, keyed by the cell dir
         relative to the root (``Norder=o/Dir=d/Npix=p``) — the exact
-        old-file set the compact intent marker records."""
+        old-file set the compact intent marker records.  One entry per
+        CELL, so the walk is plan-sized in the same sense as the
+        coverage map; a deployment past local filesystems would read
+        the ``_metadata`` sidecar or the object-store listing
+        instead of os.listdir."""
         out: dict[str, list[str]] = {}
         base = os.path.join(self.path, root)
         if not os.path.isdir(base):
@@ -1516,51 +1502,109 @@ class Catalog:
 
     def _compact_checkpoint(self, phase: str) -> None:
         """Crash-injection seam for tests (no-op in production):
-        called with ``"appended"`` after the merged files land but
-        before the marker flips to done, and with ``"done"`` after the
-        flip but before the old files are deleted."""
+        called with ``"staged"`` after the merged files land in the
+        staging dir but before the marker flips to done, and with
+        ``"done"`` after the flip but before the staged files move in
+        and the old files are deleted."""
+
+    def _compact_stage_dir(self, root: str) -> str:
+        # sibling of the table root, never under it: readers of
+        # catalog/ and neighbor/ cannot see staged files
+        return f"{self.path}/{root}__compactstage"
+
+    def _write_compact_marker(self, payload: dict) -> None:
+        """fsynced atomic marker write: the marker must be durably on
+        disk BEFORE the phase it describes begins, so recovery can
+        trust a readable marker and treat an unreadable one as
+        phase-pre (see :meth:`_reconcile_compact_intent`)."""
+        path_ = self._compact_intent_path()
+        tmp = path_ + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path_)
+        dfd = os.open(os.path.dirname(path_) or ".", os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+
+    @staticmethod
+    def _remove_files(dirpath: str, names) -> None:
+        """Remove data files AND their hidden Hadoop ``.crc`` checksum
+        sidecars (os.remove alone would leak one orphaned crc per
+        compacted file, unbounded under streaming append→compact
+        cycles); idempotent."""
+        for fname in names:
+            for p in (
+                os.path.join(dirpath, fname),
+                os.path.join(dirpath, f".{fname}.crc"),
+            ):
+                try:
+                    os.remove(p)
+                except FileNotFoundError:
+                    pass
+
+    def _compact_roll_forward(self, roots: dict, staged: dict) -> None:
+        """Move each staged merged file into its live cell, then delete
+        that cell's recorded old files — strictly in that per-cell
+        order, so at every instant every cell holds at least one
+        complete copy of its rows.  Idempotent: already-moved staged
+        files are skipped, already-deleted old files are skipped."""
+        import shutil
+
+        for root, cells in roots.items():
+            stage = self._compact_stage_dir(root)
+            for cell_rel, old_files in cells.items():
+                dst_dir = os.path.join(self.path, root, cell_rel)
+                for fname in staged.get(root, {}).get(cell_rel, []):
+                    src = os.path.join(stage, cell_rel, fname)
+                    if os.path.exists(src):
+                        os.makedirs(dst_dir, exist_ok=True)
+                        os.replace(src, os.path.join(dst_dir, fname))
+                self._remove_files(dst_dir, old_files)
+            shutil.rmtree(stage, ignore_errors=True)
 
     def _reconcile_compact_intent(self) -> "Catalog":
         """Converge a crashed :meth:`compact`.
 
-        ``phase == "pre"`` — the merged-file append may be partial (or
-        a torn parquet): ROLL BACK by deleting, in each recorded cell,
-        every parquet file NOT in the recorded old set; the old files
-        were never touched in this phase, so the original state is
-        restored exactly.  ``phase == "done"`` — the append completed:
-        ROLL FORWARD by deleting the recorded old files (idempotent —
-        already-deleted files are skipped).  Either way any Spark
-        ``_temporary`` staging left under the root is removed and the
-        marker is cleared."""
+        ``phase == "pre"`` — the merge wrote (possibly partially) into
+        the STAGING directories only; live cells were never touched:
+        roll back by removing the staging dirs.  External files that
+        landed in live cells meanwhile are never touched — rollback
+        never deletes anything inside the table roots.  ``phase ==
+        "done"`` — the merge completed and the marker records the
+        staged file names: roll forward (move staged files in, delete
+        the recorded old files + crc sidecars).
+
+        An UNREADABLE marker (torn by a crash mid-write — closed by
+        the fsync ordering of :meth:`_write_compact_marker`, so this
+        needs independent corruption) is treated as phase-pre.  That
+        is safe even against a corrupted done-marker: roll-forward
+        deletes a cell's old files only AFTER its staged file moved
+        out of staging, so removing what remains in staging can only
+        re-fragment cells, never lose their last copy."""
         import shutil
 
         intent_path = self._compact_intent_path()
-        with open(intent_path) as f:
-            intent = json.load(f)
-        roll_forward = intent["phase"] == "done"
-        for root, cells in intent["roots"].items():
-            for cell_rel, old_files in cells.items():
-                cell = os.path.join(self.path, root, cell_rel)
-                if not os.path.isdir(cell):
-                    continue
-                old = set(old_files)
-                if roll_forward:
-                    doomed = [f for f in os.listdir(cell) if f in old]
-                else:
-                    doomed = [
-                        f
-                        for f in os.listdir(cell)
-                        if f.endswith(".parquet") and f not in old
-                    ]
-                for f_ in doomed:
-                    try:
-                        os.remove(os.path.join(cell, f_))
-                    except FileNotFoundError:
-                        pass
-            shutil.rmtree(
-                os.path.join(self.path, root, "_temporary"), ignore_errors=True
-            )
-        os.remove(intent_path)
+        try:
+            with open(intent_path) as f:
+                intent = json.load(f)
+            phase = intent["phase"]
+            roots = intent["roots"]
+            staged = intent.get("staged", {})
+        except (OSError, ValueError, KeyError):
+            intent = None
+        if intent is None or phase != "done":
+            for root in ("catalog", "neighbor"):
+                shutil.rmtree(self._compact_stage_dir(root), ignore_errors=True)
+        else:
+            self._compact_roll_forward(roots, staged)
+        try:
+            os.remove(intent_path)
+        except FileNotFoundError:
+            pass
         return Catalog(self.spark, self.path, self.meta)
 
     def compact(self, max_files: int = 1) -> "Catalog":
@@ -1576,32 +1620,35 @@ class Catalog:
         directly.
 
         Only cells (catalog AND neighbor halos) holding more than
-        ``max_files`` parquet files are read — partition-pruned, the
-        rest of the catalog is never opened — re-sorted by ``_ID``
-        (the storage-order contract), coalesced to one file per cell
-        by a single shuffle on the partition key, and rewritten with
-        dynamic partition overwrite.
+        ``max_files`` parquet files are read — the merge scan targets
+        exactly those files, the rest of the catalog is never opened —
+        re-sorted by ``_ID`` (the storage-order contract) and coalesced
+        to one file per cell by a single shuffle on the partition key.
 
-        Crash safety is a two-phase intent marker — NOT dynamic
-        partition overwrite, whose commit deletes each existing cell
-        dir before renaming the staged one in: a crash in that gap
-        loses the only copy of the cell.  Instead the marker records
-        the exact old file names per cell (phase ``pre``), the merged
-        replacement files are APPENDED next to them (new names, old
-        files untouched), the marker flips to ``done``, and only then
-        are the old files deleted.  Recovery
-        (:meth:`_reconcile_compact_intent`, run at entry of every
-        lifecycle op and ``fsck(repair)``): ``pre`` rolls back by
-        deleting non-recorded files in the recorded cells; ``done``
-        rolls forward by deleting the recorded old files.  Every
-        intermediate state holds at least one complete copy of every
-        row; the only reader-visible anomaly is transient duplication
-        between append-complete and old-file deletion — the same
-        non-snapshot-isolation caveat delete/rebalance carry.
+        Crash safety is a two-phase intent marker plus a STAGING
+        directory — NOT dynamic partition overwrite, whose commit
+        deletes each existing cell dir before renaming the staged one
+        in: a crash in that gap loses the only copy of the cell.
+        Phase ``pre``: the marker (fsynced) records the exact old file
+        names per cell, then the merged replacements are written to a
+        sibling staging dir — live cells untouched, so rollback is
+        just removing staging and can never delete a file it does not
+        own (external bulk-loader files landing concurrently are
+        safe).  Phase ``done``: the marker records the staged file
+        names; each staged file is moved into its cell and only then
+        are that cell's old files (+ crc sidecars) deleted.  Recovery
+        (:meth:`_reconcile_compact_intent`) runs at entry of every
+        lifecycle op and ``fsck(repair)``.  Every intermediate state
+        holds at least one complete copy of every row; the only
+        reader-visible anomaly is transient per-cell duplication
+        between a staged file moving in and the old files going — the
+        same non-snapshot-isolation caveat delete/rebalance carry.
         Idempotent: a second call is a no-op.
 
         Like the other lifecycle ops it converges a crashed
         delete/rebalance/compact first."""
+        import shutil
+
         if max_files < 1:
             raise ValueError(f"max_files must be >= 1, got {max_files}")
         if os.path.exists(self._rebalance_intent_path()):
@@ -1618,44 +1665,48 @@ class Catalog:
         }
         if not plan:
             return self
-        intent_path = self._compact_intent_path()
-        tmp = intent_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"phase": "pre", "roots": plan}, f)
-        os.replace(tmp, intent_path)
+        self._write_compact_marker({"phase": "pre", "roots": plan})
 
+        staged: dict = {}
         for root, census in plan.items():
             base = f"{self.path}/{root}"
+            stage = self._compact_stage_dir(root)
+            shutil.rmtree(stage, ignore_errors=True)
             old_paths = [
                 os.path.join(base, cell_rel, fname)
                 for cell_rel, files in census.items()
                 for fname in files
             ]
             # read EXACTLY the recorded old files (basePath keeps the
-            # hive partition columns) so a replay after a partial
-            # append never double-reads the already-merged rows
+            # hive partition columns): concurrent external files are
+            # neither read nor replaced, and a replay never
+            # double-reads merged rows
             df = spark.read.option("basePath", base).parquet(*old_paths)
             sort_tail = ["_ID"] if "_ID" in df.columns else []
             (
                 df.repartition("Norder", "Dir", "Npix")
                 .sortWithinPartitions("Norder", "Dir", "Npix", *sort_tail)
-                .write.mode("append")
+                .write.mode("overwrite")
                 .partitionBy("Norder", "Dir", "Npix")
-                .parquet(base)
+                .parquet(stage)
             )
-        self._compact_checkpoint("appended")
-        with open(tmp, "w") as f:
-            json.dump({"phase": "done", "roots": plan}, f)
-        os.replace(tmp, intent_path)
+            staged[root] = {}
+            for cell_rel in census:
+                sdir = os.path.join(stage, cell_rel)
+                staged[root][cell_rel] = (
+                    sorted(
+                        f for f in os.listdir(sdir) if f.endswith(".parquet")
+                    )
+                    if os.path.isdir(sdir)
+                    else []
+                )
+        self._compact_checkpoint("staged")
+        self._write_compact_marker(
+            {"phase": "done", "roots": plan, "staged": staged}
+        )
         self._compact_checkpoint("done")
-        for root, census in plan.items():
-            for cell_rel, files in census.items():
-                for fname in files:
-                    try:
-                        os.remove(os.path.join(self.path, root, cell_rel, fname))
-                    except FileNotFoundError:
-                        pass
-        os.remove(intent_path)
+        self._compact_roll_forward(plan, staged)
+        os.remove(self._compact_intent_path())
         return Catalog(spark, self.path, self.meta)
 
     def fsck(self, repair: bool = False) -> dict:

@@ -125,23 +125,32 @@ def test_compact_untouched_cells_keep_their_files(spark, tmp_path):
         assert files_after[cell] == fs, "single-file cell was rewritten"
 
 
-def test_compact_prunes_the_read_to_target_cells(spark, tmp_path):
+def test_compact_reads_only_target_cell_files(spark, tmp_path):
+    """compact's merge scan targets EXACTLY the over-threshold cells'
+    files: the census names them file-by-file (the marker contract),
+    and after compaction every untouched cell still holds its byte-
+    identical original file while only the fragmented cells changed —
+    the stronger-than-partition-pruning guarantee of the explicit
+    file-list read."""
     cat = _build_appended(spark, tmp_path, "cpp")
-    _fragment_cells(cat, k=2)
-    cells = cat._multifile_cells("catalog", 1)
-    assert cells
-    cell_key = F.col("Norder").cast("long") * F.lit(1 << 40) + F.col(
-        "Npix"
-    ).cast("long")
-    pred = cell_key.isin([(o << 40) + p for o, p in cells])
-    plan = (
-        cat.df().filter(pred)._jdf.queryExecution().executedPlan().toString()
+    fragged = set(_fragment_cells(cat, k=2))
+    census = cat._compact_file_census("catalog", 1)
+    # census == exactly the fragmented cells, with their exact files
+    assert {
+        os.path.join(cat.path, "catalog", rel) for rel in census
+    } == fragged
+    for rel, files in census.items():
+        on_disk = sorted(
+            f
+            for f in os.listdir(os.path.join(cat.path, "catalog", rel))
+            if f.endswith(".parquet")
+        )
+        assert files == on_disk and len(files) > 1
+    # the (order, npix) view agrees
+    assert cat._multifile_cells("catalog", 1) == sorted(
+        (int(rel.split("/")[0].split("=")[1]), int(rel.split("/")[2].split("=")[1]))
+        for rel in census
     )
-    # the cell predicate must reach the scan as a partition filter,
-    # not a post-scan row filter over the whole catalog
-    assert "PartitionFilters: [" in plan
-    head = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
-    assert "Npix" in head
 
 
 def test_compact_covers_neighbor_halos(spark, tmp_path):
@@ -224,7 +233,7 @@ def test_compact_crash_before_done_rolls_back(spark, tmp_path):
     """Crash after the merged files land but BEFORE the marker flips:
     recovery rolls back (deletes the merged files), the original rows
     and file set are intact, and a rerun completes cleanly."""
-    before, path, name = _crash_compact_at(spark, tmp_path, "ccb", "appended")
+    before, path, name = _crash_compact_at(spark, tmp_path, "ccb", "staged")
     torn = Catalog.load(spark, path, name)
     # the torn state is flagged, and every row still exists at least once
     assert torn.fsck()["stale_compact_intent"]
@@ -238,18 +247,22 @@ def test_compact_crash_before_done_rolls_back(spark, tmp_path):
 
 
 def test_compact_crash_after_done_rolls_forward(spark, tmp_path):
-    """Crash AFTER the marker flips but before the old files are
-    deleted: the cells transiently hold both copies; recovery rolls
-    forward (deletes the old files) and exactly the merged set
-    remains."""
+    """Crash AFTER the marker flips but before the staged files move
+    in: the live cells still hold exactly the originals (the merged
+    copies sit in staging); recovery rolls forward — moves the staged
+    files in, deletes the old files — and exactly the merged
+    one-file-per-cell set remains."""
     before, path, name = _crash_compact_at(spark, tmp_path, "cca", "done")
     torn = Catalog.load(spark, path, name)
-    # duplicated rows while torn — every original row still present
-    torn_rows = _rows_snapshot(torn)
-    assert set(torn_rows) == set(before) and len(torn_rows) > len(before)
+    # live table untouched while torn; merged copies are in staging
+    assert _rows_snapshot(torn) == before
+    assert os.path.isdir(f"{path}/neighbor__compactstage") or os.path.isdir(
+        f"{path}/catalog__compactstage"
+    )
     healed = torn._reconcile_compact_intent()
     assert _rows_snapshot(healed) == before
     assert all(len(fs) == 1 for fs in _cell_files(healed).values())
+    assert not os.path.isdir(f"{path}/catalog__compactstage")
     assert healed.fsck()["consistent"]
     # idempotent: nothing left to do
     assert _rows_snapshot(healed.compact()) == before
@@ -258,7 +271,7 @@ def test_compact_crash_after_done_rolls_forward(spark, tmp_path):
 def test_stale_compact_marker_converged_by_other_ops(spark, tmp_path):
     """append / fsck(repair) reconcile a crashed compact at entry, the
     same contract delete/rebalance markers have."""
-    before, path, name = _crash_compact_at(spark, tmp_path, "ccx", "appended")
+    before, path, name = _crash_compact_at(spark, tmp_path, "ccx", "staged")
     torn = Catalog.load(spark, path, name)
     nxt = spark.createDataFrame(_pdf(120, start=90_000))
     appended = torn.append(nxt)
@@ -273,3 +286,24 @@ def test_stale_compact_marker_converged_by_other_ops(spark, tmp_path):
     healed2 = Catalog.load(spark, path2, name2)
     assert _rows_snapshot(healed2) == before2
     assert healed2.fsck()["consistent"]
+
+
+def test_torn_compact_marker_is_survivable(spark, tmp_path):
+    """An unreadable marker (empty / truncated JSON) must not brick
+    the lifecycle: it is treated as phase-pre — staging removed, live
+    cells untouched — because old files are only ever deleted AFTER
+    their merged replacement moved out of staging."""
+    cat = _build_appended(spark, tmp_path, "ctm", batches=2)
+    _fragment_cells(cat, k=2)
+    before = _rows_snapshot(cat)
+    # plant garbage where the marker lives, plus a stray staging dir
+    with open(cat._compact_intent_path(), "w") as f:
+        f.write("{not json")
+    os.makedirs(f"{cat.path}/catalog__compactstage/Norder=0", exist_ok=True)
+    # every lifecycle entry converges it instead of raising
+    healed = Catalog.load(spark, cat.path, "ctm").compact()
+    assert _rows_snapshot(healed) == before
+    assert all(len(fs) == 1 for fs in _cell_files(healed).values())
+    assert not os.path.isdir(f"{cat.path}/catalog__compactstage")
+    assert not os.path.exists(healed._compact_intent_path())
+    assert healed.fsck()["consistent"]

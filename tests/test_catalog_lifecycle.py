@@ -66,6 +66,36 @@ def _mkrows(rng, ids):
 N_STEPS = 30
 
 
+def _fragment_cells_on_disk(path: str, k: int = 2) -> list:
+    """Split the first k cell files in two content-identical halves
+    (ranks intact) — the external-bulk-loader fragmentation compact
+    exists for, so the compact/compact_crash ops have real work."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    done = []
+    cells = sorted(
+        {
+            os.path.dirname(f)
+            for f in glob.glob(f"{path}/catalog/Norder=*/Dir=*/Npix=*/*.parquet")
+        }
+    )
+    for cell in cells[:k]:
+        files = sorted(f for f in os.listdir(cell) if f.endswith(".parquet"))
+        if len(files) != 1:
+            continue
+        t = pq.read_table(os.path.join(cell, files[0]))
+        if t.num_rows < 2:
+            continue
+        half = t.num_rows // 2
+        pq.write_table(t.slice(0, half), os.path.join(cell, "part-ext-a.parquet"))
+        pq.write_table(t.slice(half), os.path.join(cell, "part-ext-b.parquet"))
+        os.remove(os.path.join(cell, files[0]))
+        done.append(cell)
+    return done
+
+
 def test_randomized_lifecycle_interleaving(spark, tmp_path):
     rng = np.random.default_rng(93)
     name = "life"
@@ -177,11 +207,16 @@ def test_randomized_lifecycle_interleaving(spark, tmp_path):
                 torn = False
 
         elif op in ("compact", "compact_crash"):
-            # content-identical by contract: the oracle doesn't move
+            # content-identical by contract: the oracle doesn't move.
+            # The engine's own writers are one-file-per-cell and this
+            # fixture has no margins, so compaction would be a no-op
+            # (and the crash seam unreachable): fragment a couple of
+            # cells first, as an external bulk loader would
+            _fragment_cells_on_disk(path, k=2)
             if op == "compact_crash":
-                # alternate which phase the crash hits: 'appended'
+                # alternate which phase the crash hits: 'staged'
                 # exercises rollback, 'done' exercises roll-forward
-                phase = ("appended", "done")[int(rng.integers(2))]
+                phase = ("staged", "done")[int(rng.integers(2))]
 
                 def _boom_at(self, p, _phase=phase):
                     if p == _phase:
