@@ -1481,15 +1481,23 @@ class Catalog:
         if not os.path.isdir(base):
             return out
         for od in os.listdir(base):
-            if not od.startswith("Norder="):
+            # isdir guards at every level: a stray regular file with a
+            # partition-looking name (leftover tmp, object-store marker)
+            # must not abort compact or the lifecycle-op entry that
+            # reconciles a compact intent
+            if not od.startswith("Norder=") or not os.path.isdir(
+                os.path.join(base, od)
+            ):
                 continue
             for dd in os.listdir(os.path.join(base, od)):
-                if not dd.startswith("Dir="):
+                if not dd.startswith("Dir=") or not os.path.isdir(
+                    os.path.join(base, od, dd)
+                ):
                     continue
                 for pd_ in os.listdir(os.path.join(base, od, dd)):
-                    if not pd_.startswith("Npix="):
-                        continue
                     cell = os.path.join(base, od, dd, pd_)
+                    if not pd_.startswith("Npix=") or not os.path.isdir(cell):
+                        continue
                     files = sorted(
                         f for f in os.listdir(cell) if f.endswith(".parquet")
                     )

@@ -33,6 +33,7 @@ a downstream pipeline keys on: ``url``, ``ts`` (capture time),
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -45,6 +46,53 @@ from pyspark.sql import functions as F
 #: blank-line + version-line framing — the same ambiguity any
 #: non-Content-Length parser has, vanishingly rare in extracted text.
 WARC_SENTINEL = "\r\nWARC/1.0\r\n"
+
+
+def detect_warc_framing(path: str) -> str:
+    """Probe the head of the FIRST archive file for the WARC version
+    line and return the record-split sentinel for this corpus.
+
+    WARC archives are permitted to carry ``WARC/1.1`` version lines
+    (warc-specifications 1.1 §4; wget ≥1.20 and some mirrors emit
+    them), and some mirrors rewrite CRLF framing to bare LF.  A
+    hard-pinned ``WARC/1.0`` + CRLF sentinel silently parses such a
+    file as ONE record — so the default scan probes instead of
+    assuming.  The probe is one driver-side read of ≤256 bytes
+    (gzip-aware via the magic bytes), memoizable and free next to any
+    Spark job.  Mixed-version archives under one glob are not
+    supported by a single literal ``lineSep`` — pass ``record_sep``
+    explicitly and scan each version's files separately.
+
+    Raises ``ValueError`` when the head is not a WARC version line —
+    failing loudly beats a silent one-record parse.
+    """
+    import glob as _glob
+    import os as _os
+    import zlib as _zlib
+
+    cand = path
+    if _os.path.isdir(path):
+        cand = _os.path.join(path, "*")
+    files = sorted(f for f in _glob.glob(cand) if _os.path.isfile(f))
+    if not files:
+        raise FileNotFoundError(f"no archive files match {path!r}")
+    with open(files[0], "rb") as fh:
+        head = fh.read(4096)
+    if head[:2] == b"\x1f\x8b":  # gzip member: inflate just the head;
+        # decompressobj(wbits=47) auto-detects the gzip wrapper and
+        # yields whatever the truncated stream holds (no EOF error)
+        head = _zlib.decompressobj(47).decompress(head, 256)
+    nl = head.find(b"\n")
+    line = head[: nl if nl >= 0 else len(head)]
+    crlf = line.endswith(b"\r")
+    version = line.rstrip(b"\r").decode("ascii", "replace")
+    if not version.startswith("WARC/") or len(version) > 16:
+        raise ValueError(
+            f"{files[0]!r} does not start with a WARC version line "
+            f"(got {line[:32]!r}); not a WARC/WET archive?"
+        )
+    eol = "\r\n" if crlf else "\n"
+    return f"{eol}{version}{eol}"
 
 # header values run to end-of-line; WET headers are \r\n-terminated but
 # tolerate bare-\n writers (some mirrors re-terminate).  NOTE [ \t] not
@@ -61,7 +109,7 @@ def read_wet(
     spark: SparkSession,
     path: str,
     min_length: int = 0,
-    record_sep: str = WARC_SENTINEL,
+    record_sep: str | None = None,
 ) -> DataFrame:
     """Scan WET (WARC extracted-text) files into a documents frame.
 
@@ -76,15 +124,23 @@ def read_wet(
 
     The scan is a native text scan split on the record sentinel; all
     field extraction is Column expressions, so Catalyst prunes and
-    pushes as usual and nothing leaves the JVM.  ``record_sep`` is the
-    spec-mandated CRLF framing; a mirror that rewrote the files to
-    bare-LF line endings needs ``record_sep="\\nWARC/1.0\\n"``.
+    pushes as usual and nothing leaves the JVM.  ``record_sep=None``
+    (default) probes the first file's head via
+    :func:`detect_warc_framing` — one ≤4 KiB driver-side read that
+    picks the version (``WARC/1.0`` vs ``WARC/1.1``) AND the line
+    framing (spec CRLF vs bare-LF mirrors) and fails loudly on
+    non-WARC input, instead of silently parsing a mismatched archive
+    as one record.  Pass an explicit sentinel (e.g. ``WARC_SENTINEL``)
+    to skip the probe or to scan mixed-framing corpora one framing at
+    a time.
 
     The projection half is :func:`wet_records` — call it directly on
     ``spark.readStream.option("lineSep", WARC_SENTINEL).text(inbox)``
     for continuous crawl ingestion (pure projection, streams
     unchanged; parity-tested).
     """
+    if record_sep is None:
+        record_sep = detect_warc_framing(path)
     out = wet_records(spark.read.text(path, lineSep=record_sep))
     if min_length > 0:
         out = out.filter(F.length("text") >= min_length)
@@ -135,9 +191,10 @@ def wet_records(raw: DataFrame) -> DataFrame:
 def read_warc(
     spark: SparkSession,
     path: str,
-    record_sep: str = WARC_SENTINEL,
+    record_sep: str | None = None,
     content_type_filter: str | None = "text/html",
     identity_body_only: bool = True,
+    dechunk: bool = True,
 ) -> DataFrame:
     """Scan full WARC crawl files (``WARC-Type: response`` records —
     the raw-HTML form of Common Crawl, one step upstream of WET).
@@ -154,12 +211,19 @@ def read_warc(
     ``content_type_filter`` keeps only responses whose Content-Type
     contains the substring, case-insensitively (default ``text/html``
     — the pretraining path); pass ``None`` to keep everything.
-    ``identity_body_only`` (default) additionally drops responses
-    whose body is not verbatim text: ``Transfer-Encoding: chunked``
-    interleaves hex chunk-size framing into the body and
-    ``Content-Encoding: gzip/br/deflate`` bodies are binary — a
-    native dechunk/inflate does not belong in the scan path, so those
+    ``dechunk=True`` (default) removes ``Transfer-Encoding: chunked``
+    hex size-line framing — a large fraction of real crawl responses
+    — in one Arrow pass over ONLY the chunked rows (clean rows never
+    leave the JVM; see :func:`dechunk_chunked_bodies`), honoring the
+    byte counts rather than pattern-matching size lines, so a content
+    line that happens to look like a hex token survives.  Successfully
+    dechunked rows get ``identity_body=True``; malformed chunk framing
+    leaves the row flagged false.  After that, ``identity_body_only``
+    (default) drops the responses whose body is still not verbatim
+    text: ``Content-Encoding: gzip/br/deflate`` bodies are binary — a
+    native inflate does not belong in the scan path, so those
     records are surfaced via the ``identity_body`` flag and gated.
+    ``record_sep=None`` probes version + framing like :func:`read_wet`.
     Remaining non-text payloads (images served as text/html, torn
     truncations) come out as mojibake strings for the downstream
     quality gates to drop — binary-exact handling belongs to the
@@ -172,12 +236,16 @@ def read_warc(
     continuous crawl ingestion (pure projection, streams unchanged;
     parity-tested).
     """
+    if record_sep is None:
+        record_sep = detect_warc_framing(path)
     out = warc_records(spark.read.text(path, lineSep=record_sep))
     if content_type_filter is not None:
         # servers emit TEXT/HTML / Text/Html in real crawls
         out = out.filter(
             F.lower(F.col("content_type")).contains(content_type_filter.lower())
         )
+    if dechunk:
+        out = dechunk_chunked_bodies(out)
     if identity_body_only:
         out = out.filter(F.col("identity_body"))
     return out
@@ -186,35 +254,42 @@ def read_warc(
 def warc_records(raw: DataFrame) -> DataFrame:
     """The WARC response-record projection over an already-split frame
     — shared by the batch scan and any ``readStream`` twin."""
-    rec = raw.select(F.col("value").alias("_rec"))
+    # head|tail at the FIRST blank line in either CRLF framing or the
+    # bare-LF rewrite some mirrors apply: one regex split with limit 2.
+    # (A CASE tree comparing instr() positions per framing re-expands
+    # at every consumer when Catalyst collapses the projections and
+    # blows Janino's method-size limit — codegen then silently falls
+    # back to interpreted rows.  The split is a single small expression;
+    # whole-stage codegen's subexpression elimination evaluates it once
+    # per row even though head and tail both reference it.)
+    def _split(df: DataFrame, src: str, head: str, tail: str) -> DataFrame:
+        parts = F.split(F.col(src), "\\r?\\n\\r?\\n", 2)
+        return df.select(
+            "*",
+            parts.getItem(0).alias(head),
+            F.when(F.size(parts) > 1, parts.getItem(1))
+            .otherwise(F.lit(""))
+            .alias(tail),
+        ).drop(src)
+
     # WARC header | HTTP payload
-    wsep = F.instr(F.col("_rec"), "\r\n\r\n")
-    hdr = F.when(wsep > 0, F.substring(F.col("_rec"), 1, wsep - 1)).otherwise(
-        F.col("_rec")
-    )
-    payload = F.when(wsep > 0, F.expr("substring(_rec, wsep + 4)")).otherwise(
-        F.lit("")
-    )
+    rec = _split(raw.select(F.col("value").alias("_rec")), "_rec", "_hdr", "_http")
+    hdr = F.col("_hdr")
     out = (
-        rec.withColumn("wsep", wsep.cast("int"))
-        .select(
+        rec.select(
             _header(hdr, "WARC-Target-URI").alias("url"),
             _header(hdr, "WARC-Date").alias("ts"),
             _header(hdr, "WARC-Record-ID").alias("record_id"),
             _header(hdr, "WARC-Type").alias("_type"),
-            payload.alias("_http"),
+            F.col("_http"),
         )
         .filter(F.col("_type") == "response")
         .drop("_type")
     )
     # HTTP header block | body
-    hsep = F.instr(F.col("_http"), "\r\n\r\n")
-    http_hdr = F.when(hsep > 0, F.substring(F.col("_http"), 1, hsep - 1)).otherwise(
-        F.col("_http")
-    )
-    body = F.when(hsep > 0, F.expr("substring(_http, hsep + 4)")).otherwise(
-        F.lit("")
-    )
+    out = _split(out, "_http", "_hh", "_body")
+    http_hdr = F.col("_hh")
+    body = F.col("_body")
     te = F.lower(
         F.regexp_extract(
             http_hdr, "(?mi)^Transfer-Encoding:[ \\t]*([^\\r\\n]+)", 1
@@ -226,7 +301,8 @@ def warc_records(raw: DataFrame) -> DataFrame:
         )
     )
     out = (
-        out.withColumn("hsep", hsep.cast("int"))
+        out.withColumn("transfer_encoding", te)
+        .withColumn("content_encoding", ce)
         .select(
             "url",
             "ts",
@@ -240,14 +316,97 @@ def warc_records(raw: DataFrame) -> DataFrame:
             # a chunked body is interleaved with hex chunk-size framing
             # lines and a gzip/br/deflate body is binary — neither is
             # usable text verbatim; surface the fact so callers (and
-            # read_warc's identity_body_only default) can gate on it
-            (te.isin("", "identity") & ce.isin("", "identity")).alias(
-                "identity_body"
-            ),
+            # read_warc's identity_body_only default) can gate on it;
+            # the raw encodings are exposed so dechunk_chunked_bodies
+            # can route exactly the chunked-but-uncompressed rows
+            "transfer_encoding",
+            "content_encoding",
+            (
+                F.col("transfer_encoding").isin("", "identity")
+                & F.col("content_encoding").isin("", "identity")
+            ).alias("identity_body"),
             F.regexp_replace(body, "[\\r\\n]+$", "").alias("body"),
         )
     )
     return out
+
+
+def _dechunk_str(s: str | None) -> str | None:
+    """Decode one HTTP/1.1 chunked body (RFC 9112 §7.1): size lines are
+    hex byte counts (optional ``;ext``), honored on the UTF-8 byte
+    re-encoding of the scanned string; trailers after the 0-chunk are
+    dropped.  Returns None on malformed framing (caller keeps the raw
+    body and leaves ``identity_body`` false).  A chunk boundary that
+    splits a multi-byte codepoint is unrecoverable here — the text
+    scan already replaced the torn bytes with U+FFFD, the re-encoded
+    byte counts stop matching, and the row stays gated false (binary-
+    exact recovery belongs to a bytes-typed media scan, not the text
+    path)."""
+    if s is None:
+        return None
+    data = s.encode("utf-8")
+    pos, parts = 0, []
+    while True:
+        nl = data.find(b"\n", pos)
+        if nl < 0:
+            # the record-sentinel split strips trailing [\r\n]+, so the
+            # terminal "0" size line legitimately has no newline left
+            nl = len(data)
+        tok = data[pos:nl].strip(b"\r").split(b";", 1)[0].strip()
+        try:
+            size = int(tok, 16)
+        except ValueError:
+            return None
+        pos = nl + 1
+        if size == 0:
+            break  # trailers (if any) are dropped
+        chunk = data[pos : pos + size]
+        if len(chunk) < size:
+            return None
+        parts.append(chunk)
+        pos += size
+        if data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        elif data[pos : pos + 1] == b"\n":
+            pos += 1
+        else:
+            return None
+    return b"".join(parts).decode("utf-8", "replace")
+
+
+def dechunk_chunked_bodies(df: DataFrame, body_col: str = "body") -> DataFrame:
+    """Remove HTTP chunked transfer framing from a :func:`warc_records`
+    frame.
+
+    Only rows with ``transfer_encoding='chunked'`` and no content
+    compression enter the Arrow kernel — every other row passes through
+    untouched on the JVM (the text_normalize prefilter pattern), so at
+    100 TB the Python cost is proportional to the chunked fraction of
+    the crawl, not the crawl.  Successfully decoded rows come back with
+    the framing stripped and ``identity_body=True``; malformed framing
+    keeps the raw body and the false flag.  The split-and-union keeps
+    both branches pure projections, so the batch and foreachBatch
+    streaming paths share it.
+    """
+    @F.pandas_udf("string")
+    def _dechunk(col: pd.Series) -> pd.Series:
+        return col.map(_dechunk_str, na_action="ignore")
+
+    is_chunked = (F.col("transfer_encoding") == "chunked") & F.col(
+        "content_encoding"
+    ).isin("", "identity")
+    rest = df.filter(~is_chunked)
+    fixed = (
+        df.filter(is_chunked)
+        .withColumn("_dechunked", _dechunk(F.col(body_col)))
+        .withColumn(
+            "identity_body",
+            F.col("_dechunked").isNotNull(),
+        )
+        .withColumn(body_col, F.coalesce("_dechunked", F.col(body_col)))
+        .drop("_dechunked")
+    )
+    return rest.unionByName(fixed)
 
 
 def read_jsonl(
@@ -281,7 +440,12 @@ def read_jsonl(
         sch = schema if "_corrupt_json" in schema else schema + ", _corrupt_json string"
         reader = reader.schema(sch)
     df = reader.json(path)
-    if require_text and text_col in df.columns:
+    if require_text:
+        if text_col not in df.columns:
+            raise ValueError(
+                f"require_text=True but column {text_col!r} is not in the "
+                f"schema {df.columns}; pass text_col= or require_text=False"
+            )
         df = df.filter(F.col(text_col).isNotNull())
     return df
 

@@ -224,8 +224,14 @@ def stream_into_catalog(
     file per touched halo cell to ``neighbor/`` (the main table's
     per-cell rewrite does not fragment), so an unbounded stream
     otherwise degrades every margin-union read.  compact is
-    content-identical and markerless, so it composes with the append
-    replay marker and a crash mid-compact is harmless.
+    content-identical and crash-safe via its staged two-phase intent
+    marker: a crash mid-compact leaves a marker that the NEXT
+    lifecycle-op entry (including the next batch's append) or
+    ``fsck(repair=True)`` reconciles by rolling the staged state
+    forward or discarding it — every intermediate state holds a full
+    copy, so the stream's exactly-once replay contract is unaffected
+    (append's replay marker is independent; compact never changes
+    ``n_sources``).
 
     ``stream_df`` must carry the catalog's ra/dec/id columns.  Batches
     are applied serially by Structured Streaming, so metadata updates

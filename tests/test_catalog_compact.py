@@ -307,3 +307,31 @@ def test_torn_compact_marker_is_survivable(spark, tmp_path):
     assert not os.path.isdir(f"{cat.path}/catalog__compactstage")
     assert not os.path.exists(healed._compact_intent_path())
     assert healed.fsck()["consistent"]
+
+
+def test_compact_census_skips_stray_files(spark, tmp_path):
+    """A stray regular FILE with a partition-looking name (leftover
+    tmp, object-store folder marker) must not abort the census walk —
+    compact and every lifecycle-op entry that reconciles a compact
+    intent run it.  (Such a file also breaks Spark's own partition
+    discovery on a full-table read, so the census is probed directly:
+    it must degrade to skipping the stray, never NotADirectoryError.)"""
+    cat = _build_appended(spark, tmp_path, "strayf")
+    _fragment_cells(cat)
+    baseline = cat._compact_file_census("catalog", 1)
+    assert baseline, "fixture should have fragmented some cells"
+    main = os.path.join(cat.path, "catalog")
+    # stray files at every level of the partition tree
+    open(os.path.join(main, "Norder=0_$folder$"), "w").close()
+    norder = next(
+        d for d in os.listdir(main)
+        if d.startswith("Norder=") and os.path.isdir(os.path.join(main, d))
+    )
+    open(os.path.join(main, norder, "Dir=0_$folder$"), "w").close()
+    dird = next(
+        d for d in os.listdir(os.path.join(main, norder))
+        if d.startswith("Dir=") and os.path.isdir(os.path.join(main, norder, d))
+    )
+    open(os.path.join(main, norder, dird, "Npix=0_$folder$"), "w").close()
+    # NotADirectoryError before the fix; census result unchanged after
+    assert cat._compact_file_census("catalog", 1) == baseline

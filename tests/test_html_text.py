@@ -246,3 +246,109 @@ def test_read_warc_gates_non_identity_bodies(spark, tmp_path):
         "https://x.com/gz": False,
         "https://x.com/ok": True,
     }
+
+
+def _chunked_response(url: str, body: str, chunk_sizes=(7, 5)) -> str:
+    """Spec-correct chunked framing of ``body`` (byte counts honored)."""
+    raw = body.encode()
+    parts, pos = [], 0
+    sizes = list(chunk_sizes)
+    while pos < len(raw):
+        n = sizes.pop(0) if sizes else len(raw) - pos
+        n = min(n, len(raw) - pos)
+        parts.append(f"{n:x}".encode() + b"\r\n" + raw[pos : pos + n] + b"\r\n")
+        pos += n
+    chunked_body = b"".join(parts) + b"0\r\n\r\n"
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n" + chunked_body
+    )
+    hdr = CRLF.join(
+        [
+            "WARC-Type: response",
+            f"WARC-Target-URI: {url}",
+            "WARC-Date: 2026-08-01T00:00:00Z",
+            f"WARC-Record-ID: <urn:uuid:{url[-1]}>",
+            f"Content-Length: {len(http)}",
+        ]
+    )
+    return (
+        "WARC/1.0" + CRLF + hdr + CRLF + CRLF + http.decode() + CRLF + CRLF
+    )
+
+
+def test_read_warc_dechunks_to_identity_twin(spark, tmp_path):
+    """A well-formed chunked response decodes to the IDENTICAL body as
+    its identity-encoded twin, and survives the default identity gate;
+    chunk sizes are byte counts, so multi-byte UTF-8 must not split."""
+    body = "<html><p>café & crawl</p></html>"
+    p = tmp_path / "chunked.warc"
+    p.write_bytes(
+        (
+            # sizes align with codepoint boundaries (é is 2 bytes; a
+            # mid-codepoint chunk split is unrecoverable from Spark's
+            # string-typed scan and stays gated — see _dechunk_str)
+            _chunked_response("https://x.com/c", body, chunk_sizes=(9, 5, 11))
+            + _response("https://x.com/i", "text/html", body)
+        ).encode()
+    )
+    rows = {r["url"]: r for r in read_warc(spark, str(p)).collect()}
+    assert set(rows) == {"https://x.com/c", "https://x.com/i"}
+    assert rows["https://x.com/c"]["body"] == rows["https://x.com/i"]["body"] == body
+    assert rows["https://x.com/c"]["identity_body"] is True
+
+
+def test_read_warc_malformed_chunking_stays_gated(spark, tmp_path):
+    """Framing that lies about its sizes keeps the raw body and the
+    false flag (the pre-dechunk contract) instead of crashing."""
+    from lsd2_spark.sources.webtext import _dechunk_str
+
+    assert _dechunk_str("1f4\r\nshort\r\n0\r\n") is None  # size > data
+    assert _dechunk_str("zz\r\nx\r\n0\r\n") is None  # non-hex size
+    assert _dechunk_str(None) is None
+    # bare-LF framing inside the body is tolerated (some proxies)
+    assert _dechunk_str("3\nabc\n0\n") == "abc"
+    # chunk extensions after ';' are dropped per RFC 9112
+    assert _dechunk_str("3;name=v\r\nabc\r\n0\r\n") == "abc"
+
+
+def test_read_warc_11_and_bare_lf_framing(spark, tmp_path):
+    """detect_warc_framing picks WARC/1.1 version lines and bare-LF
+    mirror rewrites; a hard-pinned 1.0+CRLF sentinel would silently
+    parse both files as one record each."""
+    from lsd2_spark.sources.webtext import detect_warc_framing
+
+    rec = _response("https://x.com/a", "text/html", HTML_A) + _response(
+        "https://x.com/b", "text/html", HTML_B
+    )
+    p11 = tmp_path / "v11.warc"
+    p11.write_bytes(rec.replace("WARC/1.0", "WARC/1.1").encode())
+    assert detect_warc_framing(str(p11)) == "\r\nWARC/1.1\r\n"
+    rows = read_warc(spark, str(p11)).collect()
+    assert {r["url"] for r in rows} == {"https://x.com/a", "https://x.com/b"}
+
+    plf = tmp_path / "lf.warc"
+    plf.write_bytes(rec.replace(CRLF, "\n").encode())
+    assert detect_warc_framing(str(plf)) == "\nWARC/1.0\n"
+    rows = read_warc(spark, str(plf)).collect()
+    assert {r["url"] for r in rows} == {"https://x.com/a", "https://x.com/b"}
+
+
+def test_detect_warc_framing_fails_loudly(spark, tmp_path):
+    import gzip
+
+    import pytest as _pytest
+
+    from lsd2_spark.sources.webtext import detect_warc_framing
+
+    bad = tmp_path / "not.warc"
+    bad.write_bytes(b"PK\x03\x04 definitely a zip\n")
+    with _pytest.raises(ValueError, match="WARC version line"):
+        detect_warc_framing(str(bad))
+    with _pytest.raises(FileNotFoundError):
+        detect_warc_framing(str(tmp_path / "missing-*.warc"))
+    # gzip-aware: probe inflates the head of .warc.gz members
+    gz = tmp_path / "ok.warc.gz"
+    with gzip.open(gz, "wb") as f:
+        f.write(_response("https://x.com/a", "text/html", HTML_A).encode())
+    assert detect_warc_framing(str(gz)) == "\r\nWARC/1.0\r\n"

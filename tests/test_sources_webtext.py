@@ -244,3 +244,17 @@ def test_write_jsonl_deterministic_shards(spark, tmp_path):
     # misuse fails fast
     with pytest.raises(ValueError):
         write_jsonl(df, str(tmp_path / "d"), shard_key="doc_id")
+
+
+def test_read_jsonl_require_text_missing_column_raises(spark, tmp_path):
+    """require_text=True with a text_col absent from the schema must
+    fail loudly (typo'd column / schema that omits it), not silently
+    skip the null filter."""
+    p = tmp_path / "c.jsonl"
+    p.write_text('{"doc_id": "a", "body": "hi"}\n')
+    with pytest.raises(ValueError, match="require_text"):
+        read_jsonl(spark, str(p), schema="doc_id string, body string")
+    # explicit opt-out still works
+    assert read_jsonl(
+        spark, str(p), schema="doc_id string, body string", require_text=False
+    ).count() == 1
