@@ -70,39 +70,77 @@ register(
 
 
 # ---------------------------------------------------------------------------
-# Q31 — minhash signatures
+# Q31 — minhash + simhash signatures in one per-doc row (merged former
+# q31/q34 — same grain, same distinct-token hashing; the operators
+# minhash_signatures / simhash stay separate and unit-tested)
 # ---------------------------------------------------------------------------
 
+_SH_BITS = 16
 
-def q31_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_signatures(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+def q31_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mh = dedup.minhash_signatures(docs, "text", "doc_id")
+    sh = dedup.simhash(docs, "text", "doc_id", bits=_SH_BITS)
+    return mh.join(sh, "doc_id")
 
 
 _mh_aggs = ",\n           ".join(
     f"MIN({minhash_term_sql('h', a, b)}) AS mh{i}" for i, (a, b) in enumerate(MINHASH_PERMS)
 )
+_sh_sums = ",\n           ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(_SH_BITS)
+)
+_sh_pack = " + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(_SH_BITS))
 register(
-    "q31_minhash_signatures",
-    q31_minhash_signatures,
+    "q31_signatures",
+    q31_signatures,
     f"""
     WITH toks AS (
       SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
-    ), hashes AS (
-      SELECT doc_id, {_TOKH_SQL} AS h FROM toks
+    ), hashes AS MATERIALIZED (
+      -- full 60-bit hash; the minhash terms re-reduce it mod {MOD}
+      -- inside minhash_term_sql (x % m % m == x % m), the simhash bit
+      -- sums consume it whole
+      SELECT doc_id, {hash64_sql('tok')} AS h FROM toks
+    ), sig AS (
+      SELECT doc_id, {_mh_aggs}
+      FROM hashes GROUP BY doc_id
+    ), sums AS (
+      SELECT doc_id, {_sh_sums} FROM hashes GROUP BY doc_id
     )
-    SELECT doc_id, {_mh_aggs}
-    FROM hashes GROUP BY doc_id
+    SELECT s.doc_id, {', '.join(f'mh{i}' for i in range(_K))},
+           CAST({_sh_pack} AS BIGINT) AS simhash
+    FROM sig s JOIN sums m ON s.doc_id = m.doc_id
     """,
 )
 
 
 # ---------------------------------------------------------------------------
-# Q32 — LSH candidate pairs with estimated jaccard
+# Q32 — near-dup pair generation, both flavors in one gate row (merged
+# former q32/q33 — same (id1, id2, score) grain, tagged by ``variant``):
+# LSH candidate pairs with estimated jaccard, and exact n-gram jaccard
+# within (lang, source) groups.  Operators stay separate.
 # ---------------------------------------------------------------------------
 
 
-def q32_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.lsh_candidate_pairs(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+def q32_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lsh = dedup.lsh_candidate_pairs(docs, "text", "doc_id").select(
+        "id1",
+        "id2",
+        F.col("jaccard_est").alias("score"),
+        F.lit("lsh_est").alias("variant"),
+    )
+    nj = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", ["lang", "source"], n=3
+    ).select(
+        "id1",
+        "id2",
+        F.col("jaccard").alias("score"),
+        F.lit("ngram_exact").alias("variant"),
+    )
+    return lsh.unionByName(nj)
 
 
 _bucket_exprs = ", ".join(
@@ -114,132 +152,77 @@ _band_union = " UNION ALL ".join(
 )
 _agree = " + ".join(f"CASE WHEN l.mh{i} = r.mh{i} THEN 1 ELSE 0 END" for i in range(_K))
 _Q32_SQL = f"""
-    WITH toks AS (
-      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
-    ), hashes AS (
-      SELECT doc_id, {_TOKH_SQL} AS h FROM toks
-    ), sig0 AS (
-      SELECT doc_id, {_mh_aggs} FROM hashes GROUP BY doc_id
-    ), sig AS (
-      SELECT *, {_bucket_exprs} FROM sig0
-    ), banded AS MATERIALIZED ({_band_union}),
-    pairs AS (
-      SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
-             ({_agree}) AS agree
-      FROM banded l JOIN banded r
-        ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    SELECT id1, id2, score, variant FROM (
+      WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+      ), hashes AS (
+        SELECT doc_id, {_TOKH_SQL} AS h FROM toks
+      ), sig0 AS (
+        SELECT doc_id, {_mh_aggs} FROM hashes GROUP BY doc_id
+      ), sig AS (
+        SELECT *, {_bucket_exprs} FROM sig0
+      ), banded AS MATERIALIZED ({_band_union}),
+      pairs AS (
+        SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+               ({_agree}) AS agree
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+      )
+      SELECT id1, id2, CAST(agree AS DOUBLE) / {float(_K)} AS score,
+             'lsh_est' AS variant
+      FROM pairs
     )
-    SELECT id1, id2, CAST(agree AS DOUBLE) / {float(_K)} AS jaccard_est FROM pairs
+    UNION ALL
+    SELECT id1, id2, score, variant FROM (
+      WITH grams AS (
+        SELECT DISTINCT doc_id, lang, source, substr(text, CAST(i AS INTEGER), 3) AS ng
+        FROM documents, UNNEST(range(1, greatest(length(text) - 2, 1) + 1)) AS t(i)
+      ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
+      ), shared AS (
+        SELECT g1.doc_id AS id1, g2.doc_id AS id2, COUNT(*) AS shared
+        FROM grams g1 JOIN grams g2
+          ON g1.ng = g2.ng AND g1.lang = g2.lang AND g1.source = g2.source
+         AND g1.doc_id < g2.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT id1, id2,
+             FLOOR((CAST(shared AS DOUBLE) / (s1.n_grams + s2.n_grams - shared)) * 1000000.0 + 0.5) / 1000000.0 AS score,
+             'ngram_exact' AS variant
+      FROM shared JOIN sizes s1 ON s1.doc_id = id1
+                  JOIN sizes s2 ON s2.doc_id = id2
+    )
     """
 
-register("q32_lsh_pairs", q32_lsh_pairs, _Q32_SQL)
+register("q32_neardup_pairs", q32_neardup_pairs, _Q32_SQL)
 
 
 # ---------------------------------------------------------------------------
-# Q33 — exact n-gram jaccard within (lang, source) groups
+# Q36 — per-doc text profile: token stats + quality score + language ID
+# in one gate row (merged former q35/q36/q37 — all per-doc pure-Column
+# passes; the standalone operators token_stats / quality_score / lang_id
+# remain unit-tested)
 # ---------------------------------------------------------------------------
-
-
-def q33_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), "text", "doc_id", ["lang", "source"], n=3
-    )
-
-
-register(
-    "q33_ngram_jaccard",
-    q33_ngram_jaccard,
-    """
-    WITH grams AS (
-      SELECT DISTINCT doc_id, lang, source, substr(text, CAST(i AS INTEGER), 3) AS ng
-      FROM documents, UNNEST(range(1, greatest(length(text) - 2, 1) + 1)) AS t(i)
-    ), sizes AS (
-      SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
-    ), shared AS (
-      SELECT g1.doc_id AS id1, g2.doc_id AS id2, COUNT(*) AS shared
-      FROM grams g1 JOIN grams g2
-        ON g1.ng = g2.ng AND g1.lang = g2.lang AND g1.source = g2.source
-       AND g1.doc_id < g2.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT id1, id2,
-           FLOOR((CAST(shared AS DOUBLE) / (s1.n_grams + s2.n_grams - shared)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
-    FROM shared JOIN sizes s1 ON s1.doc_id = id1
-                JOIN sizes s2 ON s2.doc_id = id2
-    """,
-)
-
-
-# ---------------------------------------------------------------------------
-# Q34 — simhash (16-bit packed for the oracle; 60-bit in the operator API)
-# ---------------------------------------------------------------------------
-
-_SH_BITS = 16
-
-
-def q34_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash(
-        load_table(spark, sf_dir, "documents"), "text", "doc_id", bits=_SH_BITS
-    )
-
-
-_sh_sums = ",\n           ".join(
-    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(_SH_BITS)
-)
-_sh_pack = " + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(_SH_BITS))
-register(
-    "q34_simhash",
-    q34_simhash,
-    f"""
-    WITH toks AS (
-      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
-    ), hashes AS (
-      SELECT doc_id, {hash64_sql('tok')} AS h FROM toks
-    ), sums AS (
-      SELECT doc_id, {_sh_sums} FROM hashes GROUP BY doc_id
-    )
-    -- total over documents: token-less docs keep a row with simhash 0,
-    -- matching the operator's left-join-back contract
-    SELECT d.doc_id,
-           COALESCE(CAST({_sh_pack} AS BIGINT), 0) AS simhash
-    FROM documents d LEFT JOIN sums s ON s.doc_id = d.doc_id
-    """,
-)
-
-
-# ---------------------------------------------------------------------------
-# Q35 — token stats; Q36 — quality score; Q37 — language ID
-# ---------------------------------------------------------------------------
-
-
-def q35_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_analysis.token_stats(load_table(spark, sf_dir, "documents"), "text", "doc_id")
-
-
-register(
-    "q35_token_stats",
-    q35_token_stats,
-    f"""
-    SELECT doc_id,
-           length(text) AS n_chars_obs,
-           len(regexp_split_to_array(text, '[ \\t\\n\\r\\f]+')) AS n_tokens,
-           len(list_distinct(regexp_split_to_array(text, '[ \\t\\n\\r\\f]+'))) AS n_uniq_tokens,
-           FLOOR((CAST(length(regexp_replace(text, '[ \\t\\n\\r\\f]+', '', 'g')) AS DOUBLE)
-                 / len(regexp_split_to_array(text, '[ \\t\\n\\r\\f]+'))) * 1000000.0 + 0.5) / 1000000.0 AS avg_token_len,
-           CAST(len(regexp_extract_all(text, '{text_analysis.BPE_TOKEN_RE.replace("'", "''")}')) AS INTEGER)
-             AS n_bpe_tokens
-    FROM documents
-    """,
-)
 
 _STOP_SQL = ", ".join(f"'{s}'" for s in text_analysis.STOPWORDS)
 
 
 def q36_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality score + language ID in one scan (merged former q36/q37 —
-    both per-doc pure-Column passes over the same tokenization; the
-    standalone operators quality_score / lang_id remain unit-tested)."""
-    return text_analysis.doc_profile(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+    docs = load_table(spark, sf_dir, "documents")
+    prof = text_analysis.doc_profile(docs, "text", "doc_id")
+    ts = text_analysis.token_stats(docs, "text", "doc_id")
+    return prof.join(ts, "doc_id")
+
+
+_Q35_COLS = f"""
+           length(d.text) AS n_chars_obs,
+           len(regexp_split_to_array(d.text, '[ \\t\\n\\r\\f]+')) AS n_tokens,
+           len(list_distinct(regexp_split_to_array(d.text, '[ \\t\\n\\r\\f]+'))) AS n_uniq_tokens,
+           FLOOR((CAST(length(regexp_replace(d.text, '[ \\t\\n\\r\\f]+', '', 'g')) AS DOUBLE)
+                 / len(regexp_split_to_array(d.text, '[ \\t\\n\\r\\f]+'))) * 1000000.0 + 0.5) / 1000000.0 AS avg_token_len,
+           CAST(len(regexp_extract_all(d.text, '{text_analysis.BPE_TOKEN_RE.replace("'", "''")}')) AS INTEGER)
+             AS n_bpe_tokens
+"""
 
 
 _hit_cols = ",\n           ".join(
@@ -268,7 +251,7 @@ register(
              {_hit_cols}
       FROM t
     )
-    SELECT doc_id,
+    SELECT m.doc_id,
            FLOOR((stop_share) * 1000000.0 + 0.5) / 1000000.0 AS stopword_share,
            FLOOR((diversity) * 1000000.0 + 0.5) / 1000000.0 AS lexical_diversity,
            FLOOR((40.0 * diversity + 30.0 * stop_share + 30.0 * length_ok) * 1000000.0 + 0.5) / 1000000.0 AS quality,
@@ -276,8 +259,9 @@ register(
                 WHEN FLOOR((40.0 * diversity + 30.0 * stop_share + 30.0 * length_ok) * 1000000.0 + 0.5) / 1000000.0 >= 30 THEN 'ok'
                 ELSE 'spam' END AS bucket,
            {', '.join('hits_' + l for l in _langs)},
-           {_label} AS lang_pred
-    FROM m
+           {_label} AS lang_pred,
+           {_Q35_COLS}
+    FROM m JOIN documents d ON d.doc_id = m.doc_id
     """,
 )
 
@@ -655,7 +639,12 @@ def _cc_oracle_sql(threshold: float, n_steps: int) -> str:
     )""")
         prev = f"l{i}"
     return f"""
-    WITH lsh AS MATERIALIZED (SELECT * FROM ({_Q32_SQL}) q),
+    WITH lsh AS MATERIALIZED (
+      -- _Q32_SQL is the merged q32 row (lsh_est UNION ngram_exact);
+      -- clustering is fed by the LSH estimate only, as the operator is
+      SELECT id1, id2, score AS jaccard_est
+      FROM ({_Q32_SQL}) q WHERE variant = 'lsh_est'
+    ),
     e AS MATERIALIZED (
       SELECT id1 AS a, id2 AS b FROM lsh WHERE jaccard_est >= {threshold}
       UNION ALL
@@ -922,7 +911,7 @@ def _pii_oracle() -> str:
     """
 
 
-register("q61_pii_scrub", q61_pii_scrub, _pii_oracle())
+# (registered merged with q62 as q61_text_hygiene below)
 
 
 # ---------------------------------------------------------------------------
@@ -985,7 +974,30 @@ _Q62_SQL = """
     JOIN tok ON tok.doc_id = ls.doc_id
     """
 
-register("q62_repetition", q62_repetition, _Q62_SQL)
+# ---------------------------------------------------------------------------
+# Q61 (merged former q61/q62 — both per-doc text_analysis projections):
+# PII scrub counts + scrubbed-text md5, joined with the Gopher-style
+# repetition stats, one gate row per document.
+# ---------------------------------------------------------------------------
+
+
+def q61_text_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q61_pii_scrub(spark, sf_dir).join(
+        q62_repetition(spark, sf_dir), "doc_id"
+    )
+
+
+_HYGIENE_SQL = f"""
+    SELECT p.doc_id,
+           p.n_pii_email, p.n_pii_ipv4, p.n_pii_ssn, p.n_pii_phone,
+           p.n_pii_redacted, p.scrubbed_md5,
+           r.n_lines, r.dup_line_frac, r.dup_line_char_frac,
+           r.top_bigram, r.top_bigram_n, r.top_bigram_char_frac
+    FROM ({_pii_oracle()}) p
+    JOIN ({_Q62_SQL}) r ON p.doc_id = r.doc_id
+    """
+
+register("q61_text_hygiene", q61_text_hygiene, _HYGIENE_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -1174,3 +1186,312 @@ register(
     FROM pairs WHERE bit_count(CAST(xor(h1, h2) AS BIGINT)) <= {_HAM_MAX}
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Q67 — CCNet-style corpus line dedup (operators/line_dedup.py).  The
+# corpus is single-line word soup, so the query derives a deterministic
+# multi-line view first: non-overlapping word PAIRS become the "lines"
+# (identical construction in both engines), giving a realistic mix of
+# boilerplate (frequent pairs) and content at the gate's min_docs.
+# ---------------------------------------------------------------------------
+
+_LD_MIN_DOCS = 20
+
+
+def q67_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lsd2_spark.operators.line_dedup import remove_frequent_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1, F.lit(2)),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    lined = docs.select("doc_id", F.array_join(pairs, "\n").alias("text"))
+    out = remove_frequent_lines(
+        lined, "text", "doc_id", min_docs=_LD_MIN_DOCS
+    )
+    return out.select(
+        "doc_id", "clean_text", "n_lines", "n_lines_removed", "n_chars_removed"
+    )
+
+
+_Q67_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), lt AS (
+      -- the derived multi-line text, EXACTLY as the Spark side builds
+      -- it; the operator then re-splits on the separator, so a token
+      -- with an embedded newline yields MORE lines than pairs — the
+      -- oracle must re-split the joined text, not count pairs
+      SELECT doc_id,
+             array_to_string(list_transform(range(1, len(tk), 2),
+                    i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i + 1 AS INT)]),
+                 chr(10)) AS ltext
+      FROM t
+    ), ln AS (
+      SELECT doc_id, ltext, string_split(ltext, chr(10)) AS lines FROM lt
+    ), pl AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, lines[CAST(i AS INT)] AS line
+      FROM ln, unnest(range(1, len(lines) + 1)) u(i)
+    ), k AS MATERIALIZED (
+      SELECT doc_id, pos, line,
+             lower(trim(line, ' ' || chr(9) || chr(10) || chr(13) || chr(12))) AS key
+      FROM pl
+    ), f AS (
+      SELECT key FROM k WHERE key <> ''
+      GROUP BY key HAVING COUNT(DISTINCT doc_id) >= {_LD_MIN_DOCS}
+    ), m AS (
+      SELECT k.doc_id, k.pos, k.line, k.key, f.key IS NOT NULL AS boiler
+      FROM k LEFT JOIN f ON k.key = f.key
+    ), r AS (
+      SELECT doc_id,
+             COALESCE(string_agg(CASE WHEN NOT boiler THEN line END, chr(10) ORDER BY pos), '') AS clean_text,
+             CAST(COUNT(*) FILTER (WHERE key <> '') AS BIGINT) AS n_lines,
+             CAST(COUNT(*) FILTER (WHERE boiler AND key <> '') AS BIGINT) AS n_lines_removed,
+             CAST(length(string_agg(line, chr(10) ORDER BY pos))
+                  - length(COALESCE(string_agg(CASE WHEN NOT boiler THEN line END, chr(10) ORDER BY pos), ''))
+               AS BIGINT) AS n_chars_removed
+      FROM m GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(r.clean_text, '') AS clean_text,
+           COALESCE(r.n_lines, 0) AS n_lines,
+           COALESCE(r.n_lines_removed, 0) AS n_lines_removed,
+           COALESCE(r.n_chars_removed, 0) AS n_chars_removed
+    FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+    """
+
+register("q67_line_dedup", q67_line_dedup, _Q67_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q68 — DSIR importance scoring (operators/dsir.py): hashed unigram+
+# bigram log importance ratios of a target slice (doc_id % 7 == 0)
+# against the whole pool, summed per document.  The oracle replays the
+# full train+score pipeline — bucket histograms, add-1 smoothing,
+# unseen-bucket default — in SQL; the per-doc sum is round6'd on both
+# sides (log accumulation order differs between engines).
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 10_000
+
+
+def q68_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lsd2_spark.operators.dsir import dsir_score, train_dsir
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    model = train_dsir(target, docs, "text", n_buckets=_DSIR_BUCKETS)
+    out = dsir_score(docs, "text", "doc_id", model)
+    return out.select(
+        "doc_id",
+        round6(F.col("dsir_logweight")).alias("dsir_logweight"),
+        "n_ngrams",
+    )
+
+
+_Q68_SQL = f"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), ng AS (
+      SELECT doc_id, unnest(t) AS g FROM tk
+      UNION ALL
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                    i -> t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)])) AS g
+      FROM tk
+    ), b AS MATERIALIZED (
+      SELECT doc_id, {hash64_sql('g')} % {_DSIR_BUCKETS} AS bucket FROM ng
+    ), tcnt AS (
+      SELECT bucket, COUNT(*) AS n FROM b WHERE doc_id % 7 = 0 GROUP BY bucket
+    ), rcnt AS (
+      SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket
+    ), tot AS (
+      SELECT (SELECT SUM(n) FROM tcnt) AS tt, (SELECT SUM(n) FROM rcnt) AS tr
+    ), ratios AS MATERIALIZED (
+      SELECT COALESCE(tcnt.bucket, rcnt.bucket) AS bucket,
+             ln(COALESCE(tcnt.n, 0) + 1.0) - ln(tt + {float(_DSIR_BUCKETS)})
+             - ln(COALESCE(rcnt.n, 0) + 1.0) + ln(tr + {float(_DSIR_BUCKETS)}) AS log_ratio
+      FROM tcnt FULL JOIN rcnt ON tcnt.bucket = rcnt.bucket CROSS JOIN tot
+    ), sc AS (
+      SELECT b.doc_id,
+             SUM(COALESCE(r.log_ratio,
+                          ln(tot.tr + {float(_DSIR_BUCKETS)}) - ln(tot.tt + {float(_DSIR_BUCKETS)}))) AS w,
+             COUNT(*) AS n
+      FROM b LEFT JOIN ratios r ON b.bucket = r.bucket CROSS JOIN tot
+      GROUP BY b.doc_id
+    )
+    SELECT d.doc_id,
+           FLOOR(COALESCE(sc.w, 0.0) * 1000000.0 + 0.5) / 1000000.0 AS dsir_logweight,
+           CAST(COALESCE(sc.n, 0) AS BIGINT) AS n_ngrams
+    FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+    """
+
+register("q68_dsir_score", q68_dsir_score, _Q68_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q69 — fuzzy decontamination (operators/decontam.py): word-3-gram
+# shingle minhash over the salted-md5 exactly-minwise family, 16x1
+# banding with the eval side (doc_id % 50 == 0) broadcast, exact
+# shingle-Jaccard verify at 0.5, per-train argmax with smaller-eval-id
+# tiebreak.  The oracle replays the IDENTICAL banding (deterministic
+# salted hashes), so banding recall misses can never fork the gate.
+# ---------------------------------------------------------------------------
+
+_FZ_BANDS = 16
+_FZ_MINJ = 0.5
+
+_fz_mh_aggs = ",\n             ".join(
+    f"MIN({hash64_sql(chr(39) + f'fz{j}' + chr(31) + chr(39) + ' || s')}) AS fmh{j}"
+    for j in range(_FZ_BANDS)
+)
+_fz_bands = " UNION ALL ".join(
+    f"SELECT doc_id, {j} AS band, fmh{j} % {MOD} AS bucket FROM sig"
+    for j in range(_FZ_BANDS)
+)
+
+
+def q69_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lsd2_spark.operators.decontam import fuzzy_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    out = fuzzy_decontaminate(
+        docs, ev, "text", "doc_id", min_jaccard=_FZ_MINJ, n=3, bands=_FZ_BANDS
+    )
+    return out.select(
+        "doc_id",
+        F.col("fuzzy_contaminated").cast("int").alias("fuzzy_contaminated"),
+        F.coalesce(F.col("matched_eval_id"), F.lit(-1)).alias("matched_eval_id"),
+        round6(F.col("jaccard")).alias("jaccard"),
+    )
+
+
+_Q69_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f]+') AS t
+      FROM documents
+    ), sh0 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                    i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+      FROM tok
+    ), sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, s FROM sh0
+    ), sig AS (
+      SELECT doc_id, {_fz_mh_aggs}
+      FROM sh GROUP BY doc_id
+    ), banded AS MATERIALIZED ({_fz_bands}),
+    cand AS (
+      SELECT DISTINCT t.doc_id AS tid, e.doc_id AS eid
+      FROM banded t JOIN banded e ON t.band = e.band AND t.bucket = e.bucket
+      WHERE e.doc_id % 50 = 0
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT c.tid, c.eid, COUNT(*) AS shared
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.tid
+      JOIN sh b ON b.doc_id = c.eid AND a.s = b.s
+      GROUP BY c.tid, c.eid
+    ), ver AS (
+      SELECT tid, eid, CAST(shared AS DOUBLE) / (sa.ns + sb.ns - shared) AS j
+      FROM inter JOIN sizes sa ON sa.doc_id = tid
+                 JOIN sizes sb ON sb.doc_id = eid
+      WHERE CAST(shared AS DOUBLE) / (sa.ns + sb.ns - shared) >= {_FZ_MINJ}
+    ), best AS (
+      SELECT tid, eid, j FROM (
+        SELECT tid, eid, j,
+               ROW_NUMBER() OVER (PARTITION BY tid ORDER BY j DESC, eid ASC) AS rn
+        FROM ver
+      ) WHERE rn = 1
+    )
+    SELECT d.doc_id,
+           CAST(best.tid IS NOT NULL AS INTEGER) AS fuzzy_contaminated,
+           COALESCE(best.eid, -1) AS matched_eval_id,
+           FLOOR(best.j * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+    FROM documents d LEFT JOIN best ON d.doc_id = best.tid
+    """
+
+register("q69_fuzzy_decontam", q69_fuzzy_decontam, _Q69_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q70 — clean_text pipeline (operators/text_normalize.py): mojibake
+# repair -> NFC -> control-char strip.  The corpus is pure ASCII (so the
+# base text is repair/NFC/strip-invariant); the query plants a FIXED
+# damaged tail (UTF-8 bytes mis-decoded as latin-1, with NFD combining
+# marks and ASCII control chars) whose repaired+NFC'd form is a known
+# literal, computed once here with the stdlib — the oracle appends that
+# literal and strips the control chars itself through the RE2 twin of
+# strip_control_chars, so the gate exercises the full Arrow pipeline
+# against an independently-evaluated expectation.
+# ---------------------------------------------------------------------------
+
+# " café naïve é fin" with é precomposed, ï and the second é as NFD
+# combining sequences — spelled in escapes so the source file stays ASCII
+_CLEAN_GOOD_TAIL = " caf\u00e9 nai\u0308ve e\u0301 fin"
+_CLEAN_CTRL_PIECE = "\x01\x07 ok \x1b\x7f end"
+#: what read_warc/a crawler would actually hand us: the UTF-8 bytes of
+#: the good tail decoded as latin-1 (classic double-decode damage)
+_CLEAN_RAW_TAIL = (
+    _CLEAN_GOOD_TAIL.encode("utf-8").decode("latin-1") + _CLEAN_CTRL_PIECE
+)
+
+
+def _clean_nfc_tail() -> str:
+    import unicodedata
+
+    return unicodedata.normalize("NFC", _CLEAN_GOOD_TAIL + _CLEAN_CTRL_PIECE)
+
+
+def q70_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lsd2_spark.operators.text_normalize import clean_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    # ASCII-restrict the base text (identical byte-explicit class in
+    # both engines) so the planted tail's whole-string repair roundtrip
+    # is deterministic no matter what a future testdata generation puts
+    # in documents.text — repair is all-or-nothing per string, so one
+    # non-cp1252 codepoint in the base would flip the whole row's
+    # expected output
+    base = F.regexp_replace(F.col("text"), "[^\\x00-\\x7f]", "")
+    aug = docs.select(
+        "doc_id", F.concat(base, F.lit(_CLEAN_RAW_TAIL)).alias("text")
+    )
+    out = clean_text(aug, "text")
+    return out.select(
+        "doc_id",
+        F.col("text").alias("clean_text"),
+        F.col("mojibake_fixed").cast("int").alias("mojibake_fixed"),
+    )
+
+
+def _q70_sql() -> str:
+    from lsd2_spark.operators.text_normalize import strip_control_chars_sql
+
+    tail_lit = _clean_nfc_tail().replace("'", "''")
+    cleaned = strip_control_chars_sql(
+        f"regexp_replace(text, '[^\\x00-\\x7f]', '', 'g') || '{tail_lit}'"
+    )
+    return f"""
+    SELECT doc_id,
+           {cleaned} AS clean_text,
+           CAST(1 AS INTEGER) AS mojibake_fixed
+    FROM documents
+    """
+
+
+register("q70_clean_text", q70_clean_text, _q70_sql())

@@ -44,20 +44,20 @@ NASTY = [
 # Gate rows whose oracle tokenizes/normalizes document text.
 TEXT_GATE = [
     "q30_dedup_variants",
-    "q31_minhash_signatures",
-    "q32_lsh_pairs",
-    "q33_ngram_jaccard",
-    "q34_simhash",
-    "q35_token_stats",
-    "q36_doc_profile",
+    "q31_signatures",  # merged former q31/q34
+    "q32_neardup_pairs",  # merged former q32/q33
+    "q36_doc_profile",  # merged former q35/q36/q37
     "q38_fingerprints",
     "q46_dedup_clusters",
-    "q61_pii_scrub",
-    "q62_repetition",
+    "q61_text_hygiene",  # merged former q61/q62
     "q63_decontaminate",
     "q64_pack_sequences",
     "q65_passages",
     "q66_simhash_neardup",
+    "q67_line_dedup",
+    "q68_dsir_score",
+    "q69_fuzzy_decontam",
+    "q70_clean_text",
 ]
 
 

@@ -43,12 +43,9 @@ EXPECTED = [
     "q51_event_windows",  # merged former q51/q52
     # text / LLM-pipeline
     "q30_dedup_variants",  # merged former q30/q59
-    "q31_minhash_signatures",
-    "q32_lsh_pairs",
-    "q33_ngram_jaccard",
-    "q34_simhash",
-    "q35_token_stats",
-    "q36_doc_profile",  # merged former q36/q37
+    "q31_signatures",  # merged former q31/q34
+    "q32_neardup_pairs",  # merged former q32/q33
+    "q36_doc_profile",  # merged former q35/q36/q37
     "q38_fingerprints",  # merged former q38/q39
     "q42_media_profile",  # merged former q42/q43
     "q53_ppm_pixel_features",
@@ -60,12 +57,16 @@ EXPECTED = [
     "q57_kmv_distinct",
     "q58_weighted_sample",
     "q60_cap_per_source",
-    "q61_pii_scrub",
-    "q62_repetition",
+    "q61_text_hygiene",  # merged former q61/q62
     "q63_decontaminate",
     "q64_pack_sequences",
     "q65_passages",
     "q66_simhash_neardup",
+    # round-9 additions: the round-8 LLM operators, driver-gated
+    "q67_line_dedup",
+    "q68_dsir_score",
+    "q69_fuzzy_decontam",
+    "q70_clean_text",
 ]
 
 
