@@ -51,6 +51,27 @@ from lsd2_spark.operators.similarity import (
 __all__ = ["semantic_dedup", "semantic_dedup_with_index"]
 
 
+def _unitize_udf(vec_col: str):
+    """Arrow-batched unit normalization: NULL for null/zero-norm input
+    (those ride the kept-and-flagged invalid path), element count
+    preserved for ragged rows (validity is judged downstream by
+    ``_probe_dim``/``_valid_vectors``, not here)."""
+
+    @F.pandas_udf("array<double>")
+    def _unitize(v: pd.Series) -> pd.Series:
+        out = []
+        for x in v:
+            if x is None:
+                out.append(None)
+                continue
+            a = np.asarray(x, dtype=np.float64)
+            n = float(np.sqrt((a * a).sum()))
+            out.append((a / n).tolist() if n > 0.0 else None)
+        return pd.Series(out, dtype=object)
+
+    return _unitize
+
+
 def semantic_dedup(
     df: DataFrame,
     vec_col: str,
@@ -61,6 +82,7 @@ def semantic_dedup(
     sample_stride: int = 1,
     centroids: np.ndarray | None = None,
     project_dim: int | None = None,
+    assign_nprobe: int | None | str = "auto",
 ) -> DataFrame:
     """Per-document semantic-dedup verdicts.
 
@@ -79,6 +101,8 @@ def semantic_dedup(
     ``filter(keep = 1)`` joined back to the corpus is the deduplicated
     set.  Pass precomputed ``centroids`` (e.g. from a saved IVF index)
     to skip the k-means build on repeated runs.
+
+    ``assign_nprobe`` — see :func:`semantic_dedup_with_index`.
     """
     return semantic_dedup_with_index(
         df,
@@ -90,6 +114,7 @@ def semantic_dedup(
         sample_stride=sample_stride,
         centroids=centroids,
         project_dim=project_dim,
+        assign_nprobe=assign_nprobe,
     )[0]
 
 
@@ -103,6 +128,7 @@ def semantic_dedup_with_index(
     sample_stride: int = 1,
     centroids: np.ndarray | None = None,
     project_dim: int | None = None,
+    assign_nprobe: int | None | str = "auto",
 ) -> tuple[DataFrame, np.ndarray]:
     """:func:`semantic_dedup` plus the centroid matrix it used, so a
     caller can persist it (``save_ivf_index``) and feed later batches
@@ -117,11 +143,39 @@ def semantic_dedup_with_index(
     ``native_dim/project_dim``-fold cut in the O(n x n_clusters x dim)
     assignment flops, the dominant cost when clusters scale with the
     corpus.  The returned centroids live in the projected space; reuse
-    them only with the same ``project_dim``."""
+    them only with the same ``project_dim``.
+
+    ``assign_nprobe``: hierarchical centroid assignment (see
+    :func:`~lsd2_spark.operators.similarity.kmeans_assign`).  SemDeDup's
+    own recipe grows ``n_clusters`` WITH the corpus to keep cluster
+    populations bounded, which makes the dense O(n·k·d) assignment the
+    dominant, ~quadratically-growing cost of the whole pass at 100 TB;
+    probing only the nearest coarse cells makes assignment sub-O(n·k)
+    — the same move every billion-scale k-means (faiss IVF) makes.
+    ``"auto"`` (default) switches to hierarchical at k >= 64 with
+    ``nprobe = max(2, √k/4)``; an int forces that probe width; ``None``
+    forces the exact dense pass.  Assignment is a partition heuristic
+    exactly like ``project_dim`` — a boundary miss can split one
+    near-dup pair across clusters, never corrupt a verdict (verdicts
+    stay on true unit vectors), and exact duplicates always land
+    together (identical vectors probe identical cells)."""
     if not 0.0 < eps <= 1.0:
         raise ValueError(f"eps must be in (0, 1], got {eps}")
     if n_clusters < 1:
         raise ValueError(f"n_clusters must be >= 1, got {n_clusters}")
+    if assign_nprobe == "auto":
+        assign_nprobe = (
+            max(2, int(np.ceil(np.sqrt(n_clusters))) // 4)
+            if n_clusters >= 64
+            else None
+        )
+    elif assign_nprobe is not None and (
+        not isinstance(assign_nprobe, int) or assign_nprobe < 1
+    ):
+        raise ValueError(
+            f"assign_nprobe must be 'auto', None, or a positive int, "
+            f"got {assign_nprobe!r}"
+        )
     if project_dim is not None and project_dim < 1:
         # validated up front: input validation must not depend on
         # whether the batch happens to contain a valid vector
@@ -132,12 +186,13 @@ def semantic_dedup_with_index(
     # vectors separates by norm and can strand a scaled duplicate in a
     # different cluster from its source.  Normalize to unit length
     # first (zero-norm vectors become NULL and ride the invalid path).
-    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    norm = F.sqrt(F.aggregate(dv, F.lit(0.0), lambda a, x: a + x * x))
-    base = df.select(
-        id_col,
-        F.when(norm > 0.0, F.transform(dv, lambda x: x / norm)).alias("_unit"),
-    )
+    # One Arrow pass, NOT a JVM higher-order expression: the obvious
+    # ``transform(v, x -> x / sqrt(aggregate(v, ...)))`` spelling
+    # inlines the norm aggregate into EVERY element's lambda body when
+    # Catalyst collapses the projection — O(d²) interpreted work per
+    # row, measured at ~1.4 ms/row (28 s for a 20k×64 corpus) versus
+    # milliseconds for the vectorized NumPy pass below.
+    base = df.select(id_col, _unitize_udf(vec_col)(F.col(vec_col)).alias("_unit"))
     vec_col = "_unit"
     # probe the NORMALIZED column: a corpus whose every vector is
     # null/ragged/zero-norm must take the everything-kept path, not
@@ -188,7 +243,9 @@ def semantic_dedup_with_index(
             dim=cluster_dim,
         )
     assigned = base.join(
-        kmeans_assign(base, cluster_col, id_col, centroids), on=id_col, how="left"
+        kmeans_assign(base, cluster_col, id_col, centroids, nprobe=assign_nprobe),
+        on=id_col,
+        how="left",
     )
     if cluster_col != vec_col:
         assigned = assigned.drop(cluster_col)
@@ -208,6 +265,16 @@ def semantic_dedup_with_index(
     dim_i = int(dim)
 
     def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Blocked greedy scan: the sequential keep-if-not-near-a-kept
+        # rule is order-dependent, but its O(n²·d) similarity work is
+        # not — rows are processed in ~256-row blocks, each block
+        # paying TWO BLAS matmuls (block × already-kept, block Gram);
+        # the Python loop then only combines precomputed rows, so the
+        # per-row interpreter cost is O(block) slicing instead of a
+        # fresh O(kept·d) matmul per row.  Verdicts are bit-identical
+        # to the row-at-a-time scan (same scan order, same first-max
+        # tie rule: earlier-kept wins, so previous-block maxima beat
+        # equal in-block maxima).
         pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
         n = len(pdf)
         # rows reaching the kernel are already unit vectors (zero-norm
@@ -220,16 +287,42 @@ def semantic_dedup_with_index(
         dup_of = np.full(n, None, dtype=object)
         max_sim = np.full(n, np.nan)
         kept_rows: list[int] = []
-        for i in range(n):
+        block = 256
+        for b0 in range(0, n, block):
+            b1 = min(b0 + block, n)
+            blk = unit[b0:b1]
             if kept_rows:
-                sims = unit[kept_rows] @ unit[i]
-                j = int(np.argmax(sims))
-                max_sim[i] = float(sims[j])
-                if sims[j] >= eps_f:
-                    keep[i] = 0
-                    dup_of[i] = pdf[id_col].iloc[kept_rows[j]]
-                    continue
-            kept_rows.append(i)
+                s_prev = blk @ unit[kept_rows].T  # (b1-b0) × kept
+                pre_arg = np.argmax(s_prev, axis=1)
+                pre_max = s_prev[np.arange(b1 - b0), pre_arg]
+            else:
+                pre_max = np.full(b1 - b0, -np.inf)
+                pre_arg = np.zeros(b1 - b0, dtype=np.int64)
+            gram = blk @ blk.T
+            kept_local: list[int] = []
+            for li in range(b1 - b0):
+                i = b0 + li
+                best, arg = pre_max[li], None
+                if kept_local:
+                    row = gram[li, kept_local]
+                    aj = int(np.argmax(row))
+                    # strict >: on ties the earlier (previous-block)
+                    # kept member wins, matching the sequential scan
+                    if row[aj] > best:
+                        best, arg = float(row[aj]), kept_local[aj] + b0
+                if np.isfinite(best):
+                    max_sim[i] = float(best)
+                    if best >= eps_f:
+                        keep[i] = 0
+                        src = (
+                            kept_rows[pre_arg[li]]
+                            if arg is None
+                            else arg
+                        )
+                        dup_of[i] = pdf[id_col].iloc[src]
+                        continue
+                kept_local.append(li)
+            kept_rows.extend(li + b0 for li in kept_local)
         return pd.DataFrame(
             {
                 id_col: pdf[id_col],

@@ -249,9 +249,21 @@ def hyperplane_lsh_topk(
 def _l2_assign(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
     """Rounded-L2 assignment matrix: dists rounded at 1e-6 so the
     argmin is reproducible across engines (sum-order double noise is
-    ~1e-13); ties break to the smallest list id via stable argmin."""
-    d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-    return round6_np(d2)
+    ~1e-13); ties break to the smallest list id via stable argmin.
+
+    Computed via the ``|x|² - 2x·c + |c|²`` expansion — one BLAS
+    matmul instead of the direct ``(m[:,None,:]-cents)²`` broadcast,
+    whose n×k×d temporary made memory traffic (not flops) the
+    dominant cost of every k-means pass.  The expansion's different
+    accumulation order shifts values by ~1e-13, the same tolerance
+    class the 1e-6 snap already absorbs for the direct sum's own
+    cross-engine noise; tiny negative zeros are snapped to 0.0."""
+    d2 = (
+        (m * m).sum(axis=1)[:, None]
+        - 2.0 * (m @ cents.T)
+        + (cents * cents).sum(axis=1)[None, :]
+    )
+    return round6_np(np.maximum(d2, 0.0))
 
 
 def kmeans_centroids(
@@ -538,23 +550,104 @@ def load_ivf_index(path: str) -> np.ndarray:
     return np.array([np.asarray(c, dtype=np.float64) for c in t["centroid"].to_pylist()])
 
 
+def _coarse_cells(
+    cents: np.ndarray, n_coarse: int, n_iters: int = 2
+) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Coarse quantizer OVER a centroid matrix — the index for
+    hierarchical assignment.  The k×d centroid table is plan-sized, so
+    this is pure driver-side NumPy (deterministic Lloyd's: init = the
+    first ``n_coarse`` centroids, the same rounded-L2 rule as
+    everywhere else; empty cells are dropped so every probed cell
+    holds at least one candidate).  Returns the coarse centers and,
+    per cell, the ascending centroid-id member array."""
+    k = len(cents)
+    n_coarse = max(1, min(int(n_coarse), k))
+    cc = cents[:n_coarse].copy()
+    for _ in range(n_iters):
+        a = np.argmin(_l2_assign(cents, cc), axis=1)
+        for c in range(n_coarse):
+            sel = cents[a == c]
+            if len(sel):
+                cc[c] = sel.mean(axis=0)
+    a = np.argmin(_l2_assign(cents, cc), axis=1)
+    members = [np.flatnonzero(a == c) for c in range(n_coarse)]
+    keep = [c for c in range(n_coarse) if len(members[c])]
+    return cc[keep], [members[c] for c in keep]
+
+
+def _hier_nearest(
+    m: np.ndarray,
+    cents: np.ndarray,
+    coarse: np.ndarray,
+    members: list[np.ndarray],
+    nprobe: int,
+) -> np.ndarray:
+    """Nearest-centroid ids for ``m`` probing only the ``nprobe``
+    nearest coarse cells per row — O(n·(√k + nprobe·k/√k)·d) instead
+    of O(n·k·d).  Approximate by construction (the true nearest
+    centroid can live in an unprobed cell — the same boundary risk any
+    space partition takes); within the probed set the rule matches the
+    exact path bit-for-bit: rounded-L2, ties to the smaller centroid
+    id (stable argmin over ascending member ids per cell, explicit
+    smaller-id preference across cells)."""
+    n = len(m)
+    cd = _l2_assign(m, coarse)
+    order = np.argsort(cd, axis=1, kind="stable")[:, : max(1, nprobe)]
+    best_d = np.full(n, np.inf)
+    best_id = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    for c in range(len(coarse)):
+        rows = np.flatnonzero((order == c).any(axis=1))
+        if not rows.size:
+            continue
+        cand = members[c]
+        d2 = _l2_assign(m[rows], cents[cand])
+        j = np.argmin(d2, axis=1)
+        dd = d2[np.arange(len(rows)), j]
+        cid = cand[j]
+        upd = (dd < best_d[rows]) | (
+            (dd == best_d[rows]) & (cid < best_id[rows])
+        )
+        rs = rows[upd]
+        best_d[rs] = dd[upd]
+        best_id[rs] = cid[upd]
+    return best_id
+
+
 def kmeans_assign(
     df: DataFrame,
     vec_col: str,
     id_col: str,
     centroids: np.ndarray,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (same rounded-L2,
     ties-to-smaller-list rule as the k-means build) — the corpus
     clustering primitive: cluster-balanced sampling, per-topic
     accounting, routing.  One Arrow pass, no shuffle; invalid vectors
     (null/ragged/zero-dim) get ``cluster_id = NULL`` instead of being
-    dropped, so the operator is total over real corpora."""
+    dropped, so the operator is total over real corpora.
+
+    ``nprobe``: hierarchical (approximate) assignment — build a
+    √k-cell coarse quantizer over the centroids driver-side and probe
+    only the ``nprobe`` nearest cells per vector.  This is the
+    faiss-style answer to the O(n·k·d) dense pass going superlinear
+    when the cluster count scales WITH the corpus (SemDeDup's k∝n
+    rule): per-vector cost drops to O((√k + nprobe·k/√k)·d).  Leave
+    ``None`` for exact assignment — required wherever an oracle
+    replays the assignment bit-for-bit (IVF build, q41)."""
     from pyspark.sql.types import IntegerType
 
     spark = df.sparkSession
     dim = centroids.shape[1]
-    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+    cents64 = np.asarray(centroids, dtype=np.float64)
+    bc = spark.sparkContext.broadcast(cents64)
+    hier = nprobe is not None and len(cents64) > 4
+    bc_coarse = None
+    if hier:
+        kc = int(np.ceil(np.sqrt(len(cents64))))
+        bc_coarse = spark.sparkContext.broadcast(
+            _coarse_cells(cents64, kc)
+        )
 
     @F.pandas_udf(IntegerType())
     def nearest(v: pd.Series) -> pd.Series:
@@ -565,7 +658,13 @@ def kmeans_assign(
         if ok.any():
             m = np.asarray([np.asarray(x, dtype=np.float64) for x in v[ok]])
             m = round6_np(m)
-            out[ok] = np.argmin(_l2_assign(m, bc.value), axis=1)
+            if hier:
+                coarse, members = bc_coarse.value
+                out[ok] = _hier_nearest(
+                    m, bc.value, coarse, members, int(nprobe)
+                )
+            else:
+                out[ok] = np.argmin(_l2_assign(m, bc.value), axis=1)
         res = pd.Series(out).astype("object")
         res[~ok] = None
         return res.astype("Int32")

@@ -231,3 +231,121 @@ def test_plan_no_cartesian(spark, planted):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hierarchical_assignment_parity_on_planted_copies(spark):
+    """The weak-flag fix (VERDICT r8 #1): hierarchical assignment must
+    keep verdict parity with the exact dense pass on planted copies —
+    identical unit vectors probe identical coarse cells, so exact/scaled
+    duplicates can never be split by the coarse quantizer."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(400):
+        v = rng.randn(16)
+        rows.append((i * 10, [float(x) for x in v]))
+        if i % 4 == 0:  # plant a scaled copy of every 4th vector
+            rows.append((i * 10 + 1, [float(3.0 * x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = semantic_dedup(
+        df, "embedding", "vec_id", n_clusters=64, eps=EPS, assign_nprobe=None
+    ).toPandas().set_index("vec_id")
+    hier = semantic_dedup(
+        df, "embedding", "vec_id", n_clusters=64, eps=EPS, assign_nprobe=2
+    ).toPandas().set_index("vec_id")
+    auto = semantic_dedup(
+        df, "embedding", "vec_id", n_clusters=64, eps=EPS
+    ).toPandas().set_index("vec_id")
+
+    # every planted copy dies under every assignment mode, with the
+    # same dup_of (the copy and its source share a unit vector, hence
+    # a coarse cell, hence a cluster)
+    for out in (exact, hier, auto):
+        for i in range(0, 400, 4):
+            assert out.loc[i * 10, "keep"] == 1
+            assert out.loc[i * 10 + 1, "keep"] == 0
+            assert out.loc[i * 10 + 1, "dup_of"] == i * 10
+    # auto at k>=64 is the hierarchical path
+    assert auto["keep"].equals(hier["keep"])
+    # global invariant holds under hierarchical assignment too: no two
+    # kept members of one cluster are eps-close
+    vecs = {r["vec_id"]: np.asarray(r["embedding"]) for r in df.collect()}
+    kept = hier[hier["keep"] == 1].dropna(subset=["cluster_id"])
+    for cid, grp in kept.groupby("cluster_id"):
+        ids = list(grp.index)
+        for a in range(len(ids)):
+            for b in range(a + 1, len(ids)):
+                va, vb = vecs[ids[a]], vecs[ids[b]]
+                cos = float(
+                    va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+                )
+                assert cos < EPS
+
+
+def test_coarse_cells_partition_and_determinism():
+    import numpy as np
+
+    from lsd2_spark.operators.similarity import _coarse_cells, _hier_nearest, _l2_assign
+
+    rng = np.random.RandomState(3)
+    cents = rng.randn(100, 8)
+    c1, m1 = _coarse_cells(cents, 10)
+    c2, m2 = _coarse_cells(cents, 10)
+    assert np.array_equal(c1, c2)
+    # members partition the centroid ids exactly
+    all_ids = np.sort(np.concatenate(m1))
+    assert np.array_equal(all_ids, np.arange(100))
+    assert all(len(m) for m in m1)
+    # full-probe hierarchical == exact dense argmin (no cell is skipped)
+    q = rng.randn(50, 8)
+    exact = np.argmin(_l2_assign(q, cents), axis=1)
+    hier = _hier_nearest(q, cents, c1, m1, nprobe=len(c1))
+    assert np.array_equal(exact, hier)
+
+
+def test_blocked_greedy_matches_sequential_reference(spark):
+    """The blocked-BLAS greedy kernel must be bit-identical to the
+    row-at-a-time scan it replaced — including dup_of on EXACT
+    similarity ties (earlier-kept member wins) and across block
+    boundaries (block size 256 → use n > 512 in one cluster)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    # low-dim so near-ties and dups are common; one cluster (k=1)
+    base = rng.randn(600, 3)
+    # plant exact duplicates (ties: two identical earlier members)
+    base[100] = base[50]
+    base[101] = base[50]
+    base[400] = base[300] * 2.0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(600)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    eps = 0.9
+    out = (
+        semantic_dedup(df, "embedding", "vec_id", n_clusters=1, eps=eps)
+        .toPandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+
+    # independent sequential reference on the same unit vectors
+    unit = base / np.linalg.norm(base, axis=1, keepdims=True)
+    keep, dup_of, max_sim, kept = {}, {}, {}, []
+    for i in range(600):
+        if kept:
+            sims = unit[kept] @ unit[i]
+            j = int(np.argmax(sims))
+            max_sim[i] = float(sims[j])
+            if sims[j] >= eps:
+                keep[i] = 0
+                dup_of[i] = kept[j]
+                continue
+        keep[i] = 1
+        kept.append(i)
+    for i in range(600):
+        assert out.loc[i, "keep"] == keep[i], i
+        if keep[i] == 0:
+            assert out.loc[i, "dup_of"] == dup_of[i], i
+        if i in max_sim:
+            assert abs(out.loc[i, "max_sim"] - max_sim[i]) < 1e-12, i
