@@ -300,7 +300,7 @@ def main() -> None:
             .alias("embedding"),
         )
 
-        def probe(name, base_fn, x10_fn):
+        def probe(name, base_fn, x10_fn, base_cands=None, x10_cands=None):
             t0 = time.perf_counter()
             base_out = base_fn()
             base_dt = time.perf_counter() - t0
@@ -314,6 +314,16 @@ def main() -> None:
                 "base_out_rows": int(base_out),
                 "x10_out_rows": int(x10_out),
             }
+            # candidate (band-collision) volume, not output pairs, is
+            # the quantity that degrades first at scale — VERDICT r8 #2
+            if base_cands is not None:
+                density[name]["base_cand_rows"] = int(base_cands())
+                density[name]["x10_cand_rows"] = int(x10_cands())
+                density[name]["cand_ratio"] = round(
+                    density[name]["x10_cand_rows"]
+                    / max(density[name]["base_cand_rows"], 1),
+                    2,
+                )
 
         probe(
             "lsh_pairs_x10",
@@ -341,6 +351,14 @@ def main() -> None:
                 ddp.simhash(docs10, "text", "doc_id", bits=_Q66_BITS),
                 "doc_id", "simhash", bits=_Q66_BITS, max_hamming=_HAM_MAX,
             ).count(),
+            base_cands=lambda: ddp.hamming_band_candidates(
+                ddp.simhash(docs, "text", "doc_id", bits=_Q66_BITS),
+                "doc_id", "simhash", bits=_Q66_BITS, max_hamming=_HAM_MAX,
+            ).count(),
+            x10_cands=lambda: ddp.hamming_band_candidates(
+                ddp.simhash(docs10, "text", "doc_id", bits=_Q66_BITS),
+                "doc_id", "simhash", bits=_Q66_BITS, max_hamming=_HAM_MAX,
+            ).count(),
         )
         probe(
             "embedding_neardup_x10",
@@ -351,6 +369,12 @@ def main() -> None:
             lambda: simm.embedding_neardup_pairs(
                 emb10, "embedding", "vec_id",
                 threshold=NEARDUP_THRESHOLD, n_bits=4, n_tables=16,
+            ).count(),
+            base_cands=lambda: simm.embedding_neardup_candidates(
+                emb, "embedding", "vec_id", n_bits=4, n_tables=16
+            ).count(),
+            x10_cands=lambda: simm.embedding_neardup_candidates(
+                emb10, "embedding", "vec_id", n_bits=4, n_tables=16
             ).count(),
         )
         # SemDeDup's scale rule: grow n_clusters WITH the corpus so the

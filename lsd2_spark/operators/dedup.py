@@ -37,6 +37,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "normalize_text_col",
     "normalized_dedup",
+    "hamming_band_candidates",
     "hamming_neardup_pairs",
     "connected_components",
     "dedup_clusters",
@@ -403,23 +404,25 @@ def normalized_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def hamming_neardup_pairs(
+def hamming_band_candidates(
     hashes: DataFrame,
     id_col: str,
     hash_col: str,
     bits: int = 64,
     max_hamming: int = 6,
 ) -> DataFrame:
-    """Generic near-dup pairs over an integer fingerprint column (a
-    simhash, image dHash, audio fingerprint...): pairs within
-    ``max_hamming`` bits, found without all-pairs work.
+    """The pre-popcount candidate stage of :func:`hamming_neardup_pairs`
+    — every distinct pair sharing at least one band value, with both
+    hashes attached: ``(id1, id2, h1, h2)``.
 
-    Pigeonhole banding: the ``bits``-bit hash splits into
-    ``max_hamming + 1`` bands, so any pair within budget agrees EXACTLY
-    on at least one band; candidates equi-join on (band index, band
-    value) and survive an exact popcount filter.  Same bucketed-join
-    scale shape as the MinHash-LSH text path — one shuffle on the band
-    key, skew handled by AQE like any hot bucket.
+    Exposed separately because candidate COUNT (band-collision volume),
+    not output-pair count, is the quantity that grows when banding
+    degrades at scale — the density probes and the collision-bound
+    regression measure this stage directly.  For uniformly distributed
+    ``bits``-bit hashes the expected candidate count over n unrelated
+    fingerprints is ``~ C(n,2) · Σ_b 2^-width(b)`` (bands of
+    ``bits // (max_hamming+1)`` bits, the last absorbing the
+    remainder) — a tested analytic bound.
     """
     n_bands = max_hamming + 1
     band_bits = bits // n_bands
@@ -469,6 +472,29 @@ def hamming_neardup_pairs(
         )
         .dropDuplicates(["id1", "id2"])
     )
+    return pairs
+
+
+def hamming_neardup_pairs(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int = 64,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Generic near-dup pairs over an integer fingerprint column (a
+    simhash, image dHash, audio fingerprint...): pairs within
+    ``max_hamming`` bits, found without all-pairs work.
+
+    Pigeonhole banding (:func:`hamming_band_candidates`): the
+    ``bits``-bit hash splits into ``max_hamming + 1`` bands, so any
+    pair within budget agrees EXACTLY on at least one band; candidates
+    equi-join on (band index, band value) and survive an exact
+    popcount filter.  Same bucketed-join scale shape as the
+    MinHash-LSH text path — one shuffle on the band key, skew handled
+    by AQE like any hot bucket.
+    """
+    pairs = hamming_band_candidates(hashes, id_col, hash_col, bits, max_hamming)
     ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
     return (
         pairs.withColumn("hamming", ham)

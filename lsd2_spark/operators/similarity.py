@@ -26,6 +26,7 @@ __all__ = [
     "cosine_topk",
     "ivf_topk",
     "hyperplane_lsh_topk",
+    "embedding_neardup_candidates",
     "embedding_neardup_pairs",
     "kmeans_centroids",
     "kmeans_assign",
@@ -378,26 +379,20 @@ def kmeans_centroids(
     return cents
 
 
-def embedding_neardup_pairs(
+def embedding_neardup_candidates(
     df: DataFrame,
     vec_col: str,
     id_col: str,
-    threshold: float = 0.4,
     n_bits: int = 4,
     n_tables: int = 16,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs — the dedup variant of the
-    LSH machinery: bucket every vector into ``n_tables`` sign-LSH
-    tables, self-join on the bucket id (id1 < id2, distinct), score the
-    surviving candidates with the exact cosine, and keep pairs at or
-    above ``threshold``.
-
-    100 TB shape: the self-join is a bucketed equi-join (one shuffle on
-    the bucket id, AQE splits hot buckets) — never an all-pairs plan;
-    recall follows the standard sign-LSH bound (1-(1-p^bits)^tables).
-    Deterministic hyperplanes make the whole pipeline SQL-replayable,
-    so the gate hash-matches a DuckDB oracle end-to-end.
-    """
+    """The pre-threshold candidate stage of
+    :func:`embedding_neardup_pairs`: every distinct bucket-colliding
+    pair with its exact cosine, BEFORE the similarity filter.  Exposed
+    because candidate volume (bucket-collision growth), not output-pair
+    count, is what degrades first when the corpus densifies — the
+    density probes and collision-bound regressions measure this stage
+    directly."""
     spark = df.sparkSession
     dim = _probe_dim(df, vec_col)
     if dim is None:
@@ -432,6 +427,31 @@ def embedding_neardup_pairs(
             _dot(F.col("l._v"), F.col("r._v")) / (F.col("l._n") * F.col("r._n"))
         ).alias("sim"),
     )
+    return pairs
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.4,
+    n_bits: int = 4,
+    n_tables: int = 16,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the dedup variant of the
+    LSH machinery: bucket every vector into ``n_tables`` sign-LSH
+    tables, self-join on the bucket id (id1 < id2, distinct,
+    :func:`embedding_neardup_candidates`), score the surviving
+    candidates with the exact cosine, and keep pairs at or above
+    ``threshold``.
+
+    100 TB shape: the self-join is a bucketed equi-join (one shuffle on
+    the bucket id, AQE splits hot buckets) — never an all-pairs plan;
+    recall follows the standard sign-LSH bound (1-(1-p^bits)^tables).
+    Deterministic hyperplanes make the whole pipeline SQL-replayable,
+    so the gate hash-matches a DuckDB oracle end-to-end.
+    """
+    pairs = embedding_neardup_candidates(df, vec_col, id_col, n_bits, n_tables)
     return pairs.filter(F.col("sim") >= threshold)
 
 
