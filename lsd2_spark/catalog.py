@@ -46,6 +46,7 @@ from lsd2_spark import healpix as hpx
 from lsd2_spark.functions.healpix_cols import ang2pix_udf
 from lsd2_spark.functions.spherical import gc_dist
 from lsd2_spark.plans.partition_map import PartitionMap, compute_partition_map
+from lsd2_spark.sources.fs import LOCAL_FS, LifecycleFS
 
 SPATIAL_INDEX_ORDER = 19
 RANK_BITS = 21
@@ -301,9 +302,8 @@ def partition_catalog(
         margin_threshold=margin_threshold,
         hips=pm.hips,
     )
-    os.makedirs(path, exist_ok=True)
-    with open(f"{path}/{cat_name}_meta.json", "w") as f:
-        f.write(meta.to_json())
+    LOCAL_FS.makedirs(path)
+    LOCAL_FS.publish(f"{path}/{cat_name}_meta.json", meta.to_json())
 
     cat = Catalog(spark, path, meta)
     if write_margins:
@@ -351,24 +351,41 @@ def ingest_catalog(
 class Catalog:
     """Query API over a partitioned catalog (reference hipscat/catalog.py)."""
 
-    def __init__(self, spark: SparkSession, path: str, meta: CatalogMetadata):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        meta: CatalogMetadata,
+        fs: "LifecycleFS | None" = None,
+    ):
         self.spark = spark
         self.path = path
         self.meta = meta
+        # the lifecycle layer's filesystem (censuses, intent markers,
+        # roll-forward moves) — injectable so object-store deployments
+        # and fault-injection tests swap the POSIX default out; the
+        # data plane (parquet scans/writes) goes through Spark's own
+        # Hadoop FileSystem regardless (sources/fs.py)
+        self._fs = fs or LOCAL_FS
 
     # -- loading ------------------------------------------------------------
 
     @staticmethod
-    def load(spark: SparkSession, path: str, cat_name: str | None = None) -> "Catalog":
+    def load(
+        spark: SparkSession,
+        path: str,
+        cat_name: str | None = None,
+        fs: "LifecycleFS | None" = None,
+    ) -> "Catalog":
+        fs = fs or LOCAL_FS
         if cat_name is None:
-            metas = [f for f in os.listdir(path) if f.endswith("_meta.json")]
+            metas = [f for f in fs.listdir(path) if f.endswith("_meta.json")]
             assert len(metas) == 1, f"ambiguous catalog dir {path}: {metas}"
             meta_file = metas[0]
         else:
             meta_file = f"{cat_name}_meta.json"
-        with open(f"{path}/{meta_file}") as f:
-            meta = CatalogMetadata.from_json(f.read())
-        return Catalog(spark, path, meta)
+        meta = CatalogMetadata.from_json(fs.read_text(f"{path}/{meta_file}"))
+        return Catalog(spark, path, meta, fs=fs)
 
     def df(self, columns: list[str] | None = None) -> DataFrame:
         """The catalog as a lazy DataFrame; Norder/Dir/Npix are hive
@@ -381,7 +398,7 @@ class Catalog:
 
     def margin_df(self) -> DataFrame | None:
         p = f"{self.path}/neighbor"
-        if not os.path.exists(p):
+        if not self._fs.exists(p):
             return None
         return self.spark.read.parquet(p)
 
@@ -445,11 +462,11 @@ class Catalog:
         # forward and REMOVES, silently losing the rows (and a stale
         # delete marker's recorded committed_n_sources would stop
         # reflecting the intervening append).
-        if os.path.exists(self._rebalance_intent_path()):
+        if self._fs.exists(self._rebalance_intent_path()):
             return self._reconcile_rebalance_intent().append(df, batch_id=batch_id)
-        if os.path.exists(self._delete_intent_path()):
+        if self._fs.exists(self._delete_intent_path()):
             return self._reconcile_delete_intent().append(df, batch_id=batch_id)
-        if os.path.exists(self._compact_intent_path()):
+        if self._fs.exists(self._compact_intent_path()):
             return self._reconcile_compact_intent().append(df, batch_id=batch_id)
         spark = self.spark
         meta = self.meta
@@ -475,7 +492,7 @@ class Catalog:
                 committed.last_batch_id is not None
                 and batch_id <= committed.last_batch_id
             ):
-                return Catalog(spark, self.path, committed)
+                return Catalog(spark, self.path, committed, fs=self._fs)
             # Replay after a torn commit: restart from the durable state so
             # `existing` below reflects what is actually on disk.
             meta = committed
@@ -615,19 +632,20 @@ class Catalog:
         intent_path = f"{self.path}/{meta.cat_name}_append_intent.json"
         if batch_id is not None:
             intent = None
-            if os.path.exists(intent_path):
+            if self._fs.exists(intent_path):
                 try:
-                    with open(intent_path) as f:
-                        intent = json.loads(f.read())
+                    intent = json.loads(self._fs.read_text(intent_path))
                 except (OSError, ValueError):
                     intent = None
             if intent is not None and intent.get("batch_id") == batch_id:
                 pre_touched = int(intent["pre_touched"])
             else:
-                tmp = intent_path + ".tmp"
-                with open(tmp, "w") as f:
-                    json.dump({"batch_id": batch_id, "pre_touched": disk_touched}, f)
-                os.replace(tmp, intent_path)
+                self._fs.publish(
+                    intent_path,
+                    json.dumps(
+                        {"batch_id": batch_id, "pre_touched": disk_touched}
+                    ),
+                )
 
         from pyspark.sql.types import StructField, StructType
 
@@ -667,14 +685,14 @@ class Catalog:
             hips=hips,
             last_batch_id=batch_id if batch_id is not None else meta.last_batch_id,
         )
-        cat = Catalog(spark, self.path, new_meta)
+        cat = Catalog(spark, self.path, new_meta, fs=self._fs)
 
         # The halo append must land BEFORE the metadata commit: once the
         # high-water mark is committed a replay no-ops, so margin rows
         # written after it would be lost forever on a crash in between.
         # Written before, a torn halo write is simply retried on replay —
         # the (id, Norder, Npix) anti-join makes the retry idempotent.
-        if os.path.exists(f"{self.path}/neighbor"):
+        if self._fs.exists(f"{self.path}/neighbor"):
             from lsd2_spark.operators.margins import margin_rows
 
             halo = margin_rows(df, cat, ra_col=meta.ra_kw, dec_col=meta.dec_kw)
@@ -702,7 +720,7 @@ class Catalog:
         self._commit_meta(new_meta)
         if batch_id is not None:
             try:
-                os.remove(intent_path)
+                self._fs.remove(intent_path)
             except FileNotFoundError:
                 pass
 
@@ -735,7 +753,7 @@ class Catalog:
         crash-recovery path; the common case predicate-pushes instead,
         see :meth:`delete`)."""
         spark, meta = self.spark, self.meta
-        if not os.path.exists(f"{self.path}/neighbor"):
+        if not self._fs.exists(f"{self.path}/neighbor"):
             return
         neigh = spark.read.parquet(f"{self.path}/neighbor")
         live_ids = self.df([meta.id_kw]).select(meta.id_kw)
@@ -762,8 +780,6 @@ class Catalog:
     def _overwrite_halo_cells(self, halo_keep, halo_touched) -> None:
         """Dynamic-overwrite the kept halo rows and remove emptied halo
         partition directories."""
-        import shutil
-
         spark = self.spark
         halo_survivors = {
             (int(r["Norder"]), int(r["Npix"]))
@@ -786,18 +802,14 @@ class Catalog:
         for o, p in halo_touched:
             if (o, p) not in halo_survivors:
                 d = int(_dir_value(p))
-                shutil.rmtree(
-                    f"{self.path}/neighbor/Norder={o}/Dir={d}/Npix={p}",
-                    ignore_errors=True,
+                self._fs.rmtree(
+                    f"{self.path}/neighbor/Norder={o}/Dir={d}/Npix={p}"
                 )
 
     def _commit_meta(self, new_meta: "CatalogMetadata") -> None:
         """Atomic-rename metadata commit (the commit point)."""
         meta_path = f"{self.path}/{new_meta.cat_name}_meta.json"
-        tmp_path = f"{meta_path}.tmp"
-        with open(tmp_path, "w") as f:
-            f.write(new_meta.to_json())
-        os.replace(tmp_path, meta_path)
+        self._fs.publish(meta_path, new_meta.to_json())
 
     def _reconcile_delete_intent(self) -> "Catalog":
         """Converge a crashed delete.  The write-ahead intent marker
@@ -812,16 +824,13 @@ class Catalog:
         the coverage map, and orphaned halo rows are re-derived from the
         disk state; every step is idempotent, so a crash during
         reconciliation just reconciles again."""
-        import shutil
-
         spark, meta = self.spark, self.meta
         intent_path = self._delete_intent_path()
         try:
-            with open(intent_path) as f:
-                intent = json.loads(f.read())
+            intent = json.loads(self._fs.read_text(intent_path))
         except (OSError, ValueError):
             try:
-                os.remove(intent_path)
+                self._fs.remove(intent_path)
             except FileNotFoundError:
                 pass
             return self
@@ -848,9 +857,8 @@ class Catalog:
             if (o, p) in survivors:
                 continue
             d = int(_dir_value(p))
-            shutil.rmtree(
-                f"{self.path}/catalog/Norder={o}/Dir={d}/Npix={p}",
-                ignore_errors=True,
+            self._fs.rmtree(
+                f"{self.path}/catalog/Norder={o}/Dir={d}/Npix={p}"
             )
             if o in hips and p in hips[o]:
                 hips[o] = [x for x in hips[o] if x != p]
@@ -869,11 +877,11 @@ class Catalog:
             hips=hips,
             last_batch_id=meta.last_batch_id,
         )
-        cat = Catalog(spark, self.path, new_meta)
+        cat = Catalog(spark, self.path, new_meta, fs=self._fs)
         cat._purge_halo_orphans()
         cat._commit_meta(new_meta)
         try:
-            os.remove(intent_path)
+            self._fs.remove(intent_path)
         except FileNotFoundError:
             pass
         return cat
@@ -914,11 +922,11 @@ class Catalog:
         # leaves rows duplicated across parent+child dirs (match counts
         # would double), and vice versa a half-finished delete leaves
         # n_sources accounting open
-        if os.path.exists(self._rebalance_intent_path()):
+        if self._fs.exists(self._rebalance_intent_path()):
             return self._reconcile_rebalance_intent().delete(predicate)
-        if os.path.exists(self._delete_intent_path()):
+        if self._fs.exists(self._delete_intent_path()):
             return self._reconcile_delete_intent().delete(predicate)
-        if os.path.exists(self._compact_intent_path()):
+        if self._fs.exists(self._compact_intent_path()):
             return self._reconcile_compact_intent().delete(predicate)
         meta = self.meta
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
@@ -954,17 +962,16 @@ class Catalog:
         intent_path = self._delete_intent_path()
         keep_counts = keep.groupBy("Norder", "Npix").count().collect()
         n_kept = int(sum(r["count"] for r in keep_counts))
-        tmp = intent_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
+        self._fs.publish(
+            intent_path,
+            json.dumps(
                 {
                     "touched": sorted(touched),
                     "pre_touched": n_kept + n_deleted,
                     "committed_n_sources": meta.n_sources,
-                },
-                f,
-            )
-        os.replace(tmp, intent_path)
+                }
+            ),
+        )
 
         from pyspark.sql.types import StructField, StructType
 
@@ -988,16 +995,13 @@ class Catalog:
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
-        import shutil
-
         hips = {o: sorted(ps) for o, ps in meta.hips.items()}
         for o, p in touched:
             if (o, p) in survivors:
                 continue
             d = int(_dir_value(p))
-            shutil.rmtree(
-                f"{self.path}/catalog/Norder={o}/Dir={d}/Npix={p}",
-                ignore_errors=True,
+            self._fs.rmtree(
+                f"{self.path}/catalog/Norder={o}/Dir={d}/Npix={p}"
             )
             if o in hips and p in hips[o]:
                 hips[o] = [x for x in hips[o] if x != p]
@@ -1009,7 +1013,7 @@ class Catalog:
         # against the halo schema, filter neighbor/ directly — a
         # predicate-pushed scan touching only matching halo cells, no
         # full-catalog id scan, no catalog-sized shuffle join.
-        if os.path.exists(f"{self.path}/neighbor"):
+        if self._fs.exists(f"{self.path}/neighbor"):
             neigh = spark.read.parquet(f"{self.path}/neighbor")
             # pushdown is safe ONLY for predicates over source data
             # columns: Norder/Dir/Npix/_ID in neighbor/ are the HALO
@@ -1056,7 +1060,7 @@ class Catalog:
             else:
                 # predicate references columns the halo schema lacks:
                 # fall back to the live-id anti-join (correct, heavier)
-                Catalog(spark, self.path, meta)._purge_halo_orphans()
+                Catalog(spark, self.path, meta, fs=self._fs)._purge_halo_orphans()
 
         new_meta = CatalogMetadata(
             cat_name=meta.cat_name,
@@ -1072,10 +1076,10 @@ class Catalog:
         )
         self._commit_meta(new_meta)
         try:
-            os.remove(intent_path)
+            self._fs.remove(intent_path)
         except FileNotFoundError:
             pass
-        return Catalog(spark, self.path, new_meta)
+        return Catalog(spark, self.path, new_meta, fs=self._fs)
 
     def _rebalance_intent_path(self) -> str:
         return f"{self.path}/{self.meta.cat_name}_rebalance_intent.json"
@@ -1097,16 +1101,13 @@ class Catalog:
           rebuild the children's halos where the parent halo source
           material still exists, commit the recorded coverage, drop the
           marker.  Every step is idempotent."""
-        import shutil
-
         spark, meta = self.spark, self.meta
         path = self._rebalance_intent_path()
         try:
-            with open(path) as f:
-                intent = json.loads(f.read())
+            intent = json.loads(self._fs.read_text(path))
         except (OSError, ValueError):
             try:
-                os.remove(path)
+                self._fs.remove(path)
             except FileNotFoundError:
                 pass
             return self
@@ -1118,12 +1119,11 @@ class Catalog:
             # never collide with a pre-existing cell directory
             for o2, cp in planned:
                 d = int(_dir_value(cp))
-                shutil.rmtree(
-                    f"{self.path}/catalog/Norder={o2}/Dir={d}/Npix={cp}",
-                    ignore_errors=True,
+                self._fs.rmtree(
+                    f"{self.path}/catalog/Norder={o2}/Dir={d}/Npix={cp}"
                 )
-            os.remove(path)
-            return Catalog(spark, self.path, meta)
+            self._fs.remove(path)
+            return Catalog(spark, self.path, meta, fs=self._fs)
 
         # phase == done: roll forward
         child_cells = planned
@@ -1147,28 +1147,25 @@ class Catalog:
         )
         self._commit_meta(new_meta)
         try:
-            os.remove(path)
+            self._fs.remove(path)
         except FileNotFoundError:
             pass
-        return Catalog(spark, self.path, new_meta)
+        return Catalog(spark, self.path, new_meta, fs=self._fs)
 
     def _rebalance_finish(self, splits, child_cells) -> None:
         """Post-done-marker work (idempotent): remove parent data dirs,
         rebuild child halos where parent halo material remains, remove
         parent halo dirs."""
-        import shutil
-
         spark, meta = self.spark, self.meta
         # child halo rebuild BEFORE parent-dir removals would be ideal,
         # but candidates need the parent halo rows which live in
         # neighbor/, not catalog/ — so parent DATA dirs can go first.
         for o, p in splits:
             d = int(_dir_value(p))
-            shutil.rmtree(
-                f"{self.path}/catalog/Norder={o}/Dir={d}/Npix={p}",
-                ignore_errors=True,
+            self._fs.rmtree(
+                f"{self.path}/catalog/Norder={o}/Dir={d}/Npix={p}"
             )
-        if not os.path.exists(f"{self.path}/neighbor") or not child_cells:
+        if not self._fs.exists(f"{self.path}/neighbor") or not child_cells:
             return
         # halo material: the rewritten child rows (same physical rows)
         # plus the old parent halo rows — any row within the margin of a
@@ -1182,13 +1179,13 @@ class Catalog:
         # child halos (written before any removal) carry them.
         halo_parents = [
             (o, p) for o, p in splits
-            if os.path.isdir(
+            if self._fs.isdir(
                 f"{self.path}/neighbor/Norder={o}/Dir={int(_dir_value(p))}/Npix={p}"
             )
         ]
         halo_children = [
             (o, p) for o, p in child_cells
-            if os.path.isdir(
+            if self._fs.isdir(
                 f"{self.path}/neighbor/Norder={o}/Dir={int(_dir_value(p))}/Npix={p}"
             )
         ]
@@ -1228,6 +1225,7 @@ class Catalog:
                 hips={o: sorted(ps) for o, ps in child_hips.items()},
                 last_batch_id=meta.last_batch_id,
             ),
+            fs=self._fs,
         )
         rows = margin_rows(cands, restricted, ra_col=meta.ra_kw, dec_col=meta.dec_kw)
         if rows is not None:
@@ -1248,9 +1246,8 @@ class Catalog:
                     "spark.sql.sources.partitionOverwriteMode", prev_mode
                 )
         for o, p in halo_parents:
-            shutil.rmtree(
-                f"{self.path}/neighbor/Norder={o}/Dir={int(_dir_value(p))}/Npix={p}",
-                ignore_errors=True,
+            self._fs.rmtree(
+                f"{self.path}/neighbor/Norder={o}/Dir={int(_dir_value(p))}/Npix={p}"
             )
 
     def rebalance(
@@ -1291,15 +1288,15 @@ class Catalog:
         # converge stale markers from EITHER crashed mutation first
         # (see delete(): operating on half-mutated state corrupts the
         # per-cell counts this planning reads)
-        if os.path.exists(self._rebalance_intent_path()):
+        if self._fs.exists(self._rebalance_intent_path()):
             return self._reconcile_rebalance_intent().rebalance(
                 threshold, max_order
             )
-        if os.path.exists(self._delete_intent_path()):
+        if self._fs.exists(self._delete_intent_path()):
             return self._reconcile_delete_intent().rebalance(
                 threshold, max_order
             )
-        if os.path.exists(self._compact_intent_path()):
+        if self._fs.exists(self._compact_intent_path()):
             return self._reconcile_compact_intent().rebalance(
                 threshold, max_order
             )
@@ -1360,13 +1357,12 @@ class Catalog:
                     )
 
         intent_path = self._rebalance_intent_path()
-        tmp = intent_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
-                {"phase": "pre", "splits": splits, "child_cells": child_cells},
-                f,
-            )
-        os.replace(tmp, intent_path)
+        self._fs.publish(
+            intent_path,
+            json.dumps(
+                {"phase": "pre", "splits": splits, "child_cells": child_cells}
+            ),
+        )
 
         # leaf assignment: the same broadcast leaf-table multi-order
         # probe ingest uses (one equi-join, each row survives exactly
@@ -1420,12 +1416,12 @@ class Catalog:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
         # child rewrite fully committed: flip the marker to done
-        with open(tmp, "w") as f:
-            json.dump(
-                {"phase": "done", "splits": splits, "child_cells": child_cells},
-                f,
-            )
-        os.replace(tmp, intent_path)
+        self._fs.publish(
+            intent_path,
+            json.dumps(
+                {"phase": "done", "splits": splits, "child_cells": child_cells}
+            ),
+        )
 
         self._rebalance_finish(splits, child_cells)
 
@@ -1448,10 +1444,10 @@ class Catalog:
         )
         self._commit_meta(new_meta)
         try:
-            os.remove(intent_path)
+            self._fs.remove(intent_path)
         except FileNotFoundError:
             pass
-        return Catalog(spark, self.path, new_meta)
+        return Catalog(spark, self.path, new_meta, fs=self._fs)
 
     def _multifile_cells(
         self, root: str, max_files: int
@@ -1473,33 +1469,34 @@ class Catalog:
         relative to the root (``Norder=o/Dir=d/Npix=p``) — the exact
         old-file set the compact intent marker records.  One entry per
         CELL, so the walk is plan-sized in the same sense as the
-        coverage map; a deployment past local filesystems would read
-        the ``_metadata`` sidecar or the object-store listing
-        instead of os.listdir."""
+        coverage map.  All I/O routes through ``self._fs``
+        (sources/fs.py) — an object-store deployment swaps the listing
+        implementation (or reads the ``_metadata`` sidecar) without
+        touching this walk."""
         out: dict[str, list[str]] = {}
         base = os.path.join(self.path, root)
-        if not os.path.isdir(base):
+        if not self._fs.isdir(base):
             return out
-        for od in os.listdir(base):
+        for od in self._fs.listdir(base):
             # isdir guards at every level: a stray regular file with a
             # partition-looking name (leftover tmp, object-store marker)
             # must not abort compact or the lifecycle-op entry that
             # reconciles a compact intent
-            if not od.startswith("Norder=") or not os.path.isdir(
+            if not od.startswith("Norder=") or not self._fs.isdir(
                 os.path.join(base, od)
             ):
                 continue
-            for dd in os.listdir(os.path.join(base, od)):
-                if not dd.startswith("Dir=") or not os.path.isdir(
+            for dd in self._fs.listdir(os.path.join(base, od)):
+                if not dd.startswith("Dir=") or not self._fs.isdir(
                     os.path.join(base, od, dd)
                 ):
                     continue
-                for pd_ in os.listdir(os.path.join(base, od, dd)):
+                for pd_ in self._fs.listdir(os.path.join(base, od, dd)):
                     cell = os.path.join(base, od, dd, pd_)
-                    if not pd_.startswith("Npix=") or not os.path.isdir(cell):
+                    if not pd_.startswith("Npix=") or not self._fs.isdir(cell):
                         continue
                     files = sorted(
-                        f for f in os.listdir(cell) if f.endswith(".parquet")
+                        f for f in self._fs.listdir(cell) if f.endswith(".parquet")
                     )
                     if len(files) > max_files:
                         out[f"{od}/{dd}/{pd_}"] = files
@@ -1525,24 +1522,12 @@ class Catalog:
         disk BEFORE the phase it describes begins, so recovery can
         trust a readable marker and treat an unreadable one as
         phase-pre (see :meth:`_reconcile_compact_intent`)."""
-        path_ = self._compact_intent_path()
-        tmp = path_ + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(payload, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, path_)
-        dfd = os.open(os.path.dirname(path_) or ".", os.O_RDONLY)
-        try:
-            os.fsync(dfd)
-        finally:
-            os.close(dfd)
+        self._fs.publish(self._compact_intent_path(), json.dumps(payload))
 
-    @staticmethod
-    def _remove_files(dirpath: str, names) -> None:
+    def _remove_files(self, dirpath: str, names) -> None:
         """Remove data files AND their hidden Hadoop ``.crc`` checksum
-        sidecars (os.remove alone would leak one orphaned crc per
-        compacted file, unbounded under streaming append→compact
+        sidecars (removing the file alone would leak one orphaned crc
+        per compacted file, unbounded under streaming append→compact
         cycles); idempotent."""
         for fname in names:
             for p in (
@@ -1550,7 +1535,7 @@ class Catalog:
                 os.path.join(dirpath, f".{fname}.crc"),
             ):
                 try:
-                    os.remove(p)
+                    self._fs.remove(p)
                 except FileNotFoundError:
                     pass
 
@@ -1560,19 +1545,20 @@ class Catalog:
         order, so at every instant every cell holds at least one
         complete copy of its rows.  Idempotent: already-moved staged
         files are skipped, already-deleted old files are skipped."""
-        import shutil
-
         for root, cells in roots.items():
             stage = self._compact_stage_dir(root)
             for cell_rel, old_files in cells.items():
                 dst_dir = os.path.join(self.path, root, cell_rel)
                 for fname in staged.get(root, {}).get(cell_rel, []):
                     src = os.path.join(stage, cell_rel, fname)
-                    if os.path.exists(src):
-                        os.makedirs(dst_dir, exist_ok=True)
-                        os.replace(src, os.path.join(dst_dir, fname))
+                    if self._fs.exists(src):
+                        self._fs.makedirs(dst_dir)
+                        # rename is NOT assumed atomic (object-store
+                        # copy+delete): a crash mid-move leaves a torn
+                        # destination that this same re-run overwrites
+                        self._fs.rename(src, os.path.join(dst_dir, fname))
                 self._remove_files(dst_dir, old_files)
-            shutil.rmtree(stage, ignore_errors=True)
+            self._fs.rmtree(stage)
 
     def _reconcile_compact_intent(self) -> "Catalog":
         """Converge a crashed :meth:`compact`.
@@ -1593,12 +1579,9 @@ class Catalog:
         deletes a cell's old files only AFTER its staged file moved
         out of staging, so removing what remains in staging can only
         re-fragment cells, never lose their last copy."""
-        import shutil
-
         intent_path = self._compact_intent_path()
         try:
-            with open(intent_path) as f:
-                intent = json.load(f)
+            intent = json.loads(self._fs.read_text(intent_path))
             phase = intent["phase"]
             roots = intent["roots"]
             staged = intent.get("staged", {})
@@ -1606,11 +1589,11 @@ class Catalog:
             intent = None
         if intent is None or phase != "done":
             for root in ("catalog", "neighbor"):
-                shutil.rmtree(self._compact_stage_dir(root), ignore_errors=True)
+                self._fs.rmtree(self._compact_stage_dir(root))
         else:
             self._compact_roll_forward(roots, staged)
         try:
-            os.remove(intent_path)
+            self._fs.remove(intent_path)
         except FileNotFoundError:
             pass
         return Catalog(self.spark, self.path, self.meta)
@@ -1655,15 +1638,13 @@ class Catalog:
 
         Like the other lifecycle ops it converges a crashed
         delete/rebalance/compact first."""
-        import shutil
-
         if max_files < 1:
             raise ValueError(f"max_files must be >= 1, got {max_files}")
-        if os.path.exists(self._rebalance_intent_path()):
+        if self._fs.exists(self._rebalance_intent_path()):
             return self._reconcile_rebalance_intent().compact(max_files)
-        if os.path.exists(self._delete_intent_path()):
+        if self._fs.exists(self._delete_intent_path()):
             return self._reconcile_delete_intent().compact(max_files)
-        if os.path.exists(self._compact_intent_path()):
+        if self._fs.exists(self._compact_intent_path()):
             return self._reconcile_compact_intent().compact(max_files)
         spark = self.spark
         plan = {
@@ -1679,7 +1660,7 @@ class Catalog:
         for root, census in plan.items():
             base = f"{self.path}/{root}"
             stage = self._compact_stage_dir(root)
-            shutil.rmtree(stage, ignore_errors=True)
+            self._fs.rmtree(stage)
             old_paths = [
                 os.path.join(base, cell_rel, fname)
                 for cell_rel, files in census.items()
@@ -1703,9 +1684,9 @@ class Catalog:
                 sdir = os.path.join(stage, cell_rel)
                 staged[root][cell_rel] = (
                     sorted(
-                        f for f in os.listdir(sdir) if f.endswith(".parquet")
+                        f for f in self._fs.listdir(sdir) if f.endswith(".parquet")
                     )
-                    if os.path.isdir(sdir)
+                    if self._fs.isdir(sdir)
                     else []
                 )
         self._compact_checkpoint("staged")
@@ -1714,8 +1695,8 @@ class Catalog:
         )
         self._compact_checkpoint("done")
         self._compact_roll_forward(plan, staged)
-        os.remove(self._compact_intent_path())
-        return Catalog(spark, self.path, self.meta)
+        self._fs.remove(self._compact_intent_path())
+        return Catalog(spark, self.path, self.meta, fs=self._fs)
 
     def fsck(self, repair: bool = False) -> dict:
         """Consistency check between the metadata commit record and the
@@ -1737,7 +1718,7 @@ class Catalog:
         repair the report reflects the PRE-repair state plus
         ``repaired=True``.
         """
-        if repair and os.path.exists(self._rebalance_intent_path()):
+        if repair and self._fs.exists(self._rebalance_intent_path()):
             # a crashed rebalance must converge BEFORE anything below
             # reads disk state: rollback/roll-forward changes the cell
             # directories the recount would otherwise snapshot stale
@@ -1746,7 +1727,7 @@ class Catalog:
             report = self.fsck(repair=True)
             report["repaired"] = True
             return report
-        if repair and os.path.exists(self._compact_intent_path()):
+        if repair and self._fs.exists(self._compact_intent_path()):
             # same ordering argument: a half-compacted cell holds
             # either a partial merged file (pre) or duplicated rows
             # (done) — the recount below must see the converged state
@@ -1780,7 +1761,7 @@ class Catalog:
             .count()
         )
         orphan_halo = 0
-        if os.path.exists(f"{self.path}/neighbor"):
+        if self._fs.exists(f"{self.path}/neighbor"):
             neigh = self.spark.read.parquet(f"{self.path}/neighbor")
             orphan_halo = int(
                 neigh.join(
@@ -1798,20 +1779,20 @@ class Catalog:
             "duplicate_ids": dup_ids,
             "bad_rank_pixels": rank_bad,
             "orphan_halo_rows": orphan_halo,
-            "stale_delete_intent": os.path.exists(self._delete_intent_path()),
-            "stale_rebalance_intent": os.path.exists(
+            "stale_delete_intent": self._fs.exists(self._delete_intent_path()),
+            "stale_rebalance_intent": self._fs.exists(
                 self._rebalance_intent_path()
             ),
-            "stale_compact_intent": os.path.exists(self._compact_intent_path()),
+            "stale_compact_intent": self._fs.exists(self._compact_intent_path()),
             "consistent": (
                 meta.n_sources == n_rows
                 and meta_cells == disk_cells
                 and dup_ids == 0
                 and rank_bad == 0
                 and orphan_halo == 0
-                and not os.path.exists(self._delete_intent_path())
-                and not os.path.exists(self._rebalance_intent_path())
-                and not os.path.exists(self._compact_intent_path())
+                and not self._fs.exists(self._delete_intent_path())
+                and not self._fs.exists(self._rebalance_intent_path())
+                and not self._fs.exists(self._compact_intent_path())
             ),
             "repaired": False,
         }
@@ -1828,7 +1809,7 @@ class Catalog:
             # marker's accounting, so the metadata rewrite supersedes
             # it — drop the marker so the next delete doesn't replay
             try:
-                os.remove(self._delete_intent_path())
+                self._fs.remove(self._delete_intent_path())
             except FileNotFoundError:
                 pass
             report["repaired"] = True
@@ -1851,10 +1832,7 @@ class Catalog:
                 last_batch_id=meta.last_batch_id,
             )
             meta_path = f"{self.path}/{meta.cat_name}_meta.json"
-            tmp_path = f"{meta_path}.tmp"
-            with open(tmp_path, "w") as f:
-                f.write(new_meta.to_json())
-            os.replace(tmp_path, meta_path)
+            self._fs.publish(meta_path, new_meta.to_json())
             self.meta = new_meta
             report["repaired"] = True
         return report

@@ -75,9 +75,10 @@ def html_text_column(col: Column) -> Column:
     x = F.regexp_replace(x, "&lt;", "<")
     x = F.regexp_replace(x, "&gt;", ">")
     x = F.regexp_replace(x, "&quot;", '"')
-    x = F.regexp_replace(x, "&(?:apos|#39);", "'")
-    x = _decode_dec_entities(x)
-    x = F.regexp_replace(x, "&(?:amp|#38);", "&")
+    x = F.regexp_replace(x, "&(?:apos|#39|#[xX]0*27);", "'")
+    x = _decode_named_entities(x)
+    x = _decode_numeric_entities(x)
+    x = F.regexp_replace(x, "&(?:amp|#38|#[xX]0*26);", "&")
     # 6. whitespace normalization
     x = F.regexp_replace(x, "[ \\t\\f]+", " ")
     x = F.regexp_replace(x, "(?m)^ | $", "")
@@ -85,16 +86,42 @@ def html_text_column(col: Column) -> Column:
     return F.btrim(x, F.lit(" \t\n\r\f"))
 
 
-def _decode_dec_entities(x: Column) -> Column:
-    """Decode the ``&#NNN;`` escapes that occur in real text (the
-    quote/bracket family).  A full printable-ASCII decode would be a
-    95-branch replace chain for codepoints that essentially never
-    appear escaped; residual escapes are noise for the quality gates
-    to judge.  ``&#38;`` (ampersand) is deliberately NOT decoded here —
-    it is folded into the ``&amp;`` rule that runs last, so
-    ``&amp;lt;`` still round-trips to the displayed ``&lt;``."""
-    for code, ch in ((34, '"'), (60, "<"), (62, ">")):
-        x = F.regexp_replace(x, f"&#{code};", ch)
+#: high-frequency typographic entities — after nbsp/lt/gt/quot/apos/amp
+#: these dominate what real pages actually escape (smart quotes,
+#: dashes, ellipsis); name -> codepoint
+_TYPOGRAPHIC = {
+    "ndash": 0x2013,
+    "mdash": 0x2014,
+    "lsquo": 0x2018,
+    "rsquo": 0x2019,
+    "ldquo": 0x201C,
+    "rdquo": 0x201D,
+    "hellip": 0x2026,
+}
+
+
+def _decode_named_entities(x: Column) -> Column:
+    for name, code in _TYPOGRAPHIC.items():
+        x = F.regexp_replace(x, f"&{name};", chr(code))
+    return x
+
+
+def _decode_numeric_entities(x: Column) -> Column:
+    """Decode the ``&#NNN;`` / ``&#xHH;`` escapes that occur in real
+    text: the quote/bracket family, nbsp, and the typographic set.
+    Both decimal and hex numeric forms (case-insensitive, leading
+    zeros tolerated) map to the same character.  A full printable
+    decode would be a 95-branch replace chain for codepoints that
+    essentially never appear escaped; residual escapes are noise for
+    the quality gates to judge.  ``&#38;``/``&#x26;`` (ampersand) are
+    deliberately NOT decoded here — they fold into the ``&amp;`` rule
+    that runs last, so ``&amp;lt;`` still round-trips to the displayed
+    ``&lt;``."""
+    codes = [(34, '"'), (60, "<"), (62, ">"), (160, " ")] + [
+        (c, chr(c)) for c in _TYPOGRAPHIC.values()
+    ]
+    for code, ch in codes:
+        x = F.regexp_replace(x, f"&#0*{code};|&#[xX]0*(?i:{code:x});", ch)
     return x
 
 

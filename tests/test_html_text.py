@@ -352,3 +352,24 @@ def test_detect_warc_framing_fails_loudly(spark, tmp_path):
     with gzip.open(gz, "wb") as f:
         f.write(_response("https://x.com/a", "text/html", HTML_A).encode())
     assert detect_warc_framing(str(gz)) == "\r\nWARC/1.0\r\n"
+
+
+def test_hex_and_typographic_entities(spark):
+    """Round-9 entity coverage: hex numeric forms (&#xNN;, any case,
+    leading zeros) and the high-frequency typographic named set decode;
+    &amp;/&#x26; stay strictly last so &amp;lt; still renders &lt;."""
+    page = (
+        "<p>q1 &#x22;dq&#X22; q2 &#034;dq2&#34;</p>"
+        "<p>br &#x3c;tag&#x3E; sp&#xa0;nb &#160;nb2</p>"
+        "<p>ty &mdash; &ndash; &lsquo;a&rsquo; &ldquo;b&rdquo; c&hellip;</p>"
+        "<p>tyn &#8212; &#x2014; &#x2019;s</p>"
+        "<p>amp &amp;lt; &#x26;gt; &amp;#34;</p>"
+    )
+    text = _extract(spark, page)
+    assert '"dq" q2 "dq2"' in text.replace("q1 ", "")
+    assert "<tag>" in text
+    assert "sp nb  nb2" in text or "sp nb" in text  # nbsp forms -> space
+    assert "— – ‘a’ “b” c…" in text
+    assert "— — ’s" in text
+    # double-escaped forms stay escaped-once (amp last)
+    assert "&lt;" in text and "&gt;" in text and "&#34;" in text
