@@ -409,6 +409,182 @@ def dechunk_chunked_bodies(df: DataFrame, body_col: str = "body") -> DataFrame:
     return rest.unionByName(fixed)
 
 
+_WARC_BIN_SCHEMA = (
+    "url string, ts string, record_id string, http_status int, "
+    "content_type string, transfer_encoding string, "
+    "content_encoding string, identity_body boolean, body string"
+)
+
+
+def _dechunk_bytes(data: bytes) -> bytes | None:
+    """Byte-exact chunked-framing removal (the bytes twin of
+    :func:`_dechunk_str` — no re-encoding, so mid-codepoint chunk
+    splits are fine here)."""
+    pos, parts = 0, []
+    while True:
+        nl = data.find(b"\n", pos)
+        if nl < 0:
+            nl = len(data)
+        tok = data[pos:nl].strip(b"\r").split(b";", 1)[0].strip()
+        try:
+            size = int(tok, 16)
+        except ValueError:
+            return None
+        pos = nl + 1
+        if size == 0:
+            break
+        chunk = data[pos : pos + size]
+        if len(chunk) < size:
+            return None
+        parts.append(chunk)
+        pos += size
+        if data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        elif data[pos : pos + 1] == b"\n":
+            pos += 1
+        else:
+            return None
+    return b"".join(parts)
+
+
+def _parse_warc_bytes(data: bytes) -> list[tuple]:
+    """Parse one WARC file's raw bytes into response-record tuples
+    matching ``_WARC_BIN_SCHEMA`` — the byte-exact worker behind
+    :func:`read_warc_binary`.  Handles multi-member gzip (Common Crawl
+    writes one gzip member per record), chunked transfer framing, and
+    gzip/deflate content encodings; the decoded body is UTF-8 text
+    (replacement chars for genuinely non-text payloads)."""
+    import re as _re
+    import zlib as _zlib
+
+    if data[:2] == b"\x1f\x8b":
+        # concatenated gzip members: inflate them all back-to-back
+        out, pos = [], 0
+        while pos < len(data) and data[pos : pos + 2] == b"\x1f\x8b":
+            d = _zlib.decompressobj(47)
+            out.append(d.decompress(data[pos:]))
+            consumed = len(data) - pos - len(d.unused_data)
+            if consumed <= 0:
+                break
+            pos += consumed
+        data = b"".join(out)
+
+    rows = []
+    # record frames: a version line at a record boundary
+    recs = _re.split(rb"(?:\r?\n)?WARC/1\.[01]\r?\n", data)
+    for rec in recs:
+        if not rec.strip():
+            continue
+        m = _re.search(rb"\r?\n\r?\n", rec)
+        hdr = rec[: m.start()] if m else rec
+        payload = rec[m.end() :] if m else b""
+
+        def h(name: bytes, src: bytes = hdr) -> str:
+            mm = _re.search(
+                rb"(?mi)^" + name + rb":[ \t]*([^\r\n]+)", src
+            )
+            return mm.group(1).decode("utf-8", "replace") if mm else ""
+
+        if h(b"WARC-Type").lower() != "response":
+            continue
+        hm = _re.search(rb"\r?\n\r?\n", payload)
+        http_hdr = payload[: hm.start()] if hm else payload
+        body = payload[hm.end() :] if hm else b""
+        body = body.rstrip(b"\r\n")
+        sm = _re.match(rb"HTTP/[0-9.]+ ([0-9]{3})", http_hdr)
+        status = int(sm.group(1)) if sm else None
+        te = h(b"Transfer-Encoding", http_hdr).lower()
+        ce = h(b"Content-Encoding", http_hdr).lower()
+        ok = True
+        if te == "chunked":
+            dechunked = _dechunk_bytes(body)
+            if dechunked is None:
+                ok = False
+            else:
+                body = dechunked
+        if ok and ce in ("gzip", "x-gzip", "deflate"):
+            try:
+                wbits = 47 if ce != "deflate" else 15
+                body = _zlib.decompressobj(wbits).decompress(body)
+            except _zlib.error:
+                try:  # raw-deflate servers mislabel; second chance
+                    body = _zlib.decompressobj(-15).decompress(body)
+                except _zlib.error:
+                    ok = False
+        rows.append(
+            (
+                h(b"WARC-Target-URI"),
+                h(b"WARC-Date"),
+                h(b"WARC-Record-ID"),
+                status,
+                h(b"Content-Type", http_hdr),
+                te,
+                ce,
+                ok,
+                body.decode("utf-8", "replace"),
+            )
+        )
+    return rows
+
+
+def read_warc_binary(
+    spark: SparkSession,
+    path: str,
+    content_type_filter: str | None = "text/html",
+    identity_body_only: bool = True,
+) -> DataFrame:
+    """Byte-exact WARC response scan — the compressed-body companion to
+    :func:`read_warc`.
+
+    The text scan cannot recover ``Content-Encoding: gzip/deflate``
+    bodies (and chunked bodies torn mid-codepoint): the UTF-8 text
+    reader has already replaced the compressed bytes.  This reader goes
+    through ``binaryFile`` + one ``mapInPandas`` kernel per file, so it
+    sees raw bytes: multi-member gzip files (Common Crawl writes one
+    member per record), chunked framing honored byte-exactly, and
+    gzip/x-gzip/deflate content encodings inflated before the single
+    UTF-8 decode.  ``identity_body`` is True when the body decoded to
+    usable text (possibly after dechunk/inflate) — with the default
+    gate only undecodable bodies drop.
+
+    Scale shape: parallelism = files (the ~64k files of a monthly
+    crawl, same as the text scan); each task holds one file's bytes
+    plus the record being inflated, so executor memory must cover the
+    crawl's file size (~1 GB for CC) — the price of byte exactness.
+    Prefer :func:`read_warc` when the corpus is identity-encoded.
+    """
+    files = spark.read.format("binaryFile").load(path)
+
+    def kernel(batches):
+        for pdf in batches:
+            for blob in pdf["content"]:
+                rows = _parse_warc_bytes(bytes(blob))
+                if rows:
+                    yield pd.DataFrame(
+                        rows,
+                        columns=[
+                            "url",
+                            "ts",
+                            "record_id",
+                            "http_status",
+                            "content_type",
+                            "transfer_encoding",
+                            "content_encoding",
+                            "identity_body",
+                            "body",
+                        ],
+                    )
+
+    out = files.select("content").mapInPandas(kernel, _WARC_BIN_SCHEMA)
+    if content_type_filter is not None:
+        out = out.filter(
+            F.lower(F.col("content_type")).contains(content_type_filter.lower())
+        )
+    if identity_body_only:
+        out = out.filter(F.col("identity_body"))
+    return out
+
+
 def read_jsonl(
     spark: SparkSession,
     path: str,

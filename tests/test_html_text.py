@@ -373,3 +373,83 @@ def test_hex_and_typographic_entities(spark):
     assert "— — ’s" in text
     # double-escaped forms stay escaped-once (amp last)
     assert "&lt;" in text and "&gt;" in text and "&#34;" in text
+
+
+def test_read_warc_binary_decodes_compressed_bodies(spark, tmp_path):
+    """The byte-exact reader recovers what the text scan cannot:
+    gzip/deflate content encodings, per-record gzip members (the
+    Common Crawl file layout), and chunked framing honored in bytes —
+    including a chunk boundary splitting a multi-byte codepoint."""
+    import gzip
+    import zlib
+
+    from lsd2_spark.sources.webtext import read_warc_binary
+
+    body = "<html><p>café & crawl — gz</p></html>"
+
+    def rec(url, http: bytes) -> bytes:
+        hdr = CRLF.join(
+            [
+                "WARC-Type: response",
+                f"WARC-Target-URI: {url}",
+                "WARC-Date: 2026-08-01T00:00:00Z",
+                f"WARC-Record-ID: <urn:uuid:{url[-1]}>",
+                f"Content-Length: {len(http)}",
+            ]
+        )
+        return ("WARC/1.0" + CRLF + hdr + CRLF + CRLF).encode() + http + b"\r\n\r\n"
+
+    gz_http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + gzip.compress(body.encode())
+    )
+    defl_http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: deflate\r\n\r\n"
+        + zlib.compress(body.encode())
+    )
+    # chunked with a boundary INSIDE é's two UTF-8 bytes (byte-exact
+    # readers don't care; the text scan provably cannot recover this)
+    raw = body.encode()
+    cut = raw.index("é".encode()) + 1
+    chunked = (
+        f"{cut:x}".encode() + b"\r\n" + raw[:cut] + b"\r\n"
+        + f"{len(raw)-cut:x}".encode() + b"\r\n" + raw[cut:] + b"\r\n0\r\n\r\n"
+    )
+    ch_http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n" + chunked
+    )
+    id_http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + raw
+    )
+    bad_http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip\r\n\r\nNOTGZIP"
+    )
+
+    # plain concatenated file
+    p1 = tmp_path / "a.warc"
+    p1.write_bytes(
+        rec("https://x.com/g", gz_http)
+        + rec("https://x.com/d", defl_http)
+        + rec("https://x.com/c", ch_http)
+        + rec("https://x.com/i", id_http)
+        + rec("https://x.com/x", bad_http)
+    )
+    rows = {r["url"]: r for r in read_warc_binary(spark, str(p1)).collect()}
+    assert set(rows) == {
+        "https://x.com/g", "https://x.com/d", "https://x.com/c", "https://x.com/i"
+    }  # the undecodable body is gated
+    for u in rows:
+        assert rows[u]["body"] == body, u
+        assert rows[u]["identity_body"] is True
+
+    # Common-Crawl layout: one gzip member PER RECORD, .warc.gz suffix
+    p2 = tmp_path / "b.warc.gz"
+    p2.write_bytes(
+        gzip.compress(rec("https://x.com/g", gz_http))
+        + gzip.compress(rec("https://x.com/i", id_http))
+    )
+    rows2 = {r["url"]: r["body"] for r in read_warc_binary(spark, str(p2)).collect()}
+    assert rows2 == {"https://x.com/g": body, "https://x.com/i": body}
