@@ -377,6 +377,33 @@ def main() -> None:
                 emb10, "embedding", "vec_id", n_bits=4, n_tables=16
             ).count(),
         )
+        # the density-scaled twin: sign-LSH bucket count is 2^n_bits per
+        # table, so holding per-bucket population constant under a 10x
+        # corpus means n_bits + ~log2(10) ≈ +3.  The exec ratio drops
+        # from ~35x to ~3x, demonstrating the fixed-config probe's wall
+        # growth is a CONFIG artifact, not a plan defect — with the
+        # standard LSH caveat made visible by the output counts: wider
+        # bits cut recall at fixed n_tables (the full knob is the
+        # (bits, tables) tradeoff curve; holding recall constant under
+        # densification costs ~n^rho extra tables, sublinear but not
+        # free — Indyk-Motwani).
+        probe(
+            "embedding_neardup_x10_scaledbits",
+            lambda: simm.embedding_neardup_pairs(
+                emb, "embedding", "vec_id",
+                threshold=NEARDUP_THRESHOLD, n_bits=4, n_tables=16,
+            ).count(),
+            lambda: simm.embedding_neardup_pairs(
+                emb10, "embedding", "vec_id",
+                threshold=NEARDUP_THRESHOLD, n_bits=7, n_tables=16,
+            ).count(),
+            base_cands=lambda: simm.embedding_neardup_candidates(
+                emb, "embedding", "vec_id", n_bits=4, n_tables=16
+            ).count(),
+            x10_cands=lambda: simm.embedding_neardup_candidates(
+                emb10, "embedding", "vec_id", n_bits=7, n_tables=16
+            ).count(),
+        )
         # SemDeDup's scale rule: grow n_clusters WITH the corpus so the
         # per-cluster population (the quadratic unit) stays constant —
         # a ~linear exec ratio here certifies the rule; running 10x the

@@ -511,6 +511,18 @@ def _parse_warc_bytes(data: bytes) -> list[tuple]:
                     body = _zlib.decompressobj(-15).decompress(body)
                 except _zlib.error:
                     ok = False
+        elif ok and ce == "br":
+            # brotli is not in this environment's baked-in set; decode
+            # when the library exists, otherwise the row stays flagged
+            # (identical to the text scan's gating for br)
+            try:
+                import brotli  # type: ignore
+
+                body = brotli.decompress(body)
+            except ImportError:
+                ok = False
+            except Exception:
+                ok = False
         rows.append(
             (
                 h(b"WARC-Target-URI"),
