@@ -360,6 +360,31 @@ def main() -> None:
                 "doc_id", "simhash", bits=_Q66_BITS, max_hamming=_HAM_MAX,
             ).count(),
         )
+        # production-bits twin: the gate row uses 16-bit simhash for SQL
+        # oracle tractability, which saturates (3 bands of 5-6 bits =
+        # 32-64 values) and drives the fixed-config probe's superlinear
+        # candidates; at the operator's production default (60-bit,
+        # 7 bands of 8-9 bits) the same 10x densification measures
+        # ~3.4x exec with candidates tracking pairs
+        probe(
+            "simhash_neardup_x10_60bit",
+            lambda: ddp.hamming_neardup_pairs(
+                ddp.simhash(docs, "text", "doc_id", bits=60),
+                "doc_id", "simhash", bits=60, max_hamming=6,
+            ).count(),
+            lambda: ddp.hamming_neardup_pairs(
+                ddp.simhash(docs10, "text", "doc_id", bits=60),
+                "doc_id", "simhash", bits=60, max_hamming=6,
+            ).count(),
+            base_cands=lambda: ddp.hamming_band_candidates(
+                ddp.simhash(docs, "text", "doc_id", bits=60),
+                "doc_id", "simhash", bits=60, max_hamming=6,
+            ).count(),
+            x10_cands=lambda: ddp.hamming_band_candidates(
+                ddp.simhash(docs10, "text", "doc_id", bits=60),
+                "doc_id", "simhash", bits=60, max_hamming=6,
+            ).count(),
+        )
         probe(
             "embedding_neardup_x10",
             lambda: simm.embedding_neardup_pairs(
