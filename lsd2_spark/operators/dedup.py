@@ -328,11 +328,21 @@ def ngram_jaccard_pairs(
     id_col: str,
     group_cols: list[str],
     n: int = 3,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Exact character-n-gram jaccard for all pairs within each group.
 
     ``group_cols`` bounds the pair space (LSH buckets, source, length
     band, ...) — never call this on an unbounded corpus.
+
+    ``candidates``: an ``(id1, id2)`` frame (e.g.
+    :func:`lsh_candidate_pairs` output) restricting which pairs are
+    scored — the 100 TB composition: LSH proposes, exact jaccard
+    verifies, and the shared-gram join only materializes rows for
+    proposed pairs (a semi-join before the group-by, so the unbounded
+    all-pairs-sharing-a-gram blowup never exists).  Pairs are
+    normalized to ``id1 < id2``; a candidate pair outside the group
+    bound or sharing zero grams simply never surfaces.
     """
     grams = df.select(
         F.col(id_col),
@@ -355,13 +365,16 @@ def ngram_jaccard_pairs(
     )
     for c in group_cols:
         cond = cond & (F.col(f"g1.{c}") == F.col(f"g2.{c}"))
-    shared = (
-        g1.join(g2, cond)
-        .groupBy(
-            F.col(f"g1.{id_col}").alias("id1"), F.col(f"g2.{id_col}").alias("id2")
-        )
-        .agg(F.count("*").alias("shared"))
+    paired = g1.join(g2, cond).select(
+        F.col(f"g1.{id_col}").alias("id1"), F.col(f"g2.{id_col}").alias("id2")
     )
+    if candidates is not None:
+        cand = candidates.select(
+            F.least(F.col("id1"), F.col("id2")).alias("id1"),
+            F.greatest(F.col("id1"), F.col("id2")).alias("id2"),
+        ).dropDuplicates(["id1", "id2"])
+        paired = paired.join(cand, ["id1", "id2"], "left_semi")
+    shared = paired.groupBy("id1", "id2").agg(F.count("*").alias("shared"))
     s1 = sizes.select(F.col(id_col).alias("id1"), F.col("n_grams").alias("n1"))
     s2 = sizes.select(F.col(id_col).alias("id2"), F.col("n_grams").alias("n2"))
     return (

@@ -96,3 +96,37 @@ def test_embedding_neardup_candidates_bounded_and_superset(spark):
     )
     # random 32-d directions essentially never reach cosine 0.8
     assert len(pairs) <= 2
+
+
+def test_ngram_jaccard_candidates_restriction(spark):
+    """candidates= restricts the exact-jaccard scoring to proposed
+    pairs (the LSH-proposes / exact-verifies composition) and the
+    scores on the surviving pairs are identical to the unrestricted
+    run."""
+    from lsd2_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdefg", "en", "s"),
+            (2, "abcdxyz", "en", "s"),
+            (3, "abcdefg", "en", "s"),
+            (4, "qqqq", "en", "s"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    full = ngram_jaccard_pairs(docs, "text", "doc_id", ["lang", "source"])
+    full_rows = {(r["id1"], r["id2"]): r["jaccard"] for r in full.collect()}
+    assert (1, 3) in full_rows and full_rows[(1, 3)] == 1.0
+
+    # reversed and duplicated candidate rows normalize; pair (1,2) is
+    # NOT proposed so it must not be scored even though it shares grams
+    cand = spark.createDataFrame(
+        [(3, 1), (1, 3), (2, 3)], "id1 long, id2 long"
+    )
+    sub = ngram_jaccard_pairs(
+        docs, "text", "doc_id", ["lang", "source"], candidates=cand
+    )
+    sub_rows = {(r["id1"], r["id2"]): r["jaccard"] for r in sub.collect()}
+    assert set(sub_rows) == {(1, 3), (2, 3)}
+    for k, v in sub_rows.items():
+        assert v == full_rows[k]
