@@ -129,3 +129,32 @@ def test_curation_queries_prune_scans(spark):
     read = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "doc_id" in read and "source" in read
     assert "text" not in read, read
+
+
+def test_round9_gate_query_plan_shapes(spark):
+    """The q67-q70 plans must keep their audited shapes: no cartesian
+    or nested-loop joins anywhere; q70 is ONE Arrow projection with
+    zero exchanges (clean_text is a fused shuffle-free pass); q68's
+    ratio table joins broadcast (the model is plan-sized by
+    construction)."""
+    from lsd2_spark.queries import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    plans = {}
+    for name in (
+        "q67_line_dedup",
+        "q68_dsir_score",
+        "q69_fuzzy_decontam",
+        "q70_clean_text",
+    ):
+        df = qs[name](spark, sf)
+        df.collect()
+        plans[name] = df._jdf.queryExecution().executedPlan().toString()
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "Exchange" not in plans["q70_clean_text"]
+    assert plans["q70_clean_text"].count("ArrowEvalPython") == 1
+    assert "BroadcastHashJoin" in plans["q68_dsir_score"]
+    assert "BroadcastHashJoin" in plans["q69_fuzzy_decontam"]
