@@ -51,11 +51,13 @@ from lsd2_spark.operators.similarity import (
 __all__ = ["semantic_dedup", "semantic_dedup_with_index"]
 
 
-def _unitize_udf(vec_col: str):
+def _unitize_udf():
     """Arrow-batched unit normalization: NULL for null/zero-norm input
     (those ride the kept-and-flagged invalid path), element count
     preserved for ragged rows (validity is judged downstream by
-    ``_probe_dim``/``_valid_vectors``, not here)."""
+    ``_probe_dim``/``_valid_vectors``, not here).  Built lazily —
+    ``pandas_udf`` registration needs an active SparkSession, which
+    does not exist at import time."""
 
     @F.pandas_udf("array<double>")
     def _unitize(v: pd.Series) -> pd.Series:
@@ -192,7 +194,7 @@ def semantic_dedup_with_index(
     # Catalyst collapses the projection — O(d²) interpreted work per
     # row, measured at ~1.4 ms/row (28 s for a 20k×64 corpus) versus
     # milliseconds for the vectorized NumPy pass below.
-    base = df.select(id_col, _unitize_udf(vec_col)(F.col(vec_col)).alias("_unit"))
+    base = df.select(id_col, _unitize_udf()(F.col(vec_col)).alias("_unit"))
     vec_col = "_unit"
     # probe the NORMALIZED column: a corpus whose every vector is
     # null/ragged/zero-norm must take the everything-kept path, not
