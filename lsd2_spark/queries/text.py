@@ -125,15 +125,26 @@ register(
 
 
 def q32_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH proposes, exact n-gram jaccard verifies — the certified
+    composition is the scale-safe one: the exact half scores ONLY the
+    LSH candidate pairs (candidate-driven joins; the quadratic
+    shared-gram self-join never appears in the plan — pinned by
+    tests/test_plans.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    lsh = dedup.lsh_candidate_pairs(docs, "text", "doc_id").select(
+    cand = dedup.lsh_candidate_pairs(docs, "text", "doc_id")
+    lsh = cand.select(
         "id1",
         "id2",
         F.col("jaccard_est").alias("score"),
         F.lit("lsh_est").alias("variant"),
     )
     nj = dedup.ngram_jaccard_pairs(
-        docs, "text", "doc_id", ["lang", "source"], n=3
+        docs,
+        "text",
+        "doc_id",
+        ["lang", "source"],
+        n=3,
+        candidates=cand.select("id1", "id2"),
     ).select(
         "id1",
         "id2",
@@ -151,47 +162,48 @@ _band_union = " UNION ALL ".join(
     for b in range(_K // 2)
 )
 _agree = " + ".join(f"CASE WHEN l.mh{i} = r.mh{i} THEN 1 ELSE 0 END" for i in range(_K))
+# The exact-jaccard half replays the IDENTICAL LSH restriction the
+# Spark side applies (candidates=lsh_candidate_pairs(...)): `cand` is
+# computed once and feeds both the lsh_est rows and the candidate-driven
+# shared-gram join — so the oracle certifies the scale-safe composition,
+# not the unrestricted quadratic one.
 _Q32_SQL = f"""
-    SELECT id1, id2, score, variant FROM (
-      WITH toks AS (
-        SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
-      ), hashes AS (
-        SELECT doc_id, {_TOKH_SQL} AS h FROM toks
-      ), sig0 AS (
-        SELECT doc_id, {_mh_aggs} FROM hashes GROUP BY doc_id
-      ), sig AS (
-        SELECT *, {_bucket_exprs} FROM sig0
-      ), banded AS MATERIALIZED ({_band_union}),
-      pairs AS (
-        SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
-               ({_agree}) AS agree
-        FROM banded l JOIN banded r
-          ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
-      )
-      SELECT id1, id2, CAST(agree AS DOUBLE) / {float(_K)} AS score,
-             'lsh_est' AS variant
-      FROM pairs
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), hashes AS (
+      SELECT doc_id, {_TOKH_SQL} AS h FROM toks
+    ), sig0 AS (
+      SELECT doc_id, {_mh_aggs} FROM hashes GROUP BY doc_id
+    ), sig AS (
+      SELECT *, {_bucket_exprs} FROM sig0
+    ), banded AS MATERIALIZED ({_band_union}),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+             ({_agree}) AS agree
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    ), grams AS (
+      SELECT DISTINCT doc_id, lang, source, substr(text, CAST(i AS INTEGER), 3) AS ng
+      FROM documents, UNNEST(range(1, greatest(length(text) - 2, 1) + 1)) AS t(i)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
+    ), shared AS (
+      SELECT c.id1, c.id2, COUNT(*) AS shared
+      FROM cand c
+      JOIN grams g1 ON g1.doc_id = c.id1
+      JOIN grams g2 ON g2.doc_id = c.id2 AND g2.ng = g1.ng
+                   AND g2.lang = g1.lang AND g2.source = g1.source
+      GROUP BY 1, 2
     )
+    SELECT id1, id2, CAST(agree AS DOUBLE) / {float(_K)} AS score,
+           'lsh_est' AS variant
+    FROM cand
     UNION ALL
-    SELECT id1, id2, score, variant FROM (
-      WITH grams AS (
-        SELECT DISTINCT doc_id, lang, source, substr(text, CAST(i AS INTEGER), 3) AS ng
-        FROM documents, UNNEST(range(1, greatest(length(text) - 2, 1) + 1)) AS t(i)
-      ), sizes AS (
-        SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
-      ), shared AS (
-        SELECT g1.doc_id AS id1, g2.doc_id AS id2, COUNT(*) AS shared
-        FROM grams g1 JOIN grams g2
-          ON g1.ng = g2.ng AND g1.lang = g2.lang AND g1.source = g2.source
-         AND g1.doc_id < g2.doc_id
-        GROUP BY 1, 2
-      )
-      SELECT id1, id2,
-             FLOOR((CAST(shared AS DOUBLE) / (s1.n_grams + s2.n_grams - shared)) * 1000000.0 + 0.5) / 1000000.0 AS score,
-             'ngram_exact' AS variant
-      FROM shared JOIN sizes s1 ON s1.doc_id = id1
-                  JOIN sizes s2 ON s2.doc_id = id2
-    )
+    SELECT id1, id2,
+           FLOOR((CAST(shared AS DOUBLE) / (s1.n_grams + s2.n_grams - shared)) * 1000000.0 + 0.5) / 1000000.0 AS score,
+           'ngram_exact' AS variant
+    FROM shared JOIN sizes s1 ON s1.doc_id = id1
+                JOIN sizes s2 ON s2.doc_id = id2
     """
 
 register("q32_neardup_pairs", q32_neardup_pairs, _Q32_SQL)

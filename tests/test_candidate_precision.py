@@ -130,3 +130,50 @@ def test_ngram_jaccard_candidates_restriction(spark):
     assert set(sub_rows) == {(1, 3), (2, 3)}
     for k, v in sub_rows.items():
         assert v == full_rows[k]
+
+
+def test_ngram_pair_count_estimate_and_unrestricted_warning(spark, caplog):
+    """The unrestricted escape hatch is loud, not silent: every
+    candidates=None call logs a warning, and ngram_pair_count_estimate
+    reports the exact shared-gram join volume (Σ_gram C(cnt,2)) the
+    self-join would materialize, per group."""
+    import logging
+
+    from lsd2_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_pair_count_estimate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdef", "en", "s"),   # grams abc bcd cde def
+            (2, "abcdef", "en", "s"),   # identical: shares 4 grams with 1
+            (3, "abcxyz", "en", "s"),   # shares abc with 1 and 2
+            (4, "zzzzzz", "fr", "s"),   # lone group
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    est = {
+        (r["lang"], r["source"]): (r["est_join_rows"], r["n_docs"])
+        for r in ngram_pair_count_estimate(
+            docs, "text", "doc_id", ["lang", "source"]
+        ).collect()
+    }
+    # en/s: grams bcd,cde,def appear twice (C(2,2)=1 each) and abc three
+    # times (C(3,2)=3) -> 3*1 + 3 = 6 join rows; fr/s: zzz once -> 0
+    assert est[("en", "s")] == (6, 3)
+    assert est[("fr", "s")] == (0, 1)
+
+    with caplog.at_level(logging.WARNING, logger="lsd2_spark.operators.dedup"):
+        ngram_jaccard_pairs(docs, "text", "doc_id", ["lang", "source"])
+    assert any("WITHOUT candidates=" in r.message for r in caplog.records)
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="lsd2_spark.operators.dedup"):
+        ngram_jaccard_pairs(
+            docs, "text", "doc_id", ["lang", "source"],
+            candidates=docs.limit(0).selectExpr(
+                "doc_id as id1", "doc_id as id2"
+            ),
+        )
+    assert not any("WITHOUT candidates=" in r.message for r in caplog.records)

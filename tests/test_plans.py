@@ -158,3 +158,21 @@ def test_round9_gate_query_plan_shapes(spark):
     assert plans["q70_clean_text"].count("ArrowEvalPython") == 1
     assert "BroadcastHashJoin" in plans["q68_dsir_score"]
     assert "BroadcastHashJoin" in plans["q69_fuzzy_decontam"]
+
+
+def test_q32_headline_has_no_unrestricted_shared_gram_join(spark):
+    """The certified near-dup composition must be LSH-proposes /
+    exact-verifies: the exact half's shared counts come from a
+    candidate-driven array_intersect, never from the shared-gram
+    self-join (whose within-group volume is quadratic at scale).  Any
+    join keyed on the gram column without an id in its keys is the
+    banned shape."""
+    df = all_queries()["q32_neardup_pairs"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Join" in line and "ng#" in line:
+            assert "id1#" in line or "id2#" in line or "doc_id#" in line, line
+    assert "array_intersect" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
