@@ -188,6 +188,7 @@ def partition_catalog(
     margin_threshold: float = DEFAULT_MARGIN_DEG,
     write_margins: bool = True,
     dtype_overrides: dict[str, str] | None = None,
+    fs: "LifecycleFS | None" = None,
 ) -> "Catalog":
     """Ingest: adaptively partition ``df`` by source density and write
     the hive-layout catalog (+ margin ``neighbor/`` dataset + JSON
@@ -302,10 +303,11 @@ def partition_catalog(
         margin_threshold=margin_threshold,
         hips=pm.hips,
     )
-    LOCAL_FS.makedirs(path)
-    LOCAL_FS.publish(f"{path}/{cat_name}_meta.json", meta.to_json())
+    fs = fs or LOCAL_FS
+    fs.makedirs(path)
+    fs.publish(f"{path}/{cat_name}_meta.json", meta.to_json())
 
-    cat = Catalog(spark, path, meta)
+    cat = Catalog(spark, path, meta, fs=fs)
     if write_margins:
         from lsd2_spark.operators.margins import write_margin_dataset
 
@@ -1596,7 +1598,7 @@ class Catalog:
             self._fs.remove(intent_path)
         except FileNotFoundError:
             pass
-        return Catalog(self.spark, self.path, self.meta)
+        return Catalog(self.spark, self.path, self.meta, fs=self._fs)
 
     def compact(self, max_files: int = 1) -> "Catalog":
         """Merge the small files incremental ingest leaves behind.  The

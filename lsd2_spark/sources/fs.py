@@ -39,7 +39,7 @@ from __future__ import annotations
 import os
 import shutil
 
-__all__ = ["LifecycleFS", "LocalFS", "LOCAL_FS"]
+__all__ = ["LifecycleFS", "LocalFS", "LOCAL_FS", "HadoopFS"]
 
 
 class LifecycleFS:
@@ -117,3 +117,138 @@ class LocalFS(LifecycleFS):
 
 
 LOCAL_FS = LocalFS()
+
+
+class HadoopFS(LifecycleFS):
+    """Lifecycle layer over the Hadoop ``FileSystem`` API through the
+    JVM gateway — the object-store/cluster implementation (``hdfs://``,
+    ``s3a://``, ``abfss://``, ``file://``; whatever connectors the
+    Spark classpath carries).  With this, "cloud is config-only" holds
+    for the LIFECYCLE layer too, not just the parquet data plane.
+
+    Contract mapping (see module docstring):
+
+    - ``publish`` = create-then-``FileContext.rename(OVERWRITE)``.  On
+      HDFS that rename is atomic in the NameNode; on a raw local
+      ``file:`` path it degrades to the JVM's rename (still a single
+      syscall).  A true object-store deployment should subclass and
+      swap ``publish`` for the store's conditional PUT — S3A's rename
+      is copy-then-delete, which only the *callers'* re-runnability
+      (not publish's atomicity) is designed to survive.
+    - ``rename`` deletes an existing destination first, then renames —
+      explicitly NOT atomic, exactly the semantics every lifecycle
+      caller is fault-injection-tested against
+      (tests/test_lifecycle_fs.py).
+    - checksums are disabled on checksum-wrapping filesystems (the
+      Hadoop ``LocalFileSystem``) so lifecycle censuses never see stray
+      ``.crc`` siblings.
+    """
+
+    def __init__(self, spark):
+        self._jvm = spark._jvm
+        self._gateway = spark.sparkContext._gateway
+        self._conf = spark._jsc.hadoopConfiguration()
+
+    # -- plumbing -----------------------------------------------------------
+
+    def _jpath(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def _get_fs(self, path: str):
+        fs = self._jpath(path).getFileSystem(self._conf)
+        try:  # no-op on HDFS/object stores; kills .crc files on file:
+            fs.setWriteChecksum(False)
+            fs.setVerifyChecksum(False)
+        except Exception:  # noqa: BLE001 — optional capability
+            pass
+        return fs
+
+    _NOT_FOUND = (
+        "java.io.FileNotFoundException",
+        "org.apache.hadoop.fs.PathNotFoundException",
+    )
+
+    def _io(self, path: str, fn, *args):
+        from py4j.protocol import Py4JJavaError
+
+        try:
+            return fn(*args)
+        except Py4JJavaError as e:
+            name = e.java_exception.getClass().getName()
+            if name in self._NOT_FOUND:
+                raise FileNotFoundError(path) from None
+            raise
+
+    # -- interface ----------------------------------------------------------
+
+    def listdir(self, path: str) -> list[str]:
+        fs = self._get_fs(path)
+        statuses = self._io(path, fs.listStatus, self._jpath(path))
+        return [s.getPath().getName() for s in statuses]
+
+    def isdir(self, path: str) -> bool:
+        fs = self._get_fs(path)
+        return bool(fs.isDirectory(self._jpath(path)))
+
+    def exists(self, path: str) -> bool:
+        fs = self._get_fs(path)
+        return bool(fs.exists(self._jpath(path)))
+
+    def makedirs(self, path: str) -> None:
+        fs = self._get_fs(path)
+        fs.mkdirs(self._jpath(path))
+
+    def remove(self, path: str) -> None:
+        fs = self._get_fs(path)
+        if not self._io(path, fs.delete, self._jpath(path), False):
+            raise FileNotFoundError(path)
+
+    def rmtree(self, path: str) -> None:
+        fs = self._get_fs(path)
+        try:
+            fs.delete(self._jpath(path), True)
+        except Exception:  # noqa: BLE001 — mirrors ignore_errors=True
+            pass
+
+    def rename(self, src: str, dst: str) -> None:
+        fs = self._get_fs(src)
+        jdst = self._jpath(dst)
+        # os.replace semantics (overwrite), implemented non-atomically —
+        # the contract callers are written (and fault-injected) against
+        if fs.exists(jdst):
+            fs.delete(jdst, True)
+        if not self._io(src, fs.rename, self._jpath(src), jdst):
+            raise OSError(f"hadoop rename failed: {src} -> {dst}")
+
+    def publish(self, path: str, text: str) -> None:
+        tmp = path + ".tmp"
+        fs = self._get_fs(path)
+        out = fs.create(self._jpath(tmp), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+            try:  # durable where the stream supports it (HDFS hsync)
+                out.hsync()
+            except Exception:  # noqa: BLE001 — optional capability
+                pass
+        finally:
+            out.close()
+        # atomic overwrite-rename: FileContext.rename(OVERWRITE) is the
+        # one Hadoop rename with replace-existing semantics
+        qualified = fs.makeQualified(self._jpath(path))
+        fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            qualified.toUri(), self._conf
+        )
+        rename_cls = self._jvm.org.apache.hadoop.fs.Options.Rename
+        opts = self._gateway.new_array(rename_cls, 1)
+        opts[0] = rename_cls.OVERWRITE
+        self._io(path, fc.rename, fs.makeQualified(self._jpath(tmp)), qualified, opts)
+
+    def read_text(self, path: str) -> str:
+        fs = self._get_fs(path)
+        stream = self._io(path, fs.open, self._jpath(path))
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()

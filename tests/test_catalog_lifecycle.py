@@ -96,7 +96,23 @@ def _fragment_cells_on_disk(path: str, k: int = 2) -> list:
     return done
 
 
-def test_randomized_lifecycle_interleaving(spark, tmp_path):
+@pytest.fixture(params=["local", "hadoop"])
+def lifecycle_fs(request, spark):
+    """Run the battery through BOTH LifecycleFS implementations: the
+    POSIX default and the Hadoop FileSystem (JVM gateway) against
+    file:// — Hadoop's local FS faithfully exhibits the non-POSIX
+    listing/rename semantics the lifecycle contract guards."""
+    if request.param == "local":
+        from lsd2_spark.sources.fs import LOCAL_FS
+
+        return LOCAL_FS
+    from lsd2_spark.sources.fs import HadoopFS
+
+    return HadoopFS(spark)
+
+
+def test_randomized_lifecycle_interleaving(spark, tmp_path, lifecycle_fs):
+    fs = lifecycle_fs
     rng = np.random.default_rng(93)
     name = "life"
     path = str(tmp_path / name)
@@ -106,7 +122,7 @@ def test_randomized_lifecycle_interleaving(spark, tmp_path):
     cat = partition_catalog(
         spark.createDataFrame(init), path, name,
         ra_col="ra", dec_col="dec", id_col="source_id",
-        threshold=1200, order_k=3, write_margins=False,
+        threshold=1200, order_k=3, write_margins=False, fs=fs,
     )
     next_id = 10_000
     batch_id = 0
@@ -142,9 +158,9 @@ def test_randomized_lifecycle_interleaving(spark, tmp_path):
             # (itself a _commit_meta caller), before the op's own
             # intent marker exists — a state whose oracle semantics
             # differ from "op crashed mid-flight"
-            Catalog.load(spark, path, name).fsck(repair=True)
+            Catalog.load(spark, path, name, fs=fs).fsck(repair=True)
             torn = False
-        cat = Catalog.load(spark, path, name)
+        cat = Catalog.load(spark, path, name, fs=fs)
 
         if op in ("append", "append_crash"):
             ids = list(range(next_id, next_id + int(rng.integers(100, 300))))
@@ -160,7 +176,7 @@ def test_randomized_lifecycle_interleaving(spark, tmp_path):
                 finally:
                     Catalog._commit_meta = orig
                 # streaming replay: same batch_id, runs to completion
-                cat = Catalog.load(spark, path, name).append(
+                cat = Catalog.load(spark, path, name, fs=fs).append(
                     spark.createDataFrame(pdf), batch_id=batch_id
                 )
             else:
@@ -239,15 +255,15 @@ def test_randomized_lifecycle_interleaving(spark, tmp_path):
 
         elif op == "fsck":
             cat.fsck(repair=True)
-            cat = Catalog.load(spark, path, name)
+            cat = Catalog.load(spark, path, name, fs=fs)
             torn = False
 
         if not torn:
-            check(Catalog.load(spark, path, name))
+            check(Catalog.load(spark, path, name, fs=fs))
 
     # converge whatever the sequence ended on and do the final audit
-    Catalog.load(spark, path, name).fsck(repair=True)
-    final = Catalog.load(spark, path, name)
+    Catalog.load(spark, path, name, fs=fs).fsck(repair=True)
+    final = Catalog.load(spark, path, name, fs=fs)
     check(final)
     assert not os.path.exists(final._delete_intent_path())
     assert not os.path.exists(final._rebalance_intent_path())

@@ -114,3 +114,72 @@ def test_publish_is_atomic_and_readable(tmp_path):
     LOCAL_FS.publish(p, '{"phase": "done"}')
     assert LOCAL_FS.read_text(p) == '{"phase": "done"}'
     assert not LOCAL_FS.exists(p + ".tmp")
+
+
+def test_compact_through_hadoop_fs(spark, tmp_path):
+    """The whole compact lifecycle through the Hadoop FileSystem
+    implementation (JVM gateway) against file:// — the executable form
+    of the 'cloud lifecycle is config-only' claim.  Same guarantees as
+    the POSIX run, and no checksum-file strays in any census."""
+    from lsd2_spark.sources.fs import HadoopFS
+
+    cat = _build_appended(spark, tmp_path, "hdfs_c")
+    _fragment_cells(cat)
+    before = _rows(cat)
+    fs = HadoopFS(spark)
+    cat = Catalog(spark, cat.path, cat.meta, fs=fs)
+    cat2 = cat.compact()
+    assert cat2._fs is fs, "compact must hand back the injected fs"
+    assert all(len(f) == 1 for f in _cell_files(cat2).values())
+    assert _rows(cat2) == before
+    assert cat2.fsck()["consistent"]
+
+
+def test_delete_and_reload_through_hadoop_fs(spark, tmp_path):
+    """delete()'s intent-marker protocol (publish/read_text/remove)
+    through HadoopFS, then a fresh load() through it too."""
+    from lsd2_spark.sources.fs import HadoopFS
+
+    fs = HadoopFS(spark)
+    cat = _build_appended(spark, tmp_path, "hdfs_d", margins=False)
+    cat = Catalog(spark, cat.path, cat.meta, fs=fs)
+    keep = sorted(
+        r["source_id"] for r in cat.df().filter("mag <= 18").collect()
+    )
+    cat2 = cat.delete("mag > 18")
+    assert cat2._fs is fs
+    assert sorted(r["source_id"] for r in cat2.df().collect()) == keep
+    again = Catalog.load(spark, cat.path, "hdfs_d", fs=fs)
+    assert again.meta.n_sources == len(keep)
+    assert again.fsck()["consistent"]
+
+
+def test_reconciled_compact_keeps_injected_fs(spark, tmp_path):
+    """A crashed compact reconciled on the next entry must hand back a
+    Catalog still carrying the injected fs — dropping it would silently
+    fall back to POSIX I/O for the chained retry (ADVICE r9)."""
+    import pytest
+
+    class _Boom(RuntimeError):
+        pass
+
+    class BoomFS(CopyDeleteFS):
+        def __init__(self, crash_on):
+            super().__init__()
+            self.crash_on = crash_on
+
+        def rename(self, src, dst):
+            if self.renames + 1 == self.crash_on:
+                self.renames += 1
+                raise _Boom("injected")
+            super().rename(src, dst)
+
+    cat = _build_appended(spark, tmp_path, "keepfs")
+    _fragment_cells(cat)
+    fs = BoomFS(crash_on=1)
+    cat = Catalog(spark, cat.path, cat.meta, fs=fs)
+    with pytest.raises(_Boom):
+        cat.compact()
+    fs.crash_on = -1
+    recovered = Catalog(spark, cat.path, cat.meta, fs=fs)._reconcile_compact_intent()
+    assert recovered._fs is fs
