@@ -447,7 +447,8 @@ def main() -> None:
                 emb_d, "embedding", "vec_id", n_clusters=16, eps=0.99
             ).filter("keep = 0").count(),
             lambda: sdd.semantic_dedup(
-                emb10_d, "embedding", "vec_id", n_clusters=160, eps=0.99
+                emb10_d, "embedding", "vec_id", n_clusters=160, eps=0.99,
+                assign_nprobe="auto",
             ).filter("keep = 0").count(),
         )
     except Exception as e:  # never let the probes break the artifact

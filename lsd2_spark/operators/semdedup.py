@@ -84,7 +84,7 @@ def semantic_dedup(
     sample_stride: int = 1,
     centroids: np.ndarray | None = None,
     project_dim: int | None = None,
-    assign_nprobe: int | None | str = "auto",
+    assign_nprobe: int | None | str = None,
 ) -> DataFrame:
     """Per-document semantic-dedup verdicts.
 
@@ -130,7 +130,7 @@ def semantic_dedup_with_index(
     sample_stride: int = 1,
     centroids: np.ndarray | None = None,
     project_dim: int | None = None,
-    assign_nprobe: int | None | str = "auto",
+    assign_nprobe: int | None | str = None,
 ) -> tuple[DataFrame, np.ndarray]:
     """:func:`semantic_dedup` plus the centroid matrix it used, so a
     caller can persist it (``save_ivf_index``) and feed later batches
@@ -154,9 +154,12 @@ def semantic_dedup_with_index(
     dominant, ~quadratically-growing cost of the whole pass at 100 TB;
     probing only the nearest coarse cells makes assignment sub-O(n·k)
     — the same move every billion-scale k-means (faiss IVF) makes.
-    ``"auto"`` (default) switches to hierarchical at k >= 64 with
-    ``nprobe = max(2, √k/4)``; an int forces that probe width; ``None``
-    forces the exact dense pass.  Assignment is a partition heuristic
+    ``None`` (default) runs the exact dense pass: approximation is
+    OPT-IN, so existing callers with unchanged arguments keep getting
+    bit-identical verdicts.  ``"auto"`` switches to hierarchical at
+    k >= 64 with ``nprobe = max(2, √k/4)`` (the 100 TB setting — turn
+    it on whenever k grows with the corpus); an int forces that probe
+    width.  Assignment is a partition heuristic
     exactly like ``project_dim`` — a boundary miss can split one
     near-dup pair across clusters, never corrupt a verdict (verdicts
     stay on true unit vectors), and exact duplicates always land

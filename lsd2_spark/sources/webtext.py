@@ -48,36 +48,10 @@ from pyspark.sql import functions as F
 WARC_SENTINEL = "\r\nWARC/1.0\r\n"
 
 
-def detect_warc_framing(path: str) -> str:
-    """Probe the head of the FIRST archive file for the WARC version
-    line and return the record-split sentinel for this corpus.
-
-    WARC archives are permitted to carry ``WARC/1.1`` version lines
-    (warc-specifications 1.1 §4; wget ≥1.20 and some mirrors emit
-    them), and some mirrors rewrite CRLF framing to bare LF.  A
-    hard-pinned ``WARC/1.0`` + CRLF sentinel silently parses such a
-    file as ONE record — so the default scan probes instead of
-    assuming.  The probe is one driver-side read of ≤256 bytes
-    (gzip-aware via the magic bytes), memoizable and free next to any
-    Spark job.  Mixed-version archives under one glob are not
-    supported by a single literal ``lineSep`` — pass ``record_sep``
-    explicitly and scan each version's files separately.
-
-    Raises ``ValueError`` when the head is not a WARC version line —
-    failing loudly beats a silent one-record parse.
-    """
-    import glob as _glob
-    import os as _os
+def _sentinel_from_head(head: bytes, fname: str) -> str:
+    """Parse one archive head (first ≤4 KiB) into a record sentinel."""
     import zlib as _zlib
 
-    cand = path
-    if _os.path.isdir(path):
-        cand = _os.path.join(path, "*")
-    files = sorted(f for f in _glob.glob(cand) if _os.path.isfile(f))
-    if not files:
-        raise FileNotFoundError(f"no archive files match {path!r}")
-    with open(files[0], "rb") as fh:
-        head = fh.read(4096)
     if head[:2] == b"\x1f\x8b":  # gzip member: inflate just the head;
         # decompressobj(wbits=47) auto-detects the gzip wrapper and
         # yields whatever the truncated stream holds (no EOF error)
@@ -88,11 +62,120 @@ def detect_warc_framing(path: str) -> str:
     version = line.rstrip(b"\r").decode("ascii", "replace")
     if not version.startswith("WARC/") or len(version) > 16:
         raise ValueError(
-            f"{files[0]!r} does not start with a WARC version line "
+            f"{fname!r} does not start with a WARC version line "
             f"(got {line[:32]!r}); not a WARC/WET archive?"
         )
     eol = "\r\n" if crlf else "\n"
     return f"{eol}{version}{eol}"
+
+
+def _probe_heads_local(path: str) -> list[tuple[str, bytes]]:
+    import glob as _glob
+    import os as _os
+
+    cand = path
+    if _os.path.isdir(path):
+        cand = _os.path.join(path, "*")
+    files = sorted(f for f in _glob.glob(cand) if _os.path.isfile(f))
+    heads = []
+    for f in files:
+        with open(f, "rb") as fh:
+            heads.append((f, fh.read(4096)))
+    return heads
+
+
+def _probe_heads_hadoop(path: str, spark) -> list[tuple[str, bytes]]:
+    """Head-probe through the Hadoop FileSystem (JVM gateway) — the
+    remote-scheme twin of the local glob/open probe, so ``hdfs://`` /
+    ``s3a://`` / ``abfss://`` / ``file://`` corpora get the same
+    framing detection instead of a driver-side FileNotFoundError."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(conf)
+    if fs.isDirectory(jpath):
+        jpath = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/*")
+    statuses = fs.globStatus(jpath)
+    heads = []
+    for s in sorted(statuses or [], key=lambda s: s.getPath().getName()):
+        if not s.isFile():
+            continue
+        stream = fs.open(s.getPath())
+        try:
+            bounded = jvm.org.apache.commons.io.input.BoundedInputStream(
+                stream, 4096
+            )
+            head = bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(bounded)
+            )
+        finally:
+            stream.close()
+        heads.append((str(s.getPath()), head))
+    return heads
+
+
+#: any ``scheme://`` path — routed through the Hadoop probe, which is
+#: what Spark's own text reader will resolve it with
+_SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://"
+
+
+def detect_warc_framing(path: str, spark=None, sample: int = 5) -> str:
+    """Probe the heads of a SAMPLE of archive files for the WARC
+    version line and return the record-split sentinel for this corpus.
+
+    WARC archives are permitted to carry ``WARC/1.1`` version lines
+    (warc-specifications 1.1 §4; wget ≥1.20 and some mirrors emit
+    them), and some mirrors rewrite CRLF framing to bare LF.  A
+    hard-pinned ``WARC/1.0`` + CRLF sentinel silently parses such a
+    file as ONE record — so the default scan probes instead of
+    assuming.  The probe reads ≤4 KiB from up to ``sample`` files
+    (first, last, and evenly spaced between — gzip-aware via the magic
+    bytes) and RAISES when the sampled files disagree: a directory
+    mixing WARC/1.0 with WARC/1.1 (or CRLF with bare-LF) cannot be
+    split by one literal ``lineSep``, and parsing the other framing's
+    files as one giant record each is exactly the silent failure this
+    probe exists to prevent.  Pass ``record_sep`` explicitly and scan
+    each framing's files separately in that case.
+
+    Paths with a URI scheme (``hdfs://``, ``s3a://``, ``abfss://``,
+    ``file://``, ...) are probed through the Hadoop FileSystem via the
+    JVM gateway when ``spark`` is given (``read_wet``/``read_warc``
+    always pass it); without a session the local glob/open probe only
+    understands plain local paths and a scheme'd path raises with that
+    guidance.
+
+    Raises ``ValueError`` when a head is not a WARC version line —
+    failing loudly beats a silent one-record parse.
+    """
+    import re as _re
+
+    if _re.match(_SCHEME_RE, path):
+        if spark is None:
+            raise ValueError(
+                f"detect_warc_framing({path!r}) needs spark= to probe a "
+                "scheme'd path through the Hadoop FileSystem; pass "
+                "spark= or an explicit record_sep (e.g. WARC_SENTINEL)"
+            )
+        heads = _probe_heads_hadoop(path, spark)
+    else:
+        heads = _probe_heads_local(path)
+    if not heads:
+        raise FileNotFoundError(f"no archive files match {path!r}")
+    if len(heads) > sample:  # first + last + evenly spaced between
+        idx = sorted(
+            {round(i * (len(heads) - 1) / (sample - 1)) for i in range(sample)}
+        )
+        heads = [heads[i] for i in idx]
+    sentinels = {f: _sentinel_from_head(h, f) for f, h in heads}
+    distinct = sorted(set(sentinels.values()))
+    if len(distinct) > 1:
+        detail = ", ".join(f"{f!r}: {s!r}" for f, s in sentinels.items())
+        raise ValueError(
+            f"mixed WARC framings under {path!r} ({detail}); a single "
+            "lineSep cannot split both — pass record_sep explicitly and "
+            "scan each framing's files separately"
+        )
+    return distinct[0]
 
 # header values run to end-of-line; WET headers are \r\n-terminated but
 # tolerate bare-\n writers (some mirrors re-terminate).  NOTE [ \t] not
@@ -140,7 +223,7 @@ def read_wet(
     unchanged; parity-tested).
     """
     if record_sep is None:
-        record_sep = detect_warc_framing(path)
+        record_sep = detect_warc_framing(path, spark)
     out = wet_records(spark.read.text(path, lineSep=record_sep))
     if min_length > 0:
         out = out.filter(F.length("text") >= min_length)
@@ -237,7 +320,7 @@ def read_warc(
     parity-tested).
     """
     if record_sep is None:
-        record_sep = detect_warc_framing(path)
+        record_sep = detect_warc_framing(path, spark)
     out = warc_records(spark.read.text(path, lineSep=record_sep))
     if content_type_filter is not None:
         # servers emit TEXT/HTML / Text/Html in real crawls
@@ -383,10 +466,14 @@ def dechunk_chunked_bodies(df: DataFrame, body_col: str = "body") -> DataFrame:
     untouched on the JVM (the text_normalize prefilter pattern), so at
     100 TB the Python cost is proportional to the chunked fraction of
     the crawl, not the crawl.  Successfully decoded rows come back with
-    the framing stripped and ``identity_body=True``; malformed framing
-    keeps the raw body and the false flag.  The split-and-union keeps
-    both branches pure projections, so the batch and foreachBatch
-    streaming paths share it.
+    the framing stripped, ``identity_body=True`` AND
+    ``transfer_encoding='identity'`` — the operator is idempotent:
+    running it twice cannot re-dechunk an already-decoded body, and
+    downstream consumers gating on the raw encoding column (as this
+    function itself does) see the body's actual state.  Malformed
+    framing keeps the raw body, the false flag and the ``'chunked'``
+    label.  The split-and-union keeps both branches pure projections,
+    so the batch and foreachBatch streaming paths share it.
     """
     @F.pandas_udf("string")
     def _dechunk(col: pd.Series) -> pd.Series:
@@ -402,6 +489,11 @@ def dechunk_chunked_bodies(df: DataFrame, body_col: str = "body") -> DataFrame:
         .withColumn(
             "identity_body",
             F.col("_dechunked").isNotNull(),
+        )
+        .withColumn(
+            "transfer_encoding",
+            F.when(F.col("_dechunked").isNotNull(), F.lit("identity"))
+            .otherwise(F.col("transfer_encoding")),
         )
         .withColumn(body_col, F.coalesce("_dechunked", F.col(body_col)))
         .drop("_dechunked")
@@ -502,6 +594,9 @@ def _parse_warc_bytes(data: bytes) -> list[tuple]:
                 ok = False
             else:
                 body = dechunked
+                # report the body's actual state (idempotency contract,
+                # same as dechunk_chunked_bodies): framing is gone
+                te = "identity"
         if ok and ce in ("gzip", "x-gzip", "deflate"):
             try:
                 wbits = 47 if ce != "deflate" else 15

@@ -354,6 +354,104 @@ def test_detect_warc_framing_fails_loudly(spark, tmp_path):
     assert detect_warc_framing(str(gz)) == "\r\nWARC/1.0\r\n"
 
 
+def test_detect_warc_framing_mixed_corpus_raises(spark, tmp_path):
+    """A directory mixing WARC/1.0 with WARC/1.1 (or CRLF with bare
+    LF) cannot be split by one literal lineSep — the probe samples
+    several files and raises instead of trusting files[0], which would
+    silently parse every other-framing file as one giant record
+    (ADVICE r9)."""
+    import pytest as _pytest
+
+    from lsd2_spark.sources.webtext import detect_warc_framing
+
+    rec = _response("https://x.com/a", "text/html", HTML_A)
+    d = tmp_path / "mixed"
+    d.mkdir()
+    (d / "a.warc").write_bytes(rec.encode())
+    (d / "b.warc").write_bytes(rec.replace("WARC/1.0", "WARC/1.1").encode())
+    with _pytest.raises(ValueError, match="mixed WARC framings"):
+        detect_warc_framing(str(d))
+    # CRLF vs bare-LF disagreement is caught the same way
+    (d / "b.warc").write_bytes(rec.replace(CRLF, "\n").encode())
+    with _pytest.raises(ValueError, match="mixed WARC framings"):
+        detect_warc_framing(str(d))
+    # a consistent directory still resolves (and samples, not scans:
+    # first+last+spread of a many-file corpus)
+    (d / "b.warc").unlink()
+    for i in range(12):
+        (d / f"c{i:02d}.warc").write_bytes(rec.encode())
+    assert detect_warc_framing(str(d)) == "\r\nWARC/1.0\r\n"
+
+
+def test_detect_warc_framing_scheme_paths(spark, tmp_path):
+    """Scheme'd paths (hdfs://, s3a://, file://) probe through the
+    Hadoop FileSystem via the JVM gateway when spark is given — the
+    default-args read_warc/read_wet path keeps working for remote
+    corpora (ADVICE r9).  Without a session the probe can't reach a
+    scheme'd path and says so instead of a confusing glob miss."""
+    import pytest as _pytest
+
+    from lsd2_spark.sources.webtext import detect_warc_framing, read_warc
+
+    rec = _response("https://x.com/a", "text/html", HTML_A) + _response(
+        "https://x.com/b", "text/html", HTML_B
+    )
+    p = tmp_path / "v11.warc"
+    p.write_bytes(rec.replace("WARC/1.0", "WARC/1.1").encode())
+    uri = f"file://{p}"
+    assert detect_warc_framing(uri, spark) == "\r\nWARC/1.1\r\n"
+    # directory form through the same FS route
+    assert detect_warc_framing(f"file://{tmp_path}", spark) == "\r\nWARC/1.1\r\n"
+    with _pytest.raises(ValueError, match="spark="):
+        detect_warc_framing(uri)
+    # end-to-end: default record_sep=None on a scheme'd path
+    rows = read_warc(spark, uri).collect()
+    assert {r["url"] for r in rows} == {"https://x.com/a", "https://x.com/b"}
+
+
+def test_dechunk_is_idempotent(spark, tmp_path):
+    """Successfully dechunked rows come back transfer_encoding=
+    'identity', so running dechunk_chunked_bodies twice is a no-op and
+    downstream raw-encoding gates see the body's actual state; a
+    malformed row keeps 'chunked' + the false flag (ADVICE r9)."""
+    from lsd2_spark.sources.webtext import dechunk_chunked_bodies, read_warc
+
+    body = "<html><p>café & crawl</p></html>"
+    bad_http = (
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        "Transfer-Encoding: chunked\r\n\r\nzz\r\nnothex\r\n0\r\n"
+    )
+    hdr = CRLF.join(
+        [
+            "WARC-Type: response",
+            "WARC-Target-URI: https://x.com/bad",
+            "WARC-Date: 2026-08-01T00:00:00Z",
+            "WARC-Record-ID: <urn:uuid:b>",
+            f"Content-Length: {len(bad_http)}",
+        ]
+    )
+    p = tmp_path / "idem.warc"
+    p.write_bytes(
+        (
+            _chunked_response("https://x.com/c", body, chunk_sizes=(9, 5, 11))
+            + "WARC/1.0" + CRLF + hdr + CRLF + CRLF + bad_http + CRLF + CRLF
+        ).encode()
+    )
+    once = read_warc(spark, str(p), identity_body_only=False)
+    rows = {r["url"]: r for r in once.collect()}
+    assert rows["https://x.com/c"]["transfer_encoding"] == "identity"
+    assert rows["https://x.com/c"]["identity_body"] is True
+    assert rows["https://x.com/c"]["body"] == body
+    assert rows["https://x.com/bad"]["transfer_encoding"] == "chunked"
+    assert rows["https://x.com/bad"]["identity_body"] is False
+    # second application: bit-identical frame (the decoded body can
+    # never re-enter the chunk parser)
+    twice = {
+        r["url"]: r for r in dechunk_chunked_bodies(once).collect()
+    }
+    assert twice == rows
+
+
 def test_hex_and_typographic_entities(spark):
     """Round-9 entity coverage: hex numeric forms (&#xNN;, any case,
     leading zeros) and the high-frequency typographic named set decode;

@@ -256,8 +256,16 @@ def test_hierarchical_assignment_parity_on_planted_copies(spark):
         df, "embedding", "vec_id", n_clusters=64, eps=EPS, assign_nprobe=2
     ).toPandas().set_index("vec_id")
     auto = semantic_dedup(
+        df, "embedding", "vec_id", n_clusters=64, eps=EPS,
+        assign_nprobe="auto",
+    ).toPandas().set_index("vec_id")
+    # the DEFAULT is the exact dense pass (approximation is opt-in:
+    # unchanged caller arguments keep bit-identical verdicts, ADVICE r9)
+    default = semantic_dedup(
         df, "embedding", "vec_id", n_clusters=64, eps=EPS
     ).toPandas().set_index("vec_id")
+    assert default["keep"].equals(exact["keep"])
+    assert default["dup_of"].equals(exact["dup_of"])
 
     # every planted copy dies under every assignment mode, with the
     # same dup_of (the copy and its source share a unit vector, hence
@@ -267,7 +275,7 @@ def test_hierarchical_assignment_parity_on_planted_copies(spark):
             assert out.loc[i * 10, "keep"] == 1
             assert out.loc[i * 10 + 1, "keep"] == 0
             assert out.loc[i * 10 + 1, "dup_of"] == i * 10
-    # auto at k>=64 is the hierarchical path
+    # "auto" at k>=64 is the hierarchical path
     assert auto["keep"].equals(hier["keep"])
     # global invariant holds under hierarchical assignment too: no two
     # kept members of one cluster are eps-close
