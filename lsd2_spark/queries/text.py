@@ -400,6 +400,11 @@ _PPM_HEADER = "P6\n16 10\n255\n"  # 13 bytes; 16*10*3 = 480 pixel bytes
 
 
 def q53_ppm_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged former q53/q55 (same PPM-decode grain, one blob table,
+    joined on media_id): pixel features from the decoded image PLUS the
+    8x5 nearest-neighbor thumbnail re-encoded as P6 — decode, feature
+    extraction, resample and re-encode all hash-gated in one row.  The
+    unmerge plan lives in COVERAGE.md."""
     docs = load_table(spark, sf_dir, "documents")
     payload = F.concat(
         F.lit(_PPM_HEADER.encode("ascii")),
@@ -409,7 +414,14 @@ def q53_ppm_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("_ppm", payload), "_ppm", "doc_id",
         "image/x-portable-pixmap",
     )
-    return multimodal.extract_features(blobs)
+    feats = multimodal.extract_features(blobs)
+    small = multimodal.resize_images(blobs, width=8, height=5, out_format="ppm")
+    thumbs = small.select(
+        "media_id", "width", "height",
+        F.md5(F.col("payload")).alias("thumb_md5"),
+        F.length(F.col("payload")).alias("thumb_bytes"),
+    )
+    return feats.join(thumbs, "media_id")
 
 
 register(
@@ -428,49 +440,6 @@ register(
              CAST(SUM(n * c) AS DOUBLE) / 480 AS feat_mean,
              FLOOR((-SUM((n / 480.0) * log2(n / 480.0))) * 1000000.0 + 0.5) / 1000000.0 AS feat_entropy
       FROM freq GROUP BY doc_id
-    )
-    SELECT p.doc_id AS media_id, CAST(493 AS INTEGER) AS n_bytes,
-           s.feat_mean, s.feat_entropy,
-           substr(md5('P6' || chr(10) || '16 10' || chr(10) || '255' || chr(10) || p.s), 1, 16)
-             AS sketch
-    FROM padded p JOIN stats s ON s.doc_id = p.doc_id
-    """,
-)
-
-
-# ---------------------------------------------------------------------------
-# Q55 — REAL decode+resize in the gate: 16x10 P6 thumbnails at 8x5 via
-# nearest-neighbor (floor mapping src = dst*src_size/dst_size), re-encoded
-# as P6.  PPM is byte-exact, so DuckDB reconstructs the resized payload
-# from the source bytes and md5-matches it — decode, resample, and
-# re-encode are all hash-gated.
-# ---------------------------------------------------------------------------
-
-
-def q55_thumbnail_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    payload = F.concat(
-        F.lit(_PPM_HEADER.encode("ascii")),
-        F.encode(F.rpad(F.substring(F.col("text"), 1, 480), 480, "x"), "UTF-8"),
-    )
-    blobs = multimodal.to_blob_table(
-        docs.withColumn("_ppm", payload), "_ppm", "doc_id",
-        "image/x-portable-pixmap",
-    )
-    small = multimodal.resize_images(blobs, width=8, height=5, out_format="ppm")
-    return small.select(
-        "media_id", "width", "height",
-        F.md5(F.col("payload")).alias("thumb_md5"),
-        F.length(F.col("payload")).alias("thumb_bytes"),
-    )
-
-
-register(
-    "q55_thumbnail_ppm",
-    q55_thumbnail_ppm,
-    """
-    WITH padded AS (
-      SELECT doc_id, rpad(substr(text, 1, 480), 480, 'x') AS s FROM documents
     ), grid AS (
       -- nearest-neighbor source byte for thumbnail pixel (r, c, ch):
       -- src_row = r*10//5 = 2r, src_col = c*16//8 = 2c
@@ -485,12 +454,17 @@ register(
              string_agg(px, '' ORDER BY r, c, ch) AS pix
       FROM grid GROUP BY doc_id
     )
-    SELECT doc_id AS media_id, CAST(8 AS INTEGER) AS width,
-           CAST(5 AS INTEGER) AS height,
-           md5('P6' || chr(10) || '8 5' || chr(10) || '255' || chr(10) || pix)
+    SELECT p.doc_id AS media_id, CAST(493 AS INTEGER) AS n_bytes,
+           s.feat_mean, s.feat_entropy,
+           substr(md5('P6' || chr(10) || '16 10' || chr(10) || '255' || chr(10) || p.s), 1, 16)
+             AS sketch,
+           CAST(8 AS INTEGER) AS width, CAST(5 AS INTEGER) AS height,
+           md5('P6' || chr(10) || '8 5' || chr(10) || '255' || chr(10) || t.pix)
              AS thumb_md5,
            CAST(11 + 120 AS INTEGER) AS thumb_bytes
-    FROM thumb
+    FROM padded p
+    JOIN stats s ON s.doc_id = p.doc_id
+    JOIN thumb t ON t.doc_id = p.doc_id
     """,
 )
 
@@ -1507,3 +1481,87 @@ def _q70_sql() -> str:
 
 
 register("q70_clean_text", q70_clean_text, _q70_sql())
+
+
+# ---------------------------------------------------------------------------
+# Q71 — HTML→text extraction in the gate (VERDICT r9 item 3): each
+# document is wrapped in a deterministic page (head with script/style
+# to drop, a comment, block structure, an entity-escaped body and a
+# fixed entity battery), run through the full html_to_text chain —
+# element drops, comment removal, block→newline, tag strip with quoted
+# '>' attributes, entity decode with &amp; last, whitespace
+# normalization — and the oracle states the EXPECTED extraction in
+# closed form (a string expression of doc_id and the sanitized body),
+# so any stage regressing breaks the hash.  The sanitized body
+# ([a-zA-Z0-9,. ] only, single-spaced) makes the closed form exact:
+# extraction is the identity on it, and the fixed suffix/battery pins
+# the escape round-trip (&amp;lt; -> literal &lt;, R&amp;D -> R&D,
+# &lt;tag&gt; -> <tag>) plus &ndash;/&#x2019;/&quot;/&nbsp; decodes.
+# ---------------------------------------------------------------------------
+
+
+def q71_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lsd2_spark.operators.html_text import html_to_text
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 200),
+                "[^a-zA-Z0-9,. ]",
+                "",
+            ),
+            " +",
+            " ",
+        )
+    )
+    body = F.concat(F.lit("B "), cleaned, F.lit(" R&D <tag>"))
+    esc = F.replace(body, F.lit("&"), F.lit("&amp;"))
+    esc = F.replace(esc, F.lit("<"), F.lit("&lt;"))
+    esc = F.replace(esc, F.lit(">"), F.lit("&gt;"))
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<!DOCTYPE html><html><head><title>Doc '),
+        did,
+        F.lit(
+            '</title><script type="text/javascript">var x = "1 > 0" < 2;'
+            "</script><style>.c{color:red}</style></head><body>"
+            '<!-- hidden comment --><h1 class="t">Doc '
+        ),
+        did,
+        F.lit('</h1><p class="a" alt="5 > 4">'),
+        esc,
+        F.lit(
+            "</p><br><p>&amp;lt; &ndash; &#x2019; &quot;q&quot;&nbsp;end</p>"
+            "</body></html>"
+        ),
+    )
+    out = html_to_text(
+        docs.select("doc_id", html.alias("html")), "html", out_col="text"
+    )
+    return out.select("doc_id", "text")
+
+
+# expected extraction, line by line: title -> 'Doc N', h1 -> 'Doc N',
+# paragraph -> the unescaped body (collapse fixes the empty-cleaned
+# double space), <br>+</p> -> the blank paragraph break, entity battery
+# decoded (&amp;lt; survives as literal &lt; because &amp; decodes
+# LAST; 0x2013/0x2019 are &ndash;/&#x2019;)
+_Q71_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(
+           substr(coalesce(text, ''), 1, 200),
+           '[^a-zA-Z0-9,. ]', '', 'g'), ' +', ' ', 'g')) AS cleaned
+  FROM documents
+)
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+       'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+       regexp_replace('B ' || cleaned || ' R&D <tag>', ' +', ' ', 'g') ||
+       chr(10) || chr(10) ||
+       '&lt; ' || chr(8211) || ' ' || chr(8217) || ' "q" end' AS text
+FROM c
+"""
+
+register("q71_html_text", q71_html_text, _Q71_SQL)

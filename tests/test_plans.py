@@ -54,7 +54,7 @@ def test_media_queries_prune_scan_to_needed_columns(spark):
     """The blob builders must not drag unused document columns through
     the decode kernels: the parquet scan reads only doc_id + text."""
     for name in ("q53_ppm_pixel_features", "q54_wav_audio_features",
-                 "q55_thumbnail_ppm", "q56_frame_sample"):
+                 "q56_frame_sample"):
         plan = _plan(spark, name)
         read = plan.split("ReadSchema:")[1].splitlines()[0]
         assert "text" in read and "doc_id" in read, (name, read)

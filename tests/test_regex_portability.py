@@ -58,6 +58,7 @@ TEXT_GATE = [
     "q68_dsir_score",
     "q69_fuzzy_decontam",
     "q70_clean_text",
+    "q71_html_text",
 ]
 
 

@@ -48,8 +48,7 @@ EXPECTED = [
     "q36_doc_profile",  # merged former q35/q36/q37
     "q38_fingerprints",  # merged former q38/q39
     "q42_media_profile",  # merged former q42/q43
-    "q53_ppm_pixel_features",
-    "q55_thumbnail_ppm",
+    "q53_ppm_pixel_features",  # merged former q53/q55
     "q56_frame_sample",
     "q54_wav_audio_features",
     "q46_dedup_clusters",
@@ -67,6 +66,8 @@ EXPECTED = [
     "q68_dsir_score",
     "q69_fuzzy_decontam",
     "q70_clean_text",
+    # round-10 addition: HTML->text extraction, freed by the q53/q55 merge
+    "q71_html_text",
 ]
 
 
