@@ -66,10 +66,14 @@ def bm25_score(
     )
 
     # corpus stats: ONE scalar partial-agg pass, broadcast via crossJoin
-    # of a single row (plan-sized; same pattern as the q06 oracle)
+    # of a single row (plan-sized; same pattern as the q06 oracle).
+    # avgdl is SUM/COUNT, not F.avg: the lengths are integer-valued
+    # doubles, so the sum is exact at any accumulation order (≤ 2^53)
+    # and the single division is engine-portable — F.avg's streaming
+    # accumulation drifts from DuckDB's by ulps
     stats = base.agg(
         F.count(F.lit(1)).cast("double").alias("_n_docs"),
-        F.avg("_dl").alias("_avgdl"),
+        (F.sum("_dl") / F.count(F.lit(1))).alias("_avgdl"),
     )
 
     # per-(doc, query-term) term frequency — the filter runs INSIDE the

@@ -533,6 +533,10 @@ register(
 
 
 def q13_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Former gate row q13 — merged into q57_kmv_distinct in round 10
+    (same event_type grain; the exact COUNT(DISTINCT) now sits next to
+    the KMV estimate it validates).  Kept callable for the unmerge plan
+    in COVERAGE.md."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users"),
@@ -540,17 +544,6 @@ def q13_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("max_value"),
         F.count(F.lit(1)).alias("n"),
     )
-
-
-register(
-    "q13_distinct_stats",
-    q13_distinct_stats,
-    """
-    SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
-           MIN(value) AS min_value, MAX(value) AS max_value, COUNT(*) AS n
-    FROM events GROUP BY event_type
-    """,
-)
 
 
 # ---------------------------------------------------------------------------

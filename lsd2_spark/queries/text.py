@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lsd2_spark.functions.numeric import round6
+from lsd2_spark.functions.numeric import round6, round6_sql
 from lsd2_spark.functions.portable_hash import MINHASH_PERMS, MOD, WS, hash64_sql, minhash_term_sql
 from lsd2_spark.operators import dedup, multimodal, text_analysis
 from lsd2_spark.queries import load_table, register
@@ -701,21 +701,43 @@ register("q49_sample_and_split", q49_sample_and_split, _sampling_oracle())
 
 
 # ---------------------------------------------------------------------------
-# Q57 — KMV distinct-count sketch: deterministic bottom-k cardinality
-# estimation per event_type (operators/sketches.py).  The portable md5
-# hash makes the whole sketch — occupancy, k-th hash, estimate —
-# bit-reproducible in DuckDB, unlike HLL-based approx_count_distinct.
+# Q57 — KMV sketch family, one row per event_type (merged former
+# q57/q13 — same grain — plus the sketch SET ALGEBRA, round 10):
+#
+# - distinct-count estimate from the deterministic bottom-k sketch
+#   (occupancy, estimate) — the portable md5 hash makes it
+#   bit-reproducible in DuckDB, unlike HLL approx_count_distinct;
+# - the EXACT distinct stats beside it (former q13: COUNT(DISTINCT),
+#   min/max/count) — the estimate is gated next to its ground truth;
+# - cross-corpus set cardinalities (kmv_set_stats over the even/odd
+#   user_id halves): est_left/right/union/intersection + jaccard, the
+#   full mergeable-sketch algebra replayed list-for-list in SQL.
 # ---------------------------------------------------------------------------
 
 _KMV_K = 64
 
 
 def q57_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from lsd2_spark.operators.sketches import kmv_distinct
+    from lsd2_spark.operators.sketches import kmv_distinct, kmv_set_stats, kmv_sketch
+    from lsd2_spark.queries.relational import q13_distinct_stats
 
     ev = load_table(spark, sf_dir, "events")
-    return kmv_distinct(ev, "user_id", ["event_type"], k=_KMV_K)
+    dist = kmv_distinct(ev, "user_id", ["event_type"], k=_KMV_K)
+    exact = q13_distinct_stats(spark, sf_dir)
+    ska = kmv_sketch(
+        ev.filter(F.col("user_id") % 2 == 0), "user_id", ["event_type"], k=_KMV_K
+    )
+    skb = kmv_sketch(
+        ev.filter(F.col("user_id") % 2 == 1), "user_id", ["event_type"], k=_KMV_K
+    )
+    stats = kmv_set_stats(ska, skb, ["event_type"], k=_KMV_K)
+    return dist.join(exact, "event_type").join(stats, "event_type")
 
+
+_q57_est = (
+    f"CASE WHEN len({{s}}) < {_KMV_K} THEN CAST(len({{s}}) AS DOUBLE) "
+    f"ELSE {float(_KMV_K - 1)} * 1152921504606846976.0 / CAST({{s}}[{_KMV_K}] AS DOUBLE) END"
+)
 
 register(
     "q57_kmv_distinct",
@@ -723,7 +745,8 @@ register(
     f"""
     WITH h AS (
       SELECT DISTINCT event_type,
-             {hash64_sql("CAST(user_id AS VARCHAR)")} AS hh
+             {hash64_sql("CAST(user_id AS VARCHAR)")} AS hh,
+             user_id % 2 AS half
       FROM events WHERE user_id IS NOT NULL
     ), rk AS (
       SELECT event_type, hh,
@@ -732,12 +755,60 @@ register(
     ), agg AS (
       SELECT event_type, COUNT(*) AS n, MAX(hh) AS hk
       FROM rk WHERE r <= {_KMV_K} GROUP BY event_type
+    ), ex AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+             MIN(value) AS min_value, MAX(value) AS max_value, COUNT(*) AS n
+      FROM events GROUP BY event_type
+    ), ra AS (
+      SELECT event_type, hh,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hh) AS r
+      FROM h WHERE half = 0
+    ), sa AS (
+      SELECT event_type, list(hh ORDER BY hh) AS sk
+      FROM ra WHERE r <= {_KMV_K} GROUP BY event_type
+    ), rb AS (
+      SELECT event_type, hh,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hh) AS r
+      FROM h WHERE half = 1
+    ), sb AS (
+      SELECT event_type, list(hh ORDER BY hh) AS sk
+      FROM rb WHERE r <= {_KMV_K} GROUP BY event_type
+    ), j AS (
+      SELECT COALESCE(sa.event_type, sb.event_type) AS event_type,
+             COALESCE(sa.sk, CAST([] AS BIGINT[])) AS a,
+             COALESCE(sb.sk, CAST([] AS BIGINT[])) AS b
+      FROM sa FULL JOIN sb ON sa.event_type = sb.event_type
+    ), u AS (
+      SELECT event_type, a, b,
+             (len(a) < {_KMV_K} AND len(b) < {_KMV_K}) AS both_exact,
+             CASE WHEN len(a) < {_KMV_K} AND len(b) < {_KMV_K}
+                  THEN list_sort(list_distinct(list_concat(a, b)))
+                  ELSE list_sort(list_distinct(list_concat(a, b)))[1:{_KMV_K}]
+             END AS uu
+      FROM j
+    ), ss AS (
+      SELECT event_type,
+             {_q57_est.format(s='a')} AS est_left,
+             {_q57_est.format(s='b')} AS est_right,
+             CASE WHEN both_exact THEN CAST(len(uu) AS DOUBLE)
+                  ELSE {_q57_est.format(s='uu')} END AS est_union,
+             CASE WHEN len(uu) > 0
+                  THEN CAST(len(list_intersect(uu, list_intersect(a, b))) AS DOUBLE)
+                       / len(uu)
+                  ELSE 0.0 END AS jaccard_est
+      FROM u
     )
-    SELECT event_type, CAST(n AS BIGINT) AS n_kept,
-           CASE WHEN n < {_KMV_K} THEN CAST(n AS DOUBLE)
-                ELSE {float(_KMV_K - 1)} * 1152921504606846976.0 / CAST(hk AS DOUBLE)
-           END AS est_distinct
+    SELECT agg.event_type, CAST(agg.n AS BIGINT) AS n_kept,
+           CASE WHEN agg.n < {_KMV_K} THEN CAST(agg.n AS DOUBLE)
+                ELSE {float(_KMV_K - 1)} * 1152921504606846976.0 / CAST(agg.hk AS DOUBLE)
+           END AS est_distinct,
+           ex.n_users, ex.min_value, ex.max_value, ex.n,
+           ss.est_left, ss.est_right, ss.est_union,
+           ss.jaccard_est * ss.est_union AS est_intersection,
+           ss.jaccard_est
     FROM agg
+    JOIN ex ON ex.event_type = agg.event_type
+    JOIN ss ON ss.event_type = agg.event_type
     """,
 )
 
@@ -1565,3 +1636,57 @@ FROM c
 """
 
 register("q71_html_text", q71_html_text, _Q71_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q72 — BM25 retrieval in the gate (the backlog's "most SQL-replayable
+# pytest-only operator"): top-50 documents for a fixed query, scored
+# with the standard BM25+ idf over whitespace tokens.  Every float op
+# is order-pinned: avgdl is an exact integer-valued sum over doubles
+# divided once, idf/score chains evaluate left-associatively in both
+# engines, and the final score goes through the round6 twin.  Ties at
+# the k boundary break by doc_id in both engines.
+# ---------------------------------------------------------------------------
+
+_BM25_QUERY = "the data of system"
+_BM25_K = 50
+
+
+def q72_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lsd2_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_QUERY, "text", "doc_id", k=_BM25_K)
+
+
+_Q72_SQL = f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '{WS}'),
+                         x -> x IN ('the', 'data', 'of', 'system')) AS m,
+             CAST(len(regexp_split_to_array(lower(text), '{WS}')) AS DOUBLE) AS dl
+      FROM documents
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) / COUNT(*) AS avgdl
+      FROM base
+    ), tf AS (
+      SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, dl, unnest(m) AS term FROM base)
+      GROUP BY doc_id, dl, term
+    ), dfq AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), sc AS (
+      SELECT doc_id,
+             {round6_sql(
+                 "SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2"
+                 " / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))"
+             )} AS score,
+             COUNT(*) AS n_query_terms_matched
+      FROM tf JOIN dfq USING (term) CROSS JOIN stats
+      GROUP BY doc_id
+    )
+    SELECT doc_id, score, n_query_terms_matched
+    FROM sc ORDER BY score DESC, doc_id LIMIT {_BM25_K}
+    """
+
+register("q72_bm25_topk", q72_bm25_topk, _Q72_SQL)

@@ -67,7 +67,9 @@ def test_sketch_and_sample_queries_prune_scans(spark):
     plan = _plan(spark, "q57_kmv_distinct")
     read = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "event_type" in read and "user_id" in read
-    assert "props" not in read and "value" not in read, read
+    # the merged row (former q13 half) also needs `value` for min/max;
+    # everything else stays pruned
+    assert "props" not in read and "ts" not in read, read
 
     plan = _plan(spark, "q58_weighted_sample")
     read = plan.split("ReadSchema:")[1].splitlines()[0]

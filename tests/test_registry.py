@@ -35,7 +35,6 @@ EXPECTED = [
     "q16_cube",
     "q17_order_setops",  # merged former q17/q18
     "q19_median",
-    "q13_distinct_stats",
     "q14_conditional_agg",
     "q04_order_priority",
     "q22_idle_customers",
@@ -53,7 +52,7 @@ EXPECTED = [
     "q54_wav_audio_features",
     "q46_dedup_clusters",
     "q49_sample_and_split",  # merged former q49/q50
-    "q57_kmv_distinct",
+    "q57_kmv_distinct",  # merged former q57/q13 + KMV set algebra
     "q58_weighted_sample",
     "q60_cap_per_source",
     "q61_text_hygiene",  # merged former q61/q62
@@ -66,8 +65,10 @@ EXPECTED = [
     "q68_dsir_score",
     "q69_fuzzy_decontam",
     "q70_clean_text",
-    # round-10 addition: HTML->text extraction, freed by the q53/q55 merge
+    # round-10 additions: HTML->text extraction (slot freed by the
+    # q53/q55 merge) and BM25 retrieval (slot freed by the q13->q57 merge)
     "q71_html_text",
+    "q72_bm25_topk",
 ]
 
 
