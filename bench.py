@@ -155,23 +155,42 @@ def main() -> None:
         inbox = f"{tmp}/inbox"
         ev.repartition(4).write.mode("overwrite").parquet(inbox)
         n_stream_rows = ev.count()
-        stream = (
-            spark.readStream.schema("sid long, ra double, dec double")
-            .option("maxFilesPerTrigger", 2)
-            .parquet(f"{inbox}/*.parquet")
-        )
-        writer = sev.stream_into_catalog(stream, cat)
-        t0 = time.perf_counter()
-        writer.run_available(f"{tmp}/ckpt")
-        stream_dt = time.perf_counter() - t0
+        # min-of-repeats for streaming too (VERDICT r9 item 6): the
+        # single-run number drifted 1,411 -> 1,353 rows/s across rounds
+        # on load noise alone.  Each run streams into its OWN copy of
+        # the standing catalog with a fresh checkpoint — the
+        # exactly-once high-water mark is per-catalog, so reruns
+        # re-ingest instead of no-opping.
+        from lsd2_spark.catalog import Catalog
+
+        stream_walls = []
+        for i in range(3):
+            rdir = f"{tmp}/scat{i}"
+            shutil.copytree(f"{tmp}/cat", rdir)
+            scat = Catalog.load(spark, rdir, "bench")
+            stream = (
+                spark.readStream.schema("sid long, ra double, dec double")
+                .option("maxFilesPerTrigger", 2)
+                .parquet(f"{inbox}/*.parquet")
+            )
+            writer = sev.stream_into_catalog(stream, scat)
+            t0 = time.perf_counter()
+            writer.run_available(f"{tmp}/ckpt{i}")
+            stream_walls.append(time.perf_counter() - t0)
+        stream_dt = sorted(stream_walls)[len(stream_walls) // 2]
         # reported under "streaming", NOT summed into the headline
         # total, so round-over-round totals stay comparable with the
-        # pre-streaming-bench rounds
+        # pre-streaming-bench rounds.  min_rows_per_sec is the
+        # best-run throughput (rows / min wall) — the load-robust
+        # number round-over-round comparisons should read.
         streaming = {
             "rows": int(n_stream_rows),
             "micro_batches": 2,
+            "runs": len(stream_walls),
+            "wall_sec_runs": [round(x, 3) for x in stream_walls],
             "wall_sec": round(stream_dt, 3),
             "rows_per_sec": round(n_stream_rows / stream_dt, 1),
+            "min_rows_per_sec": round(n_stream_rows / min(stream_walls), 1),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -451,8 +470,112 @@ def main() -> None:
                 assign_nprobe="auto",
             ).filter("keep = 0").count(),
         )
+        # fuzzy decontamination density probe (VERDICT r9 item 5): the
+        # scale axis that matters is EVAL-SET size — banding saturates
+        # as the broadcast band table grows.  Candidate rows (the
+        # band-collision volume, pre-exact-verify) are the degradation
+        # signal, same contract as the simhash/embedding probes.
+        # Output rows are one-per-train-doc by construction, so only
+        # exec and candidate ratios are informative here.
+        from lsd2_spark.operators import decontam as dcn
+
+        probe(
+            "fuzzy_decontam_x10",
+            lambda: dcn.fuzzy_decontaminate(
+                docs, docs.filter(F.col("doc_id") % 250 == 0),
+                "text", "doc_id", min_jaccard=0.5,
+            ).filter("fuzzy_contaminated").count(),
+            lambda: dcn.fuzzy_decontaminate(
+                docs, docs.filter(F.col("doc_id") % 25 == 0),
+                "text", "doc_id", min_jaccard=0.5,
+            ).filter("fuzzy_contaminated").count(),
+            base_cands=lambda: dcn.fuzzy_decontam_candidates(
+                docs, docs.filter(F.col("doc_id") % 250 == 0),
+                "text", "doc_id",
+            ).count(),
+            x10_cands=lambda: dcn.fuzzy_decontam_candidates(
+                docs, docs.filter(F.col("doc_id") % 25 == 0),
+                "text", "doc_id",
+            ).count(),
+        )
     except Exception as e:  # never let the probes break the artifact
         density["error"] = str(e)[:200]
+
+    # hierarchical-assignment recall probe (VERDICT r9 item 4): the
+    # boundary-miss risk of nprobe-limited centroid assignment,
+    # MEASURED instead of argued.  Plant near-duplicates (a small
+    # single-coordinate perturbation — NOT identical unit vectors,
+    # which can never split) into the 10x corpus, then compare each
+    # nprobe's verdicts against the exact dense assignment at the same
+    # k: what fraction of planted pairs land in different clusters,
+    # and what fraction of exact's dup verdicts the approximation
+    # still catches.  This is the data the "auto" rule (max(2, sqrt-
+    # k/4)) must justify.
+    semdedup_recall = {}
+    try:
+        from lsd2_spark.operators import semdedup as sdd2
+
+        planted = emb10_d.filter(F.col("vec_id") % 20 == 0).select(
+            (F.col("vec_id") + 100_000_000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x + F.when(i == 0, F.lit(0.03)).otherwise(F.lit(0.0)),
+            ).alias("embedding"),
+        )
+        corpus = emb10_d.unionByName(planted)
+        n_planted = planted.count()
+        K, EPS_R = 160, 0.99
+
+        def verdicts(nprobe):
+            t0 = time.perf_counter()
+            pdf = (
+                sdd2.semantic_dedup(
+                    corpus, "embedding", "vec_id",
+                    n_clusters=K, eps=EPS_R, assign_nprobe=nprobe,
+                )
+                .select("vec_id", "cluster_id", "keep")
+                .toPandas()
+                .set_index("vec_id")
+                .sort_index()
+            )
+            return pdf, time.perf_counter() - t0
+
+        exact_pdf, exact_dt = verdicts(None)
+        orig_ids = exact_pdf.index[exact_pdf.index < 100_000_000]
+        pair_orig = [i for i in orig_ids if (i + 100_000_000) in exact_pdf.index and i % 20 == 0]
+        exact_flagged = int(
+            (exact_pdf.loc[[i + 100_000_000 for i in pair_orig], "keep"] == 0).sum()
+        )
+        semdedup_recall = {
+            "n_corpus": int(len(exact_pdf)),
+            "n_planted": int(n_planted),
+            "k": K,
+            "eps": EPS_R,
+            "exact_sec": round(exact_dt, 3),
+            "exact_flagged": exact_flagged,
+            "per_nprobe": {},
+        }
+        for np_ in (1, 2, 4):
+            hier_pdf, dt = verdicts(np_)
+            split = sum(
+                1
+                for i in pair_orig
+                if hier_pdf.loc[i, "cluster_id"]
+                != hier_pdf.loc[i + 100_000_000, "cluster_id"]
+            )
+            flagged = int(
+                (hier_pdf.loc[[i + 100_000_000 for i in pair_orig], "keep"] == 0).sum()
+            )
+            delta = float((hier_pdf["keep"] != exact_pdf["keep"]).mean())
+            semdedup_recall["per_nprobe"][str(np_)] = {
+                "sec": round(dt, 3),
+                "pairs_split_pct": round(100.0 * split / max(len(pair_orig), 1), 2),
+                "flagged": flagged,
+                "recall_vs_exact": round(flagged / max(exact_flagged, 1), 4),
+                "verdict_delta_pct": round(100.0 * delta, 3),
+            }
+    except Exception as e:  # never let the probe break the artifact
+        semdedup_recall = {"error": str(e)[:200]}
 
     # round-7 extension operators: timed on the same tables, reported
     # under "extras" (not summed into the headline total, so
@@ -596,6 +719,7 @@ def main() -> None:
         "streaming": streaming,
         "crossmatch_x10": x10,
         "density_x10": density,
+        "semdedup_recall": semdedup_recall,
         "extras": extras,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],

@@ -255,6 +255,84 @@ def decontaminate_bloom(
         )
     )
 
+def fuzzy_decontam_candidates(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    bands: int = 16,
+    rows_per_band: int = 1,
+) -> DataFrame:
+    """The candidate (band-collision) stage of
+    :func:`fuzzy_decontaminate`, exposed so its volume can be measured
+    and regression-tested independently of the exact-verify filter —
+    candidate volume, not verified output, is the quantity that
+    degrades first at scale (the same instrumentation contract as
+    ``hamming_band_candidates`` / ``embedding_neardup_candidates``).
+    Returns distinct ``(_tid, _eid)`` pairs that share at least one
+    salted-minhash band bucket."""
+    from lsd2_spark.functions.portable_hash import MOD, hash64
+    from lsd2_spark.operators.common import spread_partitions
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if bands < 1:
+        raise ValueError(f"bands must be >= 1, got {bands}")
+    if not 1 <= rows_per_band <= 3:
+        # bucket packing of MOD-reduced rows fits int64 only to MOD^3
+        raise ValueError(f"rows_per_band must be in 1..3, got {rows_per_band}")
+    k = bands * rows_per_band
+
+    shingles = F.array_distinct(word_ngrams(F.col(text_col), n))
+    # one salt per signature row; the salt byte cannot occur in a
+    # shingle (shingles are \x1f-free word joins), so salted domains
+    # never alias each other
+    salts = [f"fz{j}\x1f" for j in range(k)]
+
+    def tag(df: DataFrame, out_id: str) -> DataFrame:
+        sig = df.select(F.col(id_col).alias(out_id), shingles.alias("_sh"))
+        for j, salt in enumerate(salts):
+            sig = sig.withColumn(
+                f"mh{j}",
+                F.array_min(
+                    F.transform(
+                        F.col("_sh"), lambda s: hash64(F.concat(F.lit(salt), s))
+                    )
+                ),
+            )
+        sig = sig.drop("_sh")
+
+        def bucket_of(b: int):
+            # 60-bit minima cannot be packed raw; reduce each to the
+            # MOD domain for the bucket key only (a collision adds a
+            # candidate at ~1/MOD — exact-verified away)
+            parts = [
+                F.col(f"mh{j}") % MOD
+                for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ]
+            expr = parts[0]
+            for p in parts[1:]:
+                expr = expr * MOD + p  # fits: MOD^3 < 2^63
+            return expr
+
+        band_cols = [
+            F.struct(F.lit(b).alias("band"), bucket_of(b).alias("bucket"))
+            for b in range(bands)
+        ]
+        return sig.withColumn("_band", F.explode(F.array(*band_cols))).select(
+            out_id, "_band.band", "_band.bucket"
+        )
+
+    tt = tag(spread_partitions(train), "_tid")
+    et = tag(eval_df, "_eid")
+    return (
+        tt.join(F.broadcast(et), on=["band", "bucket"])
+        .select("_tid", "_eid")
+        .dropDuplicates(["_tid", "_eid"])
+    )
+
+
 def fuzzy_decontaminate(
     train: DataFrame,
     eval_df: DataFrame,
@@ -312,68 +390,12 @@ def fuzzy_decontaminate(
     eval side again broadcast; the per-document argmax is two
     partial-aggregable groupBys over the verified sliver.
     """
-    import hashlib
-
-    from lsd2_spark.functions.portable_hash import MOD, hash64
-    from lsd2_spark.operators.common import spread_partitions
-
     if not 0.0 < min_jaccard <= 1.0:
         raise ValueError(f"min_jaccard must be in (0, 1], got {min_jaccard}")
-    if n < 1:
-        raise ValueError(f"n must be >= 1, got {n}")
-    if bands < 1:
-        raise ValueError(f"bands must be >= 1, got {bands}")
-    if not 1 <= rows_per_band <= 3:
-        # bucket packing of MOD-reduced rows fits int64 only to MOD^3
-        raise ValueError(f"rows_per_band must be in 1..3, got {rows_per_band}")
-    k = bands * rows_per_band
-
     shingles = F.array_distinct(word_ngrams(F.col(text_col), n))
-    # one salt per signature row; the salt byte cannot occur in a
-    # shingle (shingles are \x1f-free word joins), so salted domains
-    # never alias each other
-    salts = [f"fz{j}\x1f" for j in range(k)]
-
-    def tag(df: DataFrame, out_id: str) -> DataFrame:
-        sig = df.select(F.col(id_col).alias(out_id), shingles.alias("_sh"))
-        for j, salt in enumerate(salts):
-            sig = sig.withColumn(
-                f"mh{j}",
-                F.array_min(
-                    F.transform(
-                        F.col("_sh"), lambda s: hash64(F.concat(F.lit(salt), s))
-                    )
-                ),
-            )
-        sig = sig.drop("_sh")
-
-        def bucket_of(b: int):
-            # 60-bit minima cannot be packed raw; reduce each to the
-            # MOD domain for the bucket key only (a collision adds a
-            # candidate at ~1/MOD — exact-verified away)
-            parts = [
-                F.col(f"mh{j}") % MOD
-                for j in range(b * rows_per_band, (b + 1) * rows_per_band)
-            ]
-            expr = parts[0]
-            for p in parts[1:]:
-                expr = expr * MOD + p  # fits: MOD^3 < 2^63
-            return expr
-
-        band_cols = [
-            F.struct(F.lit(b).alias("band"), bucket_of(b).alias("bucket"))
-            for b in range(bands)
-        ]
-        return sig.withColumn("_band", F.explode(F.array(*band_cols))).select(
-            out_id, "_band.band", "_band.bucket"
-        )
-
-    tt = tag(spread_partitions(train), "_tid")
-    et = tag(eval_df, "_eid")
-    cands = (
-        tt.join(F.broadcast(et), on=["band", "bucket"])
-        .select("_tid", "_eid")
-        .dropDuplicates(["_tid", "_eid"])
+    cands = fuzzy_decontam_candidates(
+        train, eval_df, text_col, id_col,
+        n=n, bands=bands, rows_per_band=rows_per_band,
     )
 
     # exact verify over the SAME shingle sets the signatures hashed

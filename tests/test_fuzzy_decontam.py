@@ -169,6 +169,26 @@ def test_long_doc_band_collisions_bounded(spark):
     assert out.filter("fuzzy_contaminated").count() == 0
 
 
+def test_candidates_superset_and_distinct(spark, data):
+    """The exposed candidate stage (the quantity the fuzzy_decontam_x10
+    density probe measures) is (a) distinct pairs and (b) a SUPERSET of
+    the verified matches — every (train, matched_eval) pair the full
+    operator flags must have band-collided first."""
+    from lsd2_spark.operators.decontam import fuzzy_decontam_candidates
+
+    train, eval_df, _ = data
+    cands = fuzzy_decontam_candidates(train, eval_df, "text", "doc_id")
+    rows = cands.collect()
+    pairs = {(r["_tid"], r["_eid"]) for r in rows}
+    assert len(rows) == len(pairs)  # distinct
+    flagged = fuzzy_decontaminate(
+        train, eval_df, "text", "doc_id", min_jaccard=0.3
+    ).filter("fuzzy_contaminated").collect()
+    assert flagged  # fixture plants leaks; vacuous superset would hide a bug
+    for r in flagged:
+        assert (r["doc_id"], r["matched_eval_id"]) in pairs
+
+
 def test_plan_broadcast_no_cartesian(spark, data):
     train, eval_df, _ = data
     plan = fuzzy_decontaminate(
