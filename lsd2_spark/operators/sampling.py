@@ -11,6 +11,8 @@ trivially parallel at 100 TB.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -173,6 +175,7 @@ def temperature_mixture(
     alpha: float = 0.7,
     target_rows: int | None = None,
     salt: str = "",
+    frac_round: int | None = None,
 ) -> "tuple[DataFrame, dict[str, float]]":
     """Temperature-scaled source mixing (the multinomial ``p_i ∝
     n_i^alpha`` re-weighting used to up-sample small sources in
@@ -189,6 +192,16 @@ def temperature_mixture(
     rows); the sample itself is the zero-shuffle Column decision from
     :func:`stratified_sample`.  Returns ``(sampled_df, fractions)`` so
     the mixture spec can be logged/persisted.
+
+    ``frac_round``: snap each fraction to ``frac_round`` decimals via
+    ``floor(f * 10^k + 0.5) / 10^k`` — the exact idiom another engine
+    (DuckDB, Trino) writes as ``FLOOR(f * 1e6 + 0.5) / 1e6`` — so the
+    keep decisions can be replayed bit-for-bit elsewhere: last-ulp
+    drift in ``pow`` and float-sum ordering in the normalizer Z can
+    perturb a raw fraction by ~1e-16, and a replayed ``u < frac``
+    comparison must not fork on it.  Six decimals shifts each stratum's
+    expected kept count by at most n_s * 5e-7 — noise next to the
+    sampling variance itself.
     """
     # NULL strata can't participate: the keep expression's equality
     # never matches NULL, so counting them would misstate the fractions
@@ -210,6 +223,9 @@ def temperature_mixture(
     fractions = {
         s: min(1.0, (target_rows * weights[s] / z) / counts[s]) for s in counts
     }
+    if frac_round is not None:
+        q = 10.0 ** frac_round
+        fractions = {s: math.floor(f * q + 0.5) / q for s, f in fractions.items()}
     return (
         stratified_sample(df, id_col, fractions, strata_col=strata_col, salt=salt),
         fractions,

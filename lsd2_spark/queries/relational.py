@@ -259,58 +259,64 @@ register(
 
 
 # ---------------------------------------------------------------------------
-# Q09 — anti join: customers with no orders
+# Q09 — anti + semi join (merged former q09/q10, round 10: same
+# customer grain).  Both REAL join strategies still execute — the anti
+# half (customers with no open 'O' orders) and the semi half (customers
+# with a >60-day-late shipment) each run as their native left_anti /
+# left_semi join, then attach to the full customer table as flags.
+# Splitting back out is mechanical: q09 = filter no_open_orders,
+# project c_name; q10 = filter late_ship, project c_mktsegment.
 # ---------------------------------------------------------------------------
 
 
-def q09_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with no open ('O') orders — anti join with a
-    non-trivial result at every scale factor."""
-    cust = load_table(spark, sf_dir, "customer")
-    open_orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
-    return (
-        cust.join(open_orders, cust.c_custkey == open_orders.o_custkey, "left_anti")
-        .select("c_custkey", "c_name")
-    )
-
-
-register(
-    "q09_anti_join",
-    q09_anti_join,
-    """
-    SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
-    """,
-)
-
-
-# ---------------------------------------------------------------------------
-# Q10 — semi join + date arithmetic: customers with a late shipment
-# ---------------------------------------------------------------------------
-
-
-def q10_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q09_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+
+    open_orders = orders.filter(F.col("o_orderstatus") == "O")
+    no_open = (
+        cust.join(open_orders, cust.c_custkey == open_orders.o_custkey, "left_anti")
+        .select("c_custkey")
+        .withColumn("_no_open", F.lit(True))
+    )
+
     late = orders.join(li, orders.o_orderkey == li.l_orderkey).filter(
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     )
-    return (
+    late_cust = (
         cust.join(late, cust.c_custkey == late.o_custkey, "left_semi")
-        .select("c_custkey", "c_mktsegment")
+        .select("c_custkey")
+        .withColumn("_late", F.lit(True))
+    )
+
+    return (
+        cust.select("c_custkey", "c_name", "c_mktsegment")
+        .join(no_open, "c_custkey", "left")
+        .join(late_cust, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.coalesce(F.col("_no_open"), F.lit(False)).alias("no_open_orders"),
+            F.coalesce(F.col("_late"), F.lit(False)).alias("late_ship"),
+        )
     )
 
 
 register(
-    "q10_semi_join",
-    q10_semi_join,
+    "q09_semi_anti",
+    q09_semi_anti,
     """
-    SELECT c_custkey, c_mktsegment FROM customer
-    WHERE EXISTS (
-      SELECT 1 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-      WHERE o_custkey = c_custkey
-        AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    SELECT c_custkey, c_name, c_mktsegment,
+           NOT EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+             AS no_open_orders,
+           EXISTS (SELECT 1 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                   WHERE o_custkey = c_custkey
+                     AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+             AS late_ship
+    FROM customer
     """,
 )
 

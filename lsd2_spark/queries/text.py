@@ -652,20 +652,62 @@ register(
 
 # ---------------------------------------------------------------------------
 # Q49/Q50 — deterministic sampling & splits (training-pipeline
-# reproducibility primitives; decisions replayed exactly by the oracle)
+# reproducibility primitives; decisions replayed exactly by the oracle),
+# WIDENED in round 10 with the temperature-mixture columns (same
+# all-documents grain): the documents' sources are uniform by
+# construction, so the mixture strata are a deterministic doc_id-derived
+# 60/30/10 skew ('web'/'books'/'code') that tempering actually has to
+# work on.  The oracle recomputes the whole mixture — per-stratum
+# counts, n^alpha weights, the normalizer, the target-scaled fractions
+# snapped to 6 decimals (frac_round=6, the floor(f*1e6+0.5)/1e6 idiom
+# on both sides so pow last-ulp / sum-order drift can't fork a keep
+# decision) — and replays u < frac per row.
 # ---------------------------------------------------------------------------
 
 _SAMPLE_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 _SPLIT_WEIGHTS = {"test": 0.05, "train": 0.9, "val": 0.05}
+_MIX_ALPHA, _MIX_TARGET, _MIX_SALT = 0.7, 250, "mix"
+
+
+def _mix_strata() -> "F.Column":
+    # built lazily: Column construction needs an active SparkContext
+    return F.when(F.col("doc_id") % 10 < 6, "web").when(
+        F.col("doc_id") % 10 < 9, "books"
+    ).otherwise("code")
+
+
+_MIX_STRATA_SQL = (
+    "CASE WHEN doc_id % 10 < 6 THEN 'web' "
+    "WHEN doc_id % 10 < 9 THEN 'books' ELSE 'code' END"
+)
 
 
 def q49_sample_and_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified-sample membership + train/val/test assignment in one
-    per-doc projection (merged former q49/q50 — both are zero-shuffle
-    Column decisions over the same deterministic uniform)."""
-    from lsd2_spark.operators.sampling import assign_splits, stratified_keep
+    """Stratified-sample membership + train/val/test assignment + the
+    temperature-mixture keep decision in one per-doc projection (merged
+    former q49/q50 + widened with temperature_mixture — all three are
+    zero-shuffle Column decisions over deterministic uniforms; the
+    mixture adds one plan-sized count collect)."""
+    from lsd2_spark.operators.sampling import (
+        assign_splits,
+        stratified_keep,
+        temperature_mixture,
+    )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "mix_stratum", _mix_strata()
+    )
+    # run the real operator; reuse its published fractions to express
+    # the identical keep decision as a flag at the all-docs grain (the
+    # operator's own filter IS stratified_keep over these fractions)
+    _, fracs = temperature_mixture(
+        docs, "doc_id", "mix_stratum",
+        alpha=_MIX_ALPHA, target_rows=_MIX_TARGET, salt=_MIX_SALT,
+        frac_round=6,
+    )
+    mix_frac = F.lit(0.0)
+    for s, f in sorted(fracs.items()):
+        mix_frac = F.when(F.col("mix_stratum") == s, F.lit(f)).otherwise(mix_frac)
     return assign_splits(docs, "doc_id", _SPLIT_WEIGHTS).select(
         "doc_id",
         "source",
@@ -673,6 +715,11 @@ def q49_sample_and_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         stratified_keep("doc_id", _SAMPLE_FRACTIONS, strata_col="source").alias(
             "in_sample"
         ),
+        "mix_stratum",
+        mix_frac.alias("mix_frac"),
+        stratified_keep(
+            "doc_id", fracs, strata_col="mix_stratum", salt=_MIX_SALT
+        ).alias("mix_keep"),
     )
 
 
@@ -680,6 +727,7 @@ def _sampling_oracle() -> str:
     from lsd2_spark.operators.sampling import deterministic_uniform_sql
 
     u = deterministic_uniform_sql("doc_id")
+    u_mix = deterministic_uniform_sql("doc_id", _MIX_SALT)
     frac = "CASE " + " ".join(
         f"WHEN source = '{v}' THEN {f}" for v, f in sorted(_SAMPLE_FRACTIONS.items())
     ) + " ELSE 0.0 END"
@@ -689,12 +737,25 @@ def _sampling_oracle() -> str:
     for name in names:
         cum += _SPLIT_WEIGHTS[name]
         cases.append(f"WHEN {u} < {cum!r} THEN '{name}'")
-    return (
-        f"SELECT doc_id, source, "
-        f"CASE {' '.join(cases)} ELSE '{names[-1]}' END AS split, "
-        f"{u} < {frac} AS in_sample "
-        "FROM documents"
+    return f"""
+    WITH s AS (
+      SELECT doc_id, source, {_MIX_STRATA_SQL} AS mix_stratum FROM documents
+    ), cnt AS (
+      SELECT mix_stratum, COUNT(*) AS n, POW(COUNT(*), {_MIX_ALPHA}) AS w
+      FROM s GROUP BY mix_stratum
+    ), fr AS MATERIALIZED (
+      SELECT mix_stratum,
+             FLOOR(LEAST(1.0, {_MIX_TARGET} * w / (SELECT SUM(w) FROM cnt) / n)
+                   * 1000000.0 + 0.5) / 1000000.0 AS mix_frac
+      FROM cnt
     )
+    SELECT s.doc_id, s.source,
+           CASE {' '.join(cases)} ELSE '{names[-1]}' END AS split,
+           {u} < {frac} AS in_sample,
+           s.mix_stratum, fr.mix_frac,
+           {u_mix} < fr.mix_frac AS mix_keep
+    FROM s JOIN fr ON s.mix_stratum = fr.mix_stratum
+    """
 
 
 register("q49_sample_and_split", q49_sample_and_split, _sampling_oracle())
@@ -1690,3 +1751,62 @@ _Q72_SQL = f"""
     """
 
 register("q72_bm25_topk", q72_bm25_topk, _Q72_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q73 — char-trigram LM scoring (operators/lm_score.py): train the
+# add-one-smoothed conditional table on the doc_id % 5 == 0 reference
+# slice, then score every document (average per-trigram log-prob;
+# unseen trigrams take the fixed -12 floor).  The oracle replays the
+# ENTIRE train+score pipeline in SQL — normalization, trigram
+# expansion, context totals, alphabet size V, ln smoothing, the unseen
+# floor — with the per-doc average round6'd on both sides (ln and
+# float-sum order differ between engines; the FLOOR idiom absorbs it).
+# ---------------------------------------------------------------------------
+
+_LM_N = 3
+_LM_TRAIN_MOD = 5
+_LM_FLOOR = -12.0  # keep in sync with operators.lm_score._UNSEEN_PENALTY
+
+
+def q73_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lsd2_spark.operators.lm_score import lm_score, train_char_lm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    model = train_char_lm(
+        docs.filter(F.col("doc_id") % _LM_TRAIN_MOD == 0), "text", n=_LM_N
+    )
+    return lm_score(docs, model, "text", "doc_id", n=_LM_N)
+
+
+_Q73_SQL = f"""
+    WITH norm AS (
+      SELECT doc_id,
+             ' ' || regexp_replace(lower(text), '[ \\t\\n\\r\\f]+', ' ', 'g') AS t
+      FROM documents
+    ), g AS MATERIALIZED (
+      SELECT doc_id, substr(t, CAST(i AS INT), {_LM_N}) AS gram
+      FROM norm, unnest(range(1, length(t) - {_LM_N - 2})) u(i)
+    ), m AS MATERIALIZED (
+      SELECT gram, COUNT(*) AS c FROM g
+      WHERE doc_id % {_LM_TRAIN_MOD} = 0 GROUP BY gram
+    ), ctx AS (
+      SELECT substr(gram, 1, {_LM_N - 1}) AS ctx, CAST(SUM(c) AS BIGINT) AS ctx_c
+      FROM m GROUP BY 1
+    ), v AS (
+      SELECT COUNT(DISTINCT substr(gram, {_LM_N}, 1)) AS v FROM m
+    ), lp AS MATERIALIZED (
+      SELECT m.gram, ln((m.c + 1.0) / (ctx.ctx_c + v.v)) AS logp
+      FROM m JOIN ctx ON substr(m.gram, 1, {_LM_N - 1}) = ctx.ctx CROSS JOIN v
+    ), sc AS (
+      SELECT g.doc_id, COUNT(*) AS n_grams,
+             AVG(COALESCE(lp.logp, {_LM_FLOOR})) AS a
+      FROM g LEFT JOIN lp ON g.gram = lp.gram GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(sc.n_grams, 0) AS BIGINT) AS n_grams,
+           {round6_sql('sc.a')} AS avg_logp
+    FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+    """
+
+register("q73_lm_score", q73_lm_score, _Q73_SQL)

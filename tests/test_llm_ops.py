@@ -949,6 +949,34 @@ def test_temperature_mixture_tempers_source_shares(spark):
     assert capped.count() < 320  # expected ~200 with hash variance
 
 
+def test_temperature_mixture_frac_round(spark):
+    """frac_round snaps fractions to the floor(f*10^k+0.5)/10^k grid —
+    the cross-engine replay contract — and the kept set is exactly the
+    rounded-fraction stratified sample."""
+    import math
+
+    from lsd2_spark.operators.sampling import (
+        stratified_sample,
+        temperature_mixture,
+    )
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    _, raw = temperature_mixture(df, "doc_id", "source", alpha=0.7, target_rows=400)
+    kept, fr = temperature_mixture(
+        df, "doc_id", "source", alpha=0.7, target_rows=400, frac_round=6
+    )
+    for s in raw:
+        # the documented formula, bit-for-bit (the same idiom a DuckDB
+        # oracle writes as FLOOR(f * 1000000.0 + 0.5) / 1000000.0)
+        assert fr[s] == math.floor(raw[s] * 1e6 + 0.5) / 1e6
+    replay = stratified_sample(df, "doc_id", fr, strata_col="source")
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in replay.collect()
+    )
+
+
 def test_dedup_clusters_keep_best_score(spark):
     """score_col flips canonical selection from min-id to argmax-score
     (ties to the smaller id); cluster membership is unchanged."""

@@ -31,13 +31,12 @@ def test_q05_broadcasts_dimension_tables(spark):
     assert "SortMergeJoin" not in plan or plan.count("BroadcastHashJoin") >= 2
 
 
-def test_q09_plans_anti_join(spark):
-    plan = _plan(spark, "q09_anti_join")
+def test_q09_plans_anti_and_semi_join(spark):
+    # the merged row must still execute BOTH native join strategies —
+    # a rewrite to boolean-exists aggregation would pass the oracle but
+    # stop exercising the operators the row certifies
+    plan = _plan(spark, "q09_semi_anti")
     assert "LeftAnti" in plan
-
-
-def test_q10_plans_semi_join(spark):
-    plan = _plan(spark, "q10_semi_join")
     assert "LeftSemi" in plan
 
 

@@ -27,8 +27,7 @@ EXPECTED = [
     "q06_revenue_forecast",
     "q07_window_topk",
     "q08_rollup",
-    "q09_anti_join",
-    "q10_semi_join",
+    "q09_semi_anti",  # merged former q09/q10 (round 10)
     "q11_events_hourly",
     "q12_sessionize",
     "q15_asof_join",
@@ -51,7 +50,7 @@ EXPECTED = [
     "q56_frame_sample",
     "q54_wav_audio_features",
     "q46_dedup_clusters",
-    "q49_sample_and_split",  # merged former q49/q50
+    "q49_sample_and_split",  # merged former q49/q50 + temperature mixture
     "q57_kmv_distinct",  # merged former q57/q13 + KMV set algebra
     "q58_weighted_sample",
     "q60_cap_per_source",
@@ -66,9 +65,11 @@ EXPECTED = [
     "q69_fuzzy_decontam",
     "q70_clean_text",
     # round-10 additions: HTML->text extraction (slot freed by the
-    # q53/q55 merge) and BM25 retrieval (slot freed by the q13->q57 merge)
+    # q53/q55 merge), BM25 retrieval (slot freed by the q13->q57 merge),
+    # and char-trigram LM scoring (slot freed by the q09/q10 merge)
     "q71_html_text",
     "q72_bm25_topk",
+    "q73_lm_score",
 ]
 
 
