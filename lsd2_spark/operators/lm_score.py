@@ -56,7 +56,9 @@ def train_char_lm(corpus: DataFrame, text_col: str, n: int = 3) -> DataFrame:
     with ``logp = ln((count + 1) / (context_count + V))``, where the
     context is the n-gram's ``n-1``-char prefix and V the distinct
     final-character alphabet (add-one smoothing)."""
-    grams = corpus.select(
+    from lsd2_spark.operators.common import spread_partitions
+
+    grams = spread_partitions(corpus).select(
         F.explode(_char_ngrams(text_col, n)).alias("gram")
     )
     counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
@@ -93,7 +95,9 @@ def lm_score(
     score, so downstream joins never silently drop them.
 
     Returns (id, n_grams, avg_logp)."""
-    grams = docs.select(
+    from lsd2_spark.operators.common import spread_partitions
+
+    grams = spread_partitions(docs).select(
         F.col(id_col), F.explode(_char_ngrams(text_col, n)).alias("gram")
     )
     scored = grams.join(F.broadcast(model), "gram", "left").select(
@@ -184,6 +188,9 @@ def train_word_lm(
     every retained estimate is the true ML value).  Pass ``None`` for
     either cap to keep the full table; scoring then joins it without a
     broadcast hint and lets the optimizer pick a shuffle join."""
+    from lsd2_spark.operators.common import spread_partitions
+
+    corpus = spread_partitions(corpus)
     toks = corpus.select(F.explode(_word_tokens(text_col)).alias("w"))
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     stats = uni.agg(
@@ -247,8 +254,11 @@ def word_lm_score(
         bounded = model.get(bounded_key, model.get("bounded", False))
         return F.broadcast if bounded else (lambda d: d)
 
+    from lsd2_spark.operators.common import spread_partitions
+
     hint_big = hint_if("bounded_bigram")
     hint_uni = hint_if("bounded_unigram")
+    docs = spread_partitions(docs)
     grams = docs.select(
         F.col(id_col), F.explode(_word_bigrams(text_col)).alias("bg")
     ).withColumn("w2", F.split(F.col("bg"), " ").getItem(1))

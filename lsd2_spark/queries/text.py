@@ -1754,14 +1754,25 @@ register("q72_bm25_topk", q72_bm25_topk, _Q72_SQL)
 
 
 # ---------------------------------------------------------------------------
-# Q73 — char-trigram LM scoring (operators/lm_score.py): train the
-# add-one-smoothed conditional table on the doc_id % 5 == 0 reference
-# slice, then score every document (average per-trigram log-prob;
-# unseen trigrams take the fixed -12 floor).  The oracle replays the
-# ENTIRE train+score pipeline in SQL — normalization, trigram
-# expansion, context totals, alphabet size V, ln smoothing, the unseen
-# floor — with the per-doc average round6'd on both sides (ln and
-# float-sum order differ between engines; the FLOOR idiom absorbs it).
+# Q73 — LM scoring, BOTH models (operators/lm_score.py), one row per
+# document:
+#
+# - char-trigram LM: train the add-one-smoothed conditional table on
+#   the doc_id % 5 == 0 reference slice, score every document (average
+#   per-trigram log-prob; unseen trigrams take the fixed -12 floor);
+# - word-bigram LM (the KenLM-shaped upgrade): Jelinek-Mercer
+#   interpolation lam*ML(w2|w1) + (1-lam)*(c(w2)+1)/(T+V), unseen
+#   words at the 1/(T+V) floor, trained on the same slice.
+#
+# The oracle replays BOTH train+score pipelines end-to-end in SQL —
+# normalization, gram expansion, context totals, alphabet V / vocab
+# T+V, the interpolation arithmetic with the exact Python float
+# literal for (1-lam) — with each per-doc average round6'd on both
+# sides (ln and float-sum order differ between engines; the FLOOR
+# idiom absorbs it).  The word model's broadcast caps (max_vocab /
+# max_bigrams) are non-binding at every gate scale (vocab and distinct
+# bigrams are orders of magnitude below the defaults), so the oracle
+# need not replay the top-N truncation.
 # ---------------------------------------------------------------------------
 
 _LM_N = 3
@@ -1770,23 +1781,37 @@ _LM_FLOOR = -12.0  # keep in sync with operators.lm_score._UNSEEN_PENALTY
 
 
 def q73_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from lsd2_spark.operators.lm_score import lm_score, train_char_lm
+    from lsd2_spark.operators.lm_score import (
+        lm_score,
+        train_char_lm,
+        train_word_lm,
+        word_lm_score,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    model = train_char_lm(
-        docs.filter(F.col("doc_id") % _LM_TRAIN_MOD == 0), "text", n=_LM_N
+    train = docs.filter(F.col("doc_id") % _LM_TRAIN_MOD == 0)
+    char_out = lm_score(
+        docs, train_char_lm(train, "text", n=_LM_N), "text", "doc_id", n=_LM_N
     )
-    return lm_score(docs, model, "text", "doc_id", n=_LM_N)
+    word_out = word_lm_score(
+        docs, train_word_lm(train, "text"), "text", "doc_id"
+    ).select("doc_id", "n_bigrams", F.col("avg_logp").alias("word_avg_logp"))
+    return char_out.join(word_out, "doc_id")
 
 
-_Q73_SQL = f"""
+def _q73_sql() -> str:
+    from lsd2_spark.operators.lm_score import _WLM_LAMBDA
+
+    return f"""
     WITH norm AS (
       SELECT doc_id,
-             ' ' || regexp_replace(lower(text), '[ \\t\\n\\r\\f]+', ' ', 'g') AS t
+             regexp_replace(lower(text), '[ \\t\\n\\r\\f]+', ' ', 'g') AS nt
       FROM documents
+    ), cn AS (
+      SELECT doc_id, ' ' || nt AS t FROM norm
     ), g AS MATERIALIZED (
       SELECT doc_id, substr(t, CAST(i AS INT), {_LM_N}) AS gram
-      FROM norm, unnest(range(1, length(t) - {_LM_N - 2})) u(i)
+      FROM cn, unnest(range(1, length(t) - {_LM_N - 2})) u(i)
     ), m AS MATERIALIZED (
       SELECT gram, COUNT(*) AS c FROM g
       WHERE doc_id % {_LM_TRAIN_MOD} = 0 GROUP BY gram
@@ -1802,11 +1827,50 @@ _Q73_SQL = f"""
       SELECT g.doc_id, COUNT(*) AS n_grams,
              AVG(COALESCE(lp.logp, {_LM_FLOOR})) AS a
       FROM g LEFT JOIN lp ON g.gram = lp.gram GROUP BY g.doc_id
+    ), wt AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(string_split('<s> ' || nt, ' '), x -> x <> '') AS wtk
+      FROM norm
+    ), wb AS MATERIALIZED (
+      SELECT doc_id,
+             wtk[CAST(i AS INT)] || ' ' || wtk[CAST(i + 1 AS INT)] AS bg,
+             wtk[CAST(i + 1 AS INT)] AS w2
+      FROM wt, unnest(range(1, len(wtk))) u(i)
+    ), uni AS MATERIALIZED (
+      SELECT w, COUNT(*) AS c FROM (
+        SELECT unnest(wtk) AS w FROM wt WHERE doc_id % {_LM_TRAIN_MOD} = 0
+      ) GROUP BY w
+    ), st AS MATERIALIZED (
+      SELECT CAST(SUM(c) AS BIGINT) AS t, COUNT(*) AS v FROM uni
+    ), pu AS MATERIALIZED (
+      SELECT w, (c + 1.0) / (st.t + st.v) AS p_uni FROM uni CROSS JOIN st
+    ), bc AS MATERIALIZED (
+      SELECT bg, COUNT(*) AS c12 FROM wb
+      WHERE doc_id % {_LM_TRAIN_MOD} = 0 GROUP BY bg
+    ), w1c AS (
+      SELECT string_split(bg, ' ')[1] AS w1, CAST(SUM(c12) AS BIGINT) AS c1
+      FROM bc GROUP BY 1
+    ), pml AS MATERIALIZED (
+      SELECT bc.bg, bc.c12 / w1c.c1 AS p_ml
+      FROM bc JOIN w1c ON string_split(bc.bg, ' ')[1] = w1c.w1
+    ), wsc AS (
+      SELECT wb.doc_id, COUNT(*) AS n_bigrams,
+             AVG(ln({_WLM_LAMBDA!r} * COALESCE(pml.p_ml, 0.0)
+                    + {1.0 - _WLM_LAMBDA!r} * COALESCE(pu.p_uni,
+                                                       1.0 / (st.t + st.v)))) AS a
+      FROM wb LEFT JOIN pml ON wb.bg = pml.bg
+              LEFT JOIN pu ON wb.w2 = pu.w
+              CROSS JOIN st
+      GROUP BY wb.doc_id
     )
     SELECT d.doc_id,
            CAST(COALESCE(sc.n_grams, 0) AS BIGINT) AS n_grams,
-           {round6_sql('sc.a')} AS avg_logp
+           {round6_sql('sc.a')} AS avg_logp,
+           CAST(COALESCE(wsc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           {round6_sql('wsc.a')} AS word_avg_logp
     FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+                     LEFT JOIN wsc ON d.doc_id = wsc.doc_id
     """
 
-register("q73_lm_score", q73_lm_score, _Q73_SQL)
+
+register("q73_lm_score", q73_lm_score, _q73_sql())
