@@ -83,8 +83,11 @@ def hashed_ngram_counts(
 ) -> DataFrame:
     """Corpus-level hashed-ngram histogram: ``(bucket, n)`` with at
     most ``n_buckets`` rows.  ONE shuffle, map-side combined."""
+    from lsd2_spark.operators.common import spread_partitions
+
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    df = spread_partitions(df)
     ex = df.select(
         F.explode(_ngrams(F.col(text_col))).alias("_ng")
     ).select(_bucket(F.col("_ng"), n_buckets))
@@ -159,8 +162,14 @@ def dsir_score(
     Plan: explode → broadcast join on the ≤n_buckets ratio table →
     one groupBy(doc) — the quadratic-free scoring pass of the paper.
     """
+    from lsd2_spark.operators.common import spread_partitions
+
     if normalize not in ("sum", "mean"):
         raise ValueError(f"normalize must be 'sum' or 'mean', got {normalize!r}")
+    # single-file inputs arrive as ONE partition and the broadcast join
+    # preserves it — without the spread, explode+join+partial-agg (the
+    # whole map side) runs in a single task
+    df = spread_partitions(df)
     ratios = F.broadcast(model["ratios"])
     ex = df.select(
         F.col(id_col).alias("_did"),

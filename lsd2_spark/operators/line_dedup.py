@@ -71,6 +71,9 @@ def _line_key(line: Column) -> Column:
 
 
 def _exploded(df: DataFrame, text_col: str, id_col: str, sep: str) -> DataFrame:
+    from lsd2_spark.operators.common import spread_partitions
+
+    df = spread_partitions(df)
     lines = F.split(F.coalesce(F.col(text_col), F.lit("")), F.lit(sep), -1)
     return df.select(
         F.col(id_col).alias("_doc"),
