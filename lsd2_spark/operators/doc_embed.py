@@ -117,7 +117,13 @@ def doc_embeddings(
                 out.append((v / n).tolist() if n > 0 else None)
             yield pd.DataFrame({"_id": pdf["_id"], out_col: out})
 
-    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    from lsd2_spark.operators.common import spread_partitions
+
+    # the embed pass is deliberately shuffle-free, which also means a
+    # single-file input would run the whole Arrow kernel in ONE task
+    src = spread_partitions(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    )
     return src.mapInPandas(
         embed, f"_id {df.schema[id_col].dataType.simpleString()}, {out_col} array<double>"
     ).select(F.col("_id").alias(id_col), out_col)
