@@ -154,13 +154,27 @@ class DedupIndex:
 
     # -- probing ------------------------------------------------------
 
-    def probe(self, df: DataFrame, threshold: float = 0.8) -> DataFrame:
+    def probe(
+        self,
+        df: DataFrame,
+        threshold: float = 0.8,
+        exclude_ids: DataFrame | None = None,
+    ) -> DataFrame:
         """Annotate every row of ``df``: ``exact_dup_of`` (canonical id
         of identical content, else NULL), ``near_dup_of`` (the best
         near-duplicate already in the index with signature agreement
         >= ``threshold``, smallest id on ties, else NULL) and its
         ``est_jaccard``.  Total: every input row comes back exactly
         once, including NULL text.
+
+        ``exclude_ids`` (a one-column DataFrame of ids) masks those ids
+        out of the index view for THIS probe — the replay-idempotency
+        hook for streaming ingest: when a crashed micro-batch re-runs,
+        its own survivors are already indexed, and without the mask
+        other batch members that near-match them would be rejected on
+        the re-run but not the original (streaming/corpus.py).  The
+        mask is a broadcast anti-join on both index tables, probe-batch
+        sized.
 
         Plan shape: one broadcast-or-shuffle hash join on text_hash +
         one equi-join on (band, bucket) pruned to the probed band
@@ -169,6 +183,13 @@ class DedupIndex:
         tc, ic = self.text_col, self.id_col
         spark = self.spark
         exact = spark.read.parquet(os.path.join(self.path, "exact"))
+        if exclude_ids is not None:
+            excl = F.broadcast(
+                exclude_ids.select(F.col(exclude_ids.columns[0]).alias("_xid"))
+            )
+            exact = exact.join(
+                excl, exact["canonical_id"] == excl["_xid"], "left_anti"
+            )
         # Explicit partition predicate on the hive-partitioned bands/
         # table: the probe only ever joins bands 0..bands-1, and spelling
         # that as a static filter puts it in the scan's PartitionFilters
@@ -179,6 +200,13 @@ class DedupIndex:
         bandtab = spark.read.parquet(os.path.join(self.path, "bands")).filter(
             F.col("band").isin(list(range(self.bands)))
         )
+        if exclude_ids is not None:
+            excl_b = F.broadcast(
+                exclude_ids.select(F.col(exclude_ids.columns[0]).alias("_xid"))
+            )
+            bandtab = bandtab.join(
+                excl_b, bandtab["id"] == excl_b["_xid"], "left_anti"
+            )
 
         probe = df.select(
             F.col(ic), F.md5(F.col(tc).cast("string")).alias("text_hash")

@@ -1,0 +1,180 @@
+"""Streaming corpus curation: incremental deduplication of a document
+stream against the persistent :class:`~lsd2_spark.operators.dedup_index.
+DedupIndex` — the streaming twin of the batch dedup story, and the
+shape a 100 TB continuously-crawled corpus actually needs (each arriving
+shard must be screened against EVERYTHING accepted so far, not just
+against itself).
+
+Per micro-batch (``foreachBatch``, batches applied serially):
+
+1. **Within-batch exact dedup** — keep the smallest id per text md5
+   (deterministic under replay).  With ``within_batch="fuzzy"``, the
+   batch additionally runs :func:`~lsd2_spark.operators.dedup.
+   dedup_clusters` so near-duplicate pairs FIRST SEEN in the same batch
+   collapse immediately; with the default ``"exact"`` such a pair both
+   survive this batch and the loser is only caught when a third copy
+   arrives (documented cost: bounded by per-batch near-dup density;
+   production crawls set fuzzy on).
+2. **Probe the index** — exact (md5 join) + near (banded minhash,
+   partition-pruned to the probed bands) against the accepted corpus;
+   rows with any hit are rejected.
+3. **Accept the survivors** — append their signatures to the index and
+   write their full rows to ``accept_dir/batch_id=N/``.
+
+Exactly-once under ``foreachBatch`` replay: a high-water batch_id
+marker inside the index directory makes replayed batches no-ops; a
+crash AFTER the index update but BEFORE the marker re-runs the batch,
+which re-writes the same survivor rows to the same ``batch_id=N``
+directory (overwrite, idempotent) and re-appends the same signatures —
+the index tolerates duplicate appends by design (probes aggregate
+``min(canonical_id)`` per hash; dedup_index.py:243).  The replay
+wrinkle: survivors of the crashed attempt are already IN the index
+when the batch re-probes, so each would reject itself — and, worse,
+other batch members that near-match them would be rejected on the
+re-run but not the original.  The probe therefore masks the batch's
+own ids out of the index view (``DedupIndex.probe(exclude_ids=...)``),
+making the re-run accept EXACTLY the original survivor set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["stream_dedup_into_index", "StreamingDedupIndexWriter"]
+
+_HWM = "_stream_hwm.json"
+
+
+def stream_dedup_into_index(
+    docs_stream: DataFrame,
+    index,
+    accept_dir: str,
+    threshold: float = 0.8,
+    within_batch: str = "exact",
+    min_jaccard: float = 0.9,
+) -> "StreamingDedupIndexWriter":
+    """Wire a streaming documents DataFrame (must carry the index's
+    text/id columns) through the per-batch screen described in the
+    module docstring.  Returns a writer: ``.start(checkpoint_dir)`` /
+    ``.run_available(checkpoint_dir)``; accepted rows land in
+    ``accept_dir/batch_id=N/`` and the index grows in place.
+
+    ``threshold`` is the index near-dup signature agreement cutoff;
+    ``min_jaccard`` is the within-batch fuzzy clustering cutoff (used
+    only with ``within_batch="fuzzy"``)."""
+    if within_batch not in ("exact", "fuzzy"):
+        raise ValueError(
+            f"within_batch must be 'exact' or 'fuzzy', got {within_batch!r}"
+        )
+    return StreamingDedupIndexWriter(
+        docs_stream, index, accept_dir, threshold, within_batch, min_jaccard
+    )
+
+
+class StreamingDedupIndexWriter:
+    def __init__(
+        self,
+        docs_stream: DataFrame,
+        index,
+        accept_dir: str,
+        threshold: float,
+        within_batch: str,
+        min_jaccard: float,
+    ) -> None:
+        self._stream_df = docs_stream
+        self.index = index
+        self.accept_dir = accept_dir
+        self.threshold = threshold
+        self.within_batch = within_batch
+        self.min_jaccard = min_jaccard
+        #: (batch_id, rows_in, rows_accepted) per applied batch
+        self.stats: list[tuple[int, int, int]] = []
+
+    # -- exactly-once marker -------------------------------------------
+
+    def _hwm_path(self) -> str:
+        return os.path.join(self.index.path, _HWM)
+
+    def _last_committed(self) -> int:
+        try:
+            with open(self._hwm_path()) as f:
+                return int(json.load(f)["last_batch_id"])
+        except FileNotFoundError:
+            return -1
+
+    def _commit(self, batch_id: int) -> None:
+        tmp = self._hwm_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"last_batch_id": int(batch_id)}, f)
+        os.replace(tmp, self._hwm_path())
+
+    # -- the batch screen ----------------------------------------------
+
+    def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= self._last_committed():
+            return  # replayed batch: already fully applied
+        if batch_df.isEmpty():
+            self._commit(batch_id)
+            return
+        tc, ic = self.index.text_col, self.index.id_col
+        n_in = batch_df.count()
+
+        # 1. within-batch screen
+        best = (
+            batch_df.select(
+                F.md5(F.col(tc).cast("string")).alias("_h"), F.col(ic)
+            )
+            .groupBy("_h")
+            .agg(F.min(ic).alias(ic))
+        )
+        batch = batch_df.join(best, ic, "left_semi")
+        if self.within_batch == "fuzzy":
+            from lsd2_spark.operators.dedup import dedup_clusters
+
+            canon = dedup_clusters(
+                batch, tc, ic, min_jaccard=self.min_jaccard
+            ).filter("is_canonical = 1")
+            batch = batch.join(canon.select(ic), ic, "left_semi")
+
+        # 2. probe the accepted corpus with the batch's own ids masked
+        #    out of the index view: a replayed batch's survivors may
+        #    already be indexed (crash between update and commit), and
+        #    without the mask they would reject themselves AND any
+        #    other batch member that near-matches them — the replay
+        #    would accept fewer rows than the original run
+        flags = self.index.probe(
+            batch, threshold=self.threshold, exclude_ids=batch.select(ic)
+        )
+        clean = flags.filter(
+            F.col("exact_dup_of").isNull() & F.col("near_dup_of").isNull()
+        )
+        survivors = batch.join(clean.select(ic), ic, "left_semi")
+        # cut the multi-action plan once: written, indexed, and counted
+        survivors = survivors.localCheckpoint(eager=True)
+
+        # 3. accept: idempotent per-batch directory, then index append
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(self.accept_dir, f"batch_id={int(batch_id)}")
+        )
+        self.index.update(survivors)
+        self.stats.append((int(batch_id), int(n_in), int(survivors.count())))
+        self._commit(batch_id)
+
+    # -- drivers ---------------------------------------------------------
+
+    def start(self, checkpoint_dir: str):
+        return (
+            self._stream_df.writeStream.foreachBatch(self._apply)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
+
+    def run_available(self, checkpoint_dir: str) -> None:
+        """Process everything currently available, synchronously."""
+        q = self.start(checkpoint_dir)
+        q.processAllAvailable()
+        q.stop()

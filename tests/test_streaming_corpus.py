@@ -1,0 +1,145 @@
+"""Streaming dedup against the persistent DedupIndex: cross-batch
+rejection, within-batch exact/fuzzy screening, exactly-once replay
+(including the crash-between-update-and-commit window), and the
+probe-side exclude_ids mask."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lsd2_spark.operators.dedup_index import DedupIndex
+from lsd2_spark.streaming.corpus import stream_dedup_into_index
+
+BASE = [
+    "the quick brown fox jumps over the lazy dog near the river bank",
+    "machine learning models require large clean training corpora today",
+    "completely unrelated sentence about cooking pasta with fresh basil",
+]
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _near(text: str) -> str:
+    toks = text.split()
+    toks[3] = "EDITED"
+    return " ".join(toks)
+
+
+@pytest.fixture()
+def seeded(spark, tmp_path):
+    idx = DedupIndex.build(
+        _docs(spark, [(1, BASE[0]), (2, BASE[1])]), "text", "doc_id",
+        str(tmp_path / "idx"),
+    )
+    return idx, str(tmp_path / "accept")
+
+
+def test_batch_screen_rejects_index_and_within_batch_dups(spark, seeded):
+    idx, accept = seeded
+    w = stream_dedup_into_index(None, idx, accept, threshold=0.5)
+    batch = _docs(
+        spark,
+        [
+            (10, BASE[0]),        # exact dup of indexed 1 -> reject
+            (11, _near(BASE[1])), # near dup of indexed 2 -> reject
+            (12, BASE[2]),        # fresh -> accept
+            (13, BASE[2]),        # within-batch exact dup of 12 -> reject
+        ],
+    )
+    w._apply(batch, batch_id=0)
+    got = spark.read.parquet(os.path.join(accept, "batch_id=0"))
+    assert sorted(r["doc_id"] for r in got.collect()) == [12]
+    assert w.stats == [(0, 4, 1)]
+    # the survivor is indexed: an identical doc in the NEXT batch rejects
+    w._apply(_docs(spark, [(20, BASE[2])]), batch_id=1)
+    got1 = spark.read.parquet(os.path.join(accept, "batch_id=1"))
+    assert got1.count() == 0
+
+
+def test_within_batch_fuzzy_collapses_same_batch_near_dups(spark, seeded):
+    idx, accept = seeded
+    fresh, edited = BASE[2], _near(BASE[2])
+    exact_w = stream_dedup_into_index(None, idx, accept + "_e", threshold=0.5)
+    exact_w._apply(_docs(spark, [(30, fresh), (31, edited)]), batch_id=0)
+    # exact screening lets a SAME-BATCH near-dup pair both through
+    assert (
+        spark.read.parquet(os.path.join(accept + "_e", "batch_id=0")).count() == 2
+    )
+
+    idx2 = DedupIndex.build(
+        _docs(spark, [(1, BASE[0])]), "text", "doc_id",
+        os.path.join(os.path.dirname(idx.path), "idx2"),
+    )
+    fuzzy_w = stream_dedup_into_index(
+        None, idx2, accept + "_f", threshold=0.5,
+        within_batch="fuzzy", min_jaccard=0.3,
+    )
+    fuzzy_w._apply(_docs(spark, [(30, fresh), (31, edited)]), batch_id=0)
+    got = spark.read.parquet(os.path.join(accept + "_f", "batch_id=0"))
+    assert sorted(r["doc_id"] for r in got.collect()) == [30]  # min id wins
+
+
+def test_replay_is_exactly_once(spark, seeded):
+    idx, accept = seeded
+    w = stream_dedup_into_index(None, idx, accept, threshold=0.5)
+    batch = _docs(spark, [(12, BASE[2]), (13, BASE[2] + " with a suffix")])
+    w._apply(batch, batch_id=0)
+    first = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(accept, "batch_id=0")).collect()
+    )
+    n_bands = spark.read.parquet(os.path.join(idx.path, "bands")).count()
+    # committed replay: full no-op
+    w._apply(batch, batch_id=0)
+    assert (
+        spark.read.parquet(os.path.join(idx.path, "bands")).count() == n_bands
+    )
+    assert w.stats == [(0, 2, 2)]
+
+    # crash window: index updated + sink written, but the high-water
+    # marker was never committed — simulate by deleting it and
+    # re-applying.  The re-run must accept EXACTLY the original
+    # survivors (its own already-indexed rows are masked out of the
+    # probe), not reject them as dups of themselves.
+    os.remove(os.path.join(idx.path, "_stream_hwm.json"))
+    w._apply(batch, batch_id=0)
+    again = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(accept, "batch_id=0")).collect()
+    )
+    assert again == first == [12, 13]
+
+
+def test_probe_exclude_ids_masks_index_view(spark, seeded):
+    idx, _ = seeded
+    probe = _docs(spark, [(10, BASE[0])])
+    hit = idx.probe(probe, threshold=0.5).collect()[0]
+    assert hit["exact_dup_of"] == 1
+    masked = idx.probe(
+        probe, threshold=0.5,
+        exclude_ids=spark.createDataFrame([(1,)], "doc_id long"),
+    ).collect()[0]
+    assert masked["exact_dup_of"] is None and masked["near_dup_of"] is None
+
+
+def test_streaming_end_to_end(spark, seeded, tmp_path):
+    """Drive the real readStream -> foreachBatch path."""
+    idx, accept = seeded
+    inbox = str(tmp_path / "inbox")
+    _docs(spark, [(10, BASE[0]), (12, BASE[2])]).coalesce(1).write.parquet(
+        inbox
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{inbox}/*.parquet")
+    )
+    w = stream_dedup_into_index(stream, idx, accept, threshold=0.5)
+    w.run_available(str(tmp_path / "ckpt"))
+    got = spark.read.parquet(os.path.join(accept, "batch_id=0"))
+    assert sorted(r["doc_id"] for r in got.collect()) == [12]
