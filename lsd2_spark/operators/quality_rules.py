@@ -59,6 +59,7 @@ def gopher_quality_flags(
     max_ellipsis_line_frac: float = 0.3,
     min_alpha_word_frac: float = 0.8,
     min_stop_words: int = 2,
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """Per-document Gopher rule metrics and flags.
 
@@ -74,6 +75,10 @@ def gopher_quality_flags(
     (same convention as the rest of the text gate surface); flags are
     computed from the UNROUNDED values so a threshold can never flip
     on the rounding grid.
+
+    ``keep`` appends passthrough input columns to the projection so a
+    caller composing further row-local stages (see operators/curate.py)
+    stays in ONE fused pass instead of re-joining on ``id_col``.
     """
     text = F.col(text_col)
     toks = F.filter(F.split(F.coalesce(text, F.lit("")), WS, -1), lambda t: t != "")
@@ -175,4 +180,5 @@ def gopher_quality_flags(
             & alpha_ok
             & stop_ok
         ).alias("gopher_pass"),
+        *[F.col(c) for c in (keep or [])],
     )

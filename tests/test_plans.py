@@ -177,3 +177,32 @@ def test_q32_headline_has_no_unrestricted_shared_gram_join(spark):
     assert "array_intersect" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round10_gate_query_plan_shapes(spark):
+    """q71-q73 keep their audited shapes: q71 is a pure JVM
+    regexp/concat projection (zero Python, zero exchanges); q72's
+    corpus stats attach via a 1-row broadcast and top-k plans as
+    TakeOrdered (never a global sort); q73's model tables join
+    broadcast.  No cartesian products anywhere."""
+    qs = all_queries()
+    plans = {}
+    for name in ("q71_html_text", "q72_bm25_topk", "q73_lm_score"):
+        df = qs[name](spark, SF_DIR)
+        df.collect()
+        plans[name] = df._jdf.queryExecution().executedPlan().toString()
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, name
+    # q71: html build + extraction is one codegen'd projection
+    assert "Exchange" not in plans["q71_html_text"]
+    assert "ArrowEvalPython" not in plans["q71_html_text"]
+    assert "BatchEvalPython" not in plans["q71_html_text"]
+    # q72: broadcast joins only; the single nested-loop join is the
+    # 1-row stats attachment; top-k is TakeOrdered
+    assert "TakeOrderedAndProject" in plans["q72_bm25_topk"]
+    assert "SortMergeJoin" not in plans["q72_bm25_topk"]
+    assert "BroadcastHashJoin" in plans["q72_bm25_topk"]
+    # q73: both LM model tables reach the scorer as broadcasts (the
+    # trainers' 1-row scalar attachments are the only nested-loop joins
+    # and are broadcast-side, never a CartesianProduct)
+    assert plans["q73_lm_score"].count("BroadcastHashJoin") >= 2
