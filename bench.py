@@ -48,6 +48,9 @@ HEADLINE = [
     "q68_dsir_score",
     "q69_fuzzy_decontam",
     "q70_clean_text",
+    "q71_html_text",
+    "q72_bm25_topk",
+    "q73_lm_score",
 ]
 
 
@@ -704,6 +707,21 @@ def main() -> None:
         ska = kmv_sketch(tok, "tok", ["source"], k=128)
         kmv_set_stats(ska, ska, ["source"], k=128).count()
         extras["kmv_set_stats"] = round(time.perf_counter() - t0, 3)
+
+        # the composed batch curation funnel: clean -> lang -> gopher ->
+        # exact dedup -> keep-best fuzzy dedup -> decontam, end to end
+        # (min_stop_words=1: the synthetic corpus's register only uses
+        # "the" from the Gopher stopword battery)
+        from lsd2_spark.operators.curate import curate_corpus, curation_report
+
+        ev_funnel = docs.orderBy("doc_id").limit(50).select("text")
+        t0 = time.perf_counter()
+        tagged = curate_corpus(
+            docs, eval_df=ev_funnel, min_words=10, min_stop_words=1
+        )
+        funnel = {r["stage"]: r["docs"] for r in curation_report(tagged).collect()}
+        extras["curation_funnel"] = round(time.perf_counter() - t0, 3)
+        extras["curation_funnel_kept"] = funnel.get("kept", 0)
     except Exception as e:  # never let the extras break the artifact
         extras["error"] = str(e)[:200]
 

@@ -174,7 +174,7 @@ _Q32_SQL = f"""
       SELECT doc_id, {_TOKH_SQL} AS h FROM toks
     ), sig0 AS (
       SELECT doc_id, {_mh_aggs} FROM hashes GROUP BY doc_id
-    ), sig AS (
+    ), sig AS MATERIALIZED (
       SELECT *, {_bucket_exprs} FROM sig0
     ), banded AS MATERIALIZED ({_band_union}),
     cand AS MATERIALIZED (
@@ -185,25 +185,30 @@ _Q32_SQL = f"""
     ), grams AS (
       SELECT DISTINCT doc_id, lang, source, substr(text, CAST(i AS INTEGER), 3) AS ng
       FROM documents, UNNEST(range(1, greatest(length(text) - 2, 1) + 1)) AS t(i)
-    ), sizes AS (
-      SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
+    ), glist AS MATERIALIZED (
+      -- per-doc DISTINCT gram set as a list: the shared count becomes a
+      -- per-pair list_intersect (the Spark side's array_intersect), not
+      -- a row-level self-join on the low-cardinality trigram key, which
+      -- DuckDB misplans into an OOM at sf0.1
+      SELECT doc_id, lang, source, list(ng) AS ngs, COUNT(*) AS n_grams
+      FROM grams GROUP BY doc_id, lang, source
     ), shared AS (
-      SELECT c.id1, c.id2, COUNT(*) AS shared
+      SELECT c.id1, c.id2,
+             len(list_intersect(l1.ngs, l2.ngs)) AS shared,
+             l1.n_grams AS n1, l2.n_grams AS n2
       FROM cand c
-      JOIN grams g1 ON g1.doc_id = c.id1
-      JOIN grams g2 ON g2.doc_id = c.id2 AND g2.ng = g1.ng
-                   AND g2.lang = g1.lang AND g2.source = g1.source
-      GROUP BY 1, 2
+      JOIN glist l1 ON l1.doc_id = c.id1
+      JOIN glist l2 ON l2.doc_id = c.id2
+                   AND l2.lang = l1.lang AND l2.source = l1.source
     )
     SELECT id1, id2, CAST(agree AS DOUBLE) / {float(_K)} AS score,
            'lsh_est' AS variant
     FROM cand
     UNION ALL
     SELECT id1, id2,
-           FLOOR((CAST(shared AS DOUBLE) / (s1.n_grams + s2.n_grams - shared)) * 1000000.0 + 0.5) / 1000000.0 AS score,
+           FLOOR((CAST(shared AS DOUBLE) / (n1 + n2 - shared)) * 1000000.0 + 0.5) / 1000000.0 AS score,
            'ngram_exact' AS variant
-    FROM shared JOIN sizes s1 ON s1.doc_id = id1
-                JOIN sizes s2 ON s2.doc_id = id2
+    FROM shared WHERE shared > 0
     """
 
 register("q32_neardup_pairs", q32_neardup_pairs, _Q32_SQL)
