@@ -15,6 +15,14 @@ with bounded joins:
   join prunes to the band partitions it needs.
 - ``_dedup_index.json`` — {bands, k, text/id column names}.
 
+Control-plane I/O (meta, compact staging/swap, crash healing) routes
+through the same :class:`~lsd2_spark.sources.fs.LifecycleFS` seam as the
+catalog lifecycle, so an object-store deployment injects its FS once and
+the index holds the identical crash contract there: ``publish`` is the
+only atomic primitive, renames may tear, and every recovery path is
+re-runnable (see sources/fs.py's contract notes).  The data plane
+(parquet reads/writes) already goes through Spark's Hadoop machinery.
+
 At 100 TB: the index adds ~(k+2) small integers per accepted document
 (~150 bytes; ~1.5 TB of index per 10 billion docs — parquet-compressed
 far less).  A probe is two equi-joins — (text_hash) and
@@ -33,16 +41,19 @@ from __future__ import annotations
 import json
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lsd2_spark.functions.portable_hash import MINHASH_PERMS, MOD
 from lsd2_spark.operators.dedup import minhash_signatures
 from lsd2_spark.operators.common import spread_partitions
+from lsd2_spark.sources.fs import LOCAL_FS, LifecycleFS
 
 __all__ = ["DedupIndex"]
 
 _META = "_dedup_index.json"
+_COMPACT_INTENT = "_compact_intent.json"
 
 
 def _band_cols(k: int, bands: int):
@@ -70,26 +81,59 @@ class DedupIndex:
     >>> idx.update(fresh)               # accept the survivors
     """
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self, spark: SparkSession, path: str, fs: LifecycleFS | None = None
+    ):
         self.spark = spark
         self.path = path
-        with open(os.path.join(path, _META)) as f:
-            m = json.loads(f.read())
+        self._fs = fs or LOCAL_FS
+        m = json.loads(self._fs.read_text(os.path.join(path, _META)))
         self.bands = int(m["bands"])
         self.k = int(m["k"])
         self.text_col = m["text_col"]
         self.id_col = m["id_col"]
         self._heal_compact()
 
+    def _intent_path(self) -> str:
+        return os.path.join(self.path, _COMPACT_INTENT)
+
     def _heal_compact(self) -> None:
-        """Recover from a compact() crash between its two renames: the
-        canonical table dir is missing but its '._old' sibling (the
-        complete pre-compact copy) survives — rename it back."""
+        """Converge a crashed :meth:`compact`.
+
+        Readable intent marker → the staged rewrites completed before
+        the crash (the marker is published only after both staging
+        writes finish): roll FORWARD — per table, if the staging dir
+        still exists, remove the (possibly torn) live dir and rename
+        staging in; a staging dir already gone means its rename's copy
+        completed (copy-then-delete deletes the source last), so the
+        live dir is whole.  Re-runnable at every step: a crash mid-heal
+        repeats the same rmtree+rename, overwriting any torn copy.
+
+        No/unreadable marker → the crash hit before publish: the live
+        tables were never touched, so roll back by removing stale
+        staging dirs.  A mixed outcome (one table new, one old) cannot
+        arise from that branch, and wouldn't matter if it did — compact
+        is logically idempotent (same rows either side), so any mix of
+        COMPLETE table versions answers probes identically; only a torn
+        table is unsafe, and torn copies are confined to the
+        marker-present roll-forward branch, which never clears the
+        marker until both tables are whole."""
+        fs = self._fs
+        intent = fs.exists(self._intent_path())
         for final in ("exact", "bands"):
             dst = os.path.join(self.path, final)
-            old = dst + "._old"
-            if not os.path.exists(dst) and os.path.isdir(old):
-                os.rename(old, dst)
+            stage = dst + "._compact"
+            if intent:
+                if fs.isdir(stage):
+                    fs.rmtree(dst)
+                    fs.rename(stage, dst)
+            else:
+                fs.rmtree(stage)
+        if intent:
+            try:
+                fs.remove(self._intent_path())
+            except FileNotFoundError:
+                pass
 
     # -- construction -------------------------------------------------
 
@@ -101,43 +145,45 @@ class DedupIndex:
         id_col: str,
         path: str,
         bands: int = 8,
+        fs: LifecycleFS | None = None,
     ) -> "DedupIndex":
         """Create the index from an initial accepted corpus (may be
         empty).  ``bands`` must divide the signature length with at
-        most 2 signature rows per band (bucket packing limit)."""
+        most 2 signature rows per band (bucket packing limit).
+        ``fs`` injects the control-plane filesystem (object-store
+        deployments); parquet I/O goes through Spark either way."""
         k = len(MINHASH_PERMS)
         if k % bands or k // bands > 2:
             raise ValueError(
                 f"bands={bands} must divide k={k} with <=2 rows/band"
             )
         spark = df.sparkSession
-        os.makedirs(path, exist_ok=True)
-        meta = {"bands": bands, "k": k, "text_col": text_col, "id_col": id_col}
-        tmp = os.path.join(path, _META + ".tmp")
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, os.path.join(path, _META))
         idx = cls.__new__(cls)
         idx.spark, idx.path = spark, path
+        idx._fs = fs or LOCAL_FS
         idx.bands, idx.k = bands, k
         idx.text_col, idx.id_col = text_col, id_col
+        idx._fs.makedirs(path)
+        meta = {"bands": bands, "k": k, "text_col": text_col, "id_col": id_col}
+        idx._fs.publish(os.path.join(path, _META), json.dumps(meta))
         idx._write(df, mode="overwrite")
         return idx
 
-    def _write(self, df: DataFrame, mode: str) -> None:
+    def _exact_rows(self, df: DataFrame) -> DataFrame:
         tc, ic = self.text_col, self.id_col
-        (
+        return (
             df.select(
                 F.md5(F.col(tc).cast("string")).alias("text_hash"),
                 F.col(ic).alias("canonical_id"),
             )
             .groupBy("text_hash")
             .agg(F.min("canonical_id").alias("canonical_id"))
-            .write.mode(mode)
-            .parquet(os.path.join(self.path, "exact"))
         )
-        sig = minhash_signatures(spread_partitions(df), tc, ic)
-        banded = sig.withColumn(
+
+    def _banded_rows(self, df: DataFrame) -> DataFrame:
+        ic = self.id_col
+        sig = minhash_signatures(spread_partitions(df), self.text_col, ic)
+        return sig.withColumn(
             "_b", F.explode(F.array(*_band_cols(self.k, self.bands)))
         ).select(
             F.col("_b.band").alias("band"),
@@ -145,12 +191,57 @@ class DedupIndex:
             F.col(ic).alias("id"),
             *[f"mh{i}" for i in range(self.k)],
         )
+
+    def _write(self, df: DataFrame, mode: str) -> None:
+        self._exact_rows(df).write.mode(mode).parquet(
+            os.path.join(self.path, "exact")
+        )
         (
-            banded.repartition("band")
+            self._banded_rows(df)
+            .repartition("band")
             .write.mode(mode)
             .partitionBy("band")
             .parquet(os.path.join(self.path, "bands"))
         )
+
+    # -- empty-index-safe table readers --------------------------------
+    #
+    # An index built from an EMPTY corpus (the natural start of a
+    # streaming ingest) has no parquet data files yet — partitionBy on
+    # zero rows writes nothing — so a bare read fails with
+    # UNABLE_TO_INFER_SCHEMA.  The fallback replays the exact _write
+    # projections over an empty, probe-typed input frame, so the empty
+    # view's schema matches what the first real update() will write BY
+    # CONSTRUCTION (id type included), never by a hand-maintained copy.
+
+    def _empty_corpus(self, id_type) -> DataFrame:
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        return self.spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField(self.id_col, id_type),
+                    StructField(self.text_col, StringType()),
+                ]
+            ),
+        )
+
+    def _read_exact(self, id_type=None) -> DataFrame:
+        try:
+            return self.spark.read.parquet(os.path.join(self.path, "exact"))
+        except AnalysisException:  # empty index: no data files yet
+            if id_type is None:
+                raise
+            return self._exact_rows(self._empty_corpus(id_type))
+
+    def _read_bands(self, id_type=None) -> DataFrame:
+        try:
+            return self.spark.read.parquet(os.path.join(self.path, "bands"))
+        except AnalysisException:  # empty index: no data files yet
+            if id_type is None:
+                raise
+            return self._banded_rows(self._empty_corpus(id_type))
 
     # -- probing ------------------------------------------------------
 
@@ -182,7 +273,7 @@ class DedupIndex:
         all-pairs."""
         tc, ic = self.text_col, self.id_col
         spark = self.spark
-        exact = spark.read.parquet(os.path.join(self.path, "exact"))
+        exact = self._read_exact(id_type=df.schema[ic].dataType)
         if exclude_ids is not None:
             excl = F.broadcast(
                 exclude_ids.select(F.col(exclude_ids.columns[0]).alias("_xid"))
@@ -197,7 +288,7 @@ class DedupIndex:
         # probed band directories, never a stale/foreign partition, and
         # the guarantee doesn't depend on dynamic partition pruning
         # firing against the exploded probe side.
-        bandtab = spark.read.parquet(os.path.join(self.path, "bands")).filter(
+        bandtab = self._read_bands(id_type=df.schema[ic].dataType).filter(
             F.col("band").isin(list(range(self.bands)))
         )
         if exclude_ids is not None:
@@ -282,7 +373,7 @@ class DedupIndex:
         canonical view aggregates to min — exposed for fsck-style
         audits."""
         return (
-            self.spark.read.parquet(os.path.join(self.path, "exact"))
+            self._read_exact()
             .groupBy("text_hash")
             .agg(F.min("canonical_id").alias("canonical_id"))
         )
@@ -292,12 +383,23 @@ class DedupIndex:
         duplicate text-hash rows accumulated by updates and re-packs
         band partition files.  One read+shuffle+write per table —
         run it like any table-maintenance job, frequency set by update
-        churn."""
+        churn.
+
+        Crash safety (mirrors the catalog's two-phase compact): both
+        rewrites land in STAGING dirs first; only after both complete
+        does ``publish`` (the one atomic primitive) drop the intent
+        marker, and only then does the swap touch the live dirs.  A
+        crash anywhere re-converges on the next open/compact via
+        :meth:`_heal_compact` — roll back (no marker: staging dropped,
+        live untouched) or roll forward (marker: re-run the same
+        rmtree+rename per table, which overwrites any torn copy a
+        non-atomic rename left)."""
         self._heal_compact()
-        exact = self.probe_exact_reads_min()
-        bands = self.spark.read.parquet(os.path.join(self.path, "bands"))
-        # stage to temp dirs then swap: a crash mid-compact must never
-        # leave the only copy half-written
+        try:
+            exact = self.probe_exact_reads_min()
+            bands = self._read_bands()
+        except AnalysisException:
+            return  # empty index (no data files yet): nothing to compact
         tmp_e = os.path.join(self.path, "exact._compact")
         tmp_b = os.path.join(self.path, "bands._compact")
         exact.write.mode("overwrite").parquet(tmp_e)
@@ -308,12 +410,9 @@ class DedupIndex:
             .partitionBy("band")
             .parquet(tmp_b)
         )
-        import shutil
-
+        self._fs.publish(self._intent_path(), json.dumps({"phase": "done"}))
         for tmp, final in ((tmp_e, "exact"), (tmp_b, "bands")):
             dst = os.path.join(self.path, final)
-            old = dst + "._old"
-            shutil.rmtree(old, ignore_errors=True)  # stale from a crash
-            os.rename(dst, old)
-            os.rename(tmp, dst)
-            shutil.rmtree(old, ignore_errors=True)
+            self._fs.rmtree(dst)
+            self._fs.rename(tmp, dst)
+        self._fs.remove(self._intent_path())

@@ -31,10 +31,29 @@ the index tolerates duplicate appends by design (probes aggregate
 wrinkle: survivors of the crashed attempt are already IN the index
 when the batch re-probes, so each would reject itself — and, worse,
 other batch members that near-match them would be rejected on the
-re-run but not the original.  The probe therefore masks the batch's
-own ids out of the index view (``DedupIndex.probe(exclude_ids=...)``),
-making the re-run accept EXACTLY the original survivor set.
-"""
+re-run but not the original.  The re-probe therefore masks EXACTLY the
+crashed attempt's survivor set out of the index view
+(``DedupIndex.probe(exclude_ids=...)``), recreating the view the
+attempt saw, so the re-run reproduces its verdicts.
+
+Two fences make that mask precise:
+
+- an INFLIGHT marker (``_stream_inflight.json``, published via the
+  index's LifecycleFS — its one atomic primitive — BEFORE the index
+  update, removed at commit) scopes the mask to genuine replays.
+  Without it, a NEW batch re-delivering an id the index already holds
+  (a re-crawl emitting the same doc_id) would mask out exactly the
+  index row that should reject it and self-approve the duplicate.
+- the mask CONTENT is the batch's accept directory (whose ``_SUCCESS``
+  commit strictly precedes the index update), not the batch's full id
+  list: only accepted survivors can be in the index, and masking the
+  whole batch would hide OLDER index entries sharing an id with any
+  re-delivered batch row.
+
+Requires ids to be unique per distinct document (the same id arriving
+twice means the same document).  All markers route through the index's
+``LifecycleFS``, so the exactly-once contract holds on object stores
+too."""
 
 from __future__ import annotations
 
@@ -47,6 +66,7 @@ from pyspark.sql import functions as F
 __all__ = ["stream_dedup_into_index", "StreamingDedupIndexWriter"]
 
 _HWM = "_stream_hwm.json"
+_INFLIGHT = "_stream_inflight.json"
 
 
 def stream_dedup_into_index(
@@ -100,17 +120,58 @@ class StreamingDedupIndexWriter:
         return os.path.join(self.index.path, _HWM)
 
     def _last_committed(self) -> int:
+        # routed through the index's LifecycleFS: the marker must live
+        # next to the index it fences, including on object stores
         try:
-            with open(self._hwm_path()) as f:
-                return int(json.load(f)["last_batch_id"])
+            blob = self.index._fs.read_text(self._hwm_path())
         except FileNotFoundError:
             return -1
+        return int(json.loads(blob)["last_batch_id"])
 
     def _commit(self, batch_id: int) -> None:
-        tmp = self._hwm_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"last_batch_id": int(batch_id)}, f)
-        os.replace(tmp, self._hwm_path())
+        self.index._fs.publish(
+            self._hwm_path(), json.dumps({"last_batch_id": int(batch_id)})
+        )
+        try:
+            self.index._fs.remove(self._inflight_path())
+        except FileNotFoundError:
+            pass
+
+    # -- inflight fence: scopes the replay mask to genuine replays ------
+
+    def _inflight_path(self) -> str:
+        return os.path.join(self.index.path, _INFLIGHT)
+
+    def _inflight_batch(self) -> int:
+        try:
+            blob = self.index._fs.read_text(self._inflight_path())
+        except FileNotFoundError:
+            return -1
+        return int(json.loads(blob)["batch_id"])
+
+    def _mark_inflight(self, batch_id: int) -> None:
+        self.index._fs.publish(
+            self._inflight_path(), json.dumps({"batch_id": int(batch_id)})
+        )
+
+    def _crashed_attempt_survivors(self, batch_df, batch_id: int):
+        """The exclude mask for a replayed batch: the survivor ids the
+        crashed attempt accepted (and may have indexed), read back from
+        its accept directory.  Returns None (no mask) for fresh batches
+        and for replays whose crash predates the accept dir's _SUCCESS
+        commit — in both cases the index holds nothing of this batch.
+        Determinism: the attempt's survivor set is a pure function of
+        the batch and the index view it probed; masking exactly that
+        set recreates the view, so the re-run reproduces it."""
+        if self._inflight_batch() != batch_id:
+            return None
+        prior = os.path.join(self.accept_dir, f"batch_id={int(batch_id)}")
+        if not self.index._fs.exists(os.path.join(prior, "_SUCCESS")):
+            return None
+        return (
+            batch_df.sparkSession.read.parquet(prior)
+            .select(self.index.id_col)
+        )
 
     # -- the batch screen ----------------------------------------------
 
@@ -140,14 +201,22 @@ class StreamingDedupIndexWriter:
             ).filter("is_canonical = 1")
             batch = batch.join(canon.select(ic), ic, "left_semi")
 
-        # 2. probe the accepted corpus with the batch's own ids masked
-        #    out of the index view: a replayed batch's survivors may
-        #    already be indexed (crash between update and commit), and
-        #    without the mask they would reject themselves AND any
-        #    other batch member that near-matches them — the replay
-        #    would accept fewer rows than the original run
+        # 2. probe the accepted corpus.  ONLY on a genuine replay (the
+        #    inflight fence names this batch: crash between index
+        #    update and commit) is a mask applied — and the mask is the
+        #    crashed attempt's SURVIVOR set (read back from this
+        #    batch's accept directory, whose _SUCCESS commit strictly
+        #    precedes the index update), not the whole batch: those are
+        #    the only rows that may already be indexed, and masking
+        #    anything more would hide OLDER index entries that share an
+        #    id with a batch row (a re-delivered document) from the
+        #    very probe that must reject it.  A fresh batch probes
+        #    unmasked.  No complete accept dir on replay means the
+        #    crash hit before any index mutation: probe unmasked.
         flags = self.index.probe(
-            batch, threshold=self.threshold, exclude_ids=batch.select(ic)
+            batch,
+            threshold=self.threshold,
+            exclude_ids=self._crashed_attempt_survivors(batch_df, batch_id),
         )
         clean = flags.filter(
             F.col("exact_dup_of").isNull() & F.col("near_dup_of").isNull()
@@ -156,7 +225,11 @@ class StreamingDedupIndexWriter:
         # cut the multi-action plan once: written, indexed, and counted
         survivors = survivors.localCheckpoint(eager=True)
 
-        # 3. accept: idempotent per-batch directory, then index append
+        # 3. accept: fence first (the marker must be durable BEFORE any
+        #    index mutation, so every state where this batch's rows are
+        #    indexed-but-uncommitted carries it), then the idempotent
+        #    per-batch directory, then the index append
+        self._mark_inflight(batch_id)
         survivors.write.mode("overwrite").parquet(
             os.path.join(self.accept_dir, f"batch_id={int(batch_id)}")
         )

@@ -188,6 +188,25 @@ def test_streaming_foreachbatch_composition(spark, index, tmp_path):
     assert sorted(accepted) == [200, 202]  # 201 deduped against batch 1
 
 
+def test_empty_corpus_start(spark, tmp_path):
+    """An index built from an EMPTY corpus (the natural start of
+    streaming ingest) must answer probes (all-fresh), accept updates,
+    and tolerate compact — partitionBy on zero rows writes no parquet
+    data files, so the readers need the typed-empty fallback."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    idx = DedupIndex.build(empty, "text", "doc_id", str(tmp_path / "eidx"))
+    idx.compact()  # no-op, must not raise
+    got = {r["doc_id"]: r for r in idx.probe(_df(spark, _BASE)).collect()}
+    assert len(got) == len(_BASE)
+    assert all(
+        r["exact_dup_of"] is None and r["near_dup_of"] is None
+        for r in got.values()
+    )
+    idx.update(_df(spark, _BASE))  # first real write sets the schema
+    again = {r["doc_id"]: r for r in idx.probe(_df(spark, [(9, _BASE[0][1])])).collect()}
+    assert again[9]["exact_dup_of"] == 1 and again[9]["near_dup_of"] == 1
+
+
 def test_build_rejects_bad_band_count(spark, tmp_path):
     with pytest.raises(ValueError):
         DedupIndex.build(_df(spark, _BASE), "text", "doc_id", str(tmp_path / "x"), bands=5)
@@ -236,22 +255,137 @@ def test_string_ids_are_supported(spark, tmp_path):
     assert got["z"]["near_dup_of"] == "a"
 
 
-def test_compact_crash_between_renames_self_heals(spark, index):
-    """A crash between compact()'s two renames leaves the canonical dir
-    missing and '._old' holding the full pre-compact copy; reopening
-    the index must heal and serve identical probes."""
-    import os
-    import shutil
+class _DirCopyDeleteFS:
+    """Object-store-shaped rename over files OR directories: copy the
+    bytes, then delete the source — never atomic, torn destination
+    possible on crash.  Mixin over LocalFS (see test_lifecycle_fs.py
+    for the file-only original)."""
 
-    batch = _df(spark, [(95, "the quick brown fox jumps over the lazy dog near the river bank")])
+    def __init__(self):
+        self.renames = 0
+
+    @staticmethod
+    def _copy(src: str, dst: str) -> None:
+        import os
+        import shutil
+
+        if os.path.isdir(src):
+            shutil.copytree(src, dst, dirs_exist_ok=True)
+        else:
+            shutil.copyfile(src, dst)
+
+    @staticmethod
+    def _drop(src: str) -> None:
+        import os
+        import shutil
+
+        if os.path.isdir(src):
+            shutil.rmtree(src)
+        else:
+            os.remove(src)
+
+    def rename(self, src: str, dst: str) -> None:
+        self.renames += 1
+        self._copy(src, dst)
+        self._drop(src)
+
+
+def _torn_fs(crash_on: int):
+    """A LifecycleFS whose ``crash_on``-th rename crashes mid-copy,
+    leaving every copied file truncated to half its bytes at the
+    destination and the source intact — the worst legal state of a
+    non-atomic directory rename."""
+    import os
+
+    from lsd2_spark.sources.fs import LocalFS
+
+    class TornFS(_DirCopyDeleteFS, LocalFS):
+        def rename(self, src: str, dst: str) -> None:
+            self.renames += 1
+            if self.renames == crash_on:
+                self._copy(src, dst)
+                for root, _dirs, files in os.walk(dst):
+                    for f in files:
+                        p = os.path.join(root, f)
+                        data = open(p, "rb").read()
+                        with open(p, "wb") as out:
+                            out.write(data[: max(1, len(data) // 2)])
+                raise RuntimeError("injected crash mid-copy")
+            self._copy(src, dst)
+            self._drop(src)
+
+    return TornFS()
+
+
+@pytest.mark.parametrize("crash_on", [1, 2])
+def test_compact_crash_mid_swap_rolls_forward(spark, index, crash_on):
+    """A crash tearing either swap rename (exact first, bands second)
+    after the intent marker published must roll FORWARD on reopen: the
+    staged complete rewrite replaces the torn live dir, probes are
+    unchanged, and no staging/marker debris survives."""
+    import os
+
+    dup = [(95, "the quick brown fox jumps over the lazy dog near the river bank")]
+    index.update(_df(spark, dup))
+    batch = _df(spark, [(96, "the quick brown fox jumps over the lazy dog near the river bank")])
     before = sorted(map(tuple, index.probe(batch).collect()))
-    # simulate the torn window
-    os.rename(f"{index.path}/exact", f"{index.path}/exact._old")
+
+    crasher = DedupIndex(spark, index.path, fs=_torn_fs(crash_on))
+    with pytest.raises(RuntimeError, match="injected crash"):
+        crasher.compact()
+    assert os.path.exists(f"{index.path}/_compact_intent.json")
+
+    reopened = DedupIndex(spark, index.path)  # heals in __init__
+    after = sorted(map(tuple, reopened.probe(batch).collect()))
+    assert after == before
+    for leftover in ("exact._compact", "bands._compact", "_compact_intent.json"):
+        assert not os.path.exists(f"{index.path}/{leftover}")
+    # the compact itself completed via roll-forward: dup hashes collapsed
+    per_hash = (
+        spark.read.parquet(f"{index.path}/exact")
+        .groupBy("text_hash").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert per_hash == 1
+
+
+def test_compact_crash_before_marker_rolls_back(spark, index):
+    """Staging dirs without an intent marker (crash before publish)
+    mean the live tables were never touched: reopening drops the
+    staging debris and serves identical probes."""
+    import os
+
+    batch = _df(spark, [(97, "the quick brown fox jumps over the lazy dog near the river bank")])
+    before = sorted(map(tuple, index.probe(batch).collect()))
+    os.makedirs(f"{index.path}/exact._compact")
+    with open(f"{index.path}/exact._compact/part-torn.parquet", "wb") as f:
+        f.write(b"half a parquet file")
     reopened = DedupIndex(spark, index.path)
     after = sorted(map(tuple, reopened.probe(batch).collect()))
     assert after == before
-    assert os.path.isdir(f"{index.path}/exact")
-    assert not os.path.exists(f"{index.path}/exact._old")
+    assert not os.path.exists(f"{index.path}/exact._compact")
+
+
+def test_index_lifecycle_through_hadoop_fs(spark, index, tmp_path):
+    """The whole DedupIndex lifecycle (build → update → compact →
+    reopen) through the Hadoop FileSystem implementation — the
+    object-store control-plane path, driven against file:."""
+    from lsd2_spark.sources.fs import HadoopFS
+
+    fs = HadoopFS(spark)
+    idx = DedupIndex.build(
+        _df(spark, _BASE), "text", "doc_id", str(tmp_path / "hidx"), fs=fs
+    )
+    dup = [(95, "the quick brown fox jumps over the lazy dog near the river bank")]
+    idx.update(_df(spark, dup))
+    idx.update(_df(spark, dup))
+    batch = _df(spark, [(96, "the quick brown fox jumps over the lazy dog near the river bank")])
+    before = sorted(map(tuple, idx.probe(batch).collect()))
+    idx.compact()
+    after = sorted(map(tuple, idx.probe(batch).collect()))
+    assert before == after
+    reopened = DedupIndex(spark, idx.path, fs=fs)
+    assert reopened._fs is fs
+    assert sorted(map(tuple, reopened.probe(batch).collect())) == before
 
 
 def test_probe_scan_carries_band_partition_filter(spark, index):

@@ -102,17 +102,48 @@ def test_replay_is_exactly_once(spark, seeded):
     assert w.stats == [(0, 2, 2)]
 
     # crash window: index updated + sink written, but the high-water
-    # marker was never committed — simulate by deleting it and
-    # re-applying.  The re-run must accept EXACTLY the original
-    # survivors (its own already-indexed rows are masked out of the
-    # probe), not reject them as dups of themselves.
+    # marker was never committed.  A real crash there leaves the
+    # INFLIGHT fence behind (published before the index update, removed
+    # only at commit) — recreate exactly that state.  The re-run must
+    # accept EXACTLY the original survivors (its own already-indexed
+    # rows are masked out of the probe), not reject them as dups of
+    # themselves.
     os.remove(os.path.join(idx.path, "_stream_hwm.json"))
+    idx._fs.publish(
+        os.path.join(idx.path, "_stream_inflight.json"), '{"batch_id": 0}'
+    )
     w._apply(batch, batch_id=0)
     again = sorted(
         r["doc_id"]
         for r in spark.read.parquet(os.path.join(accept, "batch_id=0")).collect()
     )
     assert again == first == [12, 13]
+    # the commit clears the fence: no stale marker to misfire later
+    assert not os.path.exists(os.path.join(idx.path, "_stream_inflight.json"))
+
+
+def test_fresh_batch_reusing_indexed_ids_is_screened(spark, seeded):
+    """A NEW batch that re-delivers an (id, text) row the index already
+    holds — a re-crawl emitting the same doc_id — must be rejected as a
+    duplicate.  An unfenced replay mask would hide indexed row 12 from
+    its own probe and self-approve the copy (the bug the inflight fence
+    exists to prevent)."""
+    idx, accept = seeded
+    w = stream_dedup_into_index(None, idx, accept, threshold=0.5)
+    w._apply(_docs(spark, [(12, BASE[2])]), batch_id=0)
+    w._apply(
+        _docs(
+            spark,
+            [
+                (12, BASE[2]),  # same id AND same text as indexed row
+                (14, "an entirely novel paragraph about spark shuffle tuning"),
+            ],
+        ),
+        batch_id=1,
+    )
+    got = spark.read.parquet(os.path.join(accept, "batch_id=1"))
+    assert sorted(r["doc_id"] for r in got.collect()) == [14]
+    assert w.stats == [(0, 1, 1), (1, 2, 1)]
 
 
 def test_probe_exclude_ids_masks_index_view(spark, seeded):
