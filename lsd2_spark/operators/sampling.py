@@ -25,6 +25,7 @@ __all__ = [
     "assign_splits",
     "weighted_sample",
     "cap_per_stratum",
+    "cluster_balanced_sample",
     "temperature_mixture",
     "plan_token_mixture",
     "apply_token_mixture",
@@ -166,6 +167,83 @@ def cap_per_stratum(
     return df.withColumn("kept_rank", F.row_number().over(w)).filter(
         F.col("kept_rank") <= cap
     )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    id_col: str,
+    *,
+    vec_col: str | None = None,
+    text_col: str | None = None,
+    n_clusters: int = 16,
+    cap: int | None = None,
+    total: int | None = None,
+    n_iters: int = 2,
+    embed_dim: int = 64,
+    sample_stride: int = 1,
+    nprobe: int | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Topic-balanced subsampling: cluster the corpus in embedding
+    space (the package's deterministic k-means) and keep a quota per
+    cluster — the diversity-preserving selection step of curation
+    recipes that would otherwise let the dominant topic swamp a
+    uniformly-sampled corpus.
+
+    Vectors come from ``vec_col`` (an existing ``array<float/double>``
+    embedding column) or, with ``text_col``, from
+    :func:`~lsd2_spark.operators.doc_embed.doc_embeddings` (hashed
+    bag-of-words, ``embed_dim`` dims) computed on the fly.  Exactly one
+    of the two must be given.
+
+    Quota: ``cap`` rows per cluster, or ``total`` split evenly
+    (``max(1, total // n_clusters)`` per cluster, so the real clusters
+    together never exceed ``total`` when ``total >= n_clusters``;
+    clusters smaller than their share under-fill, making ``total`` a
+    ceiling, not a target).  Within a cluster the kept rows are chosen
+    by the deterministic hash uniform (same reproducibility contract
+    as the rest of this module).  Rows whose embedding is invalid
+    (NULL/empty text) form their own NULL stratum, capped at the same
+    quota ON TOP of the budget — filter ``cluster_id IS NOT NULL``
+    when strict budget accounting matters.  The operator is total over
+    real corpora either way.
+
+    Returns the kept rows with ``cluster_id`` and ``kept_rank``.
+
+    Scale shape: centroid build is the k-means' per-iteration
+    plan-sized exchange over a strided sample; assignment is one
+    broadcast Arrow pass (``nprobe`` switches it hierarchical when
+    n_clusters scales with the corpus); then ONE id-equi-join to carry
+    the input columns and ONE shuffle on ``cluster_id`` for the quota
+    window.  Nothing all-pairs, nothing corpus-sized on the driver.
+    """
+    if (vec_col is None) == (text_col is None):
+        raise ValueError("give exactly one of vec_col / text_col")
+    if (cap is None) == (total is None):
+        raise ValueError("give exactly one of cap / total")
+    if cap is None:
+        cap = max(1, total // n_clusters)
+
+    from lsd2_spark.operators.similarity import kmeans_assign, kmeans_centroids
+
+    if vec_col is None:
+        from lsd2_spark.operators.doc_embed import doc_embeddings
+
+        vecs = doc_embeddings(df, text_col, id_col, dim=embed_dim)
+        vcol = "embedding"
+    else:
+        vecs = df.select(id_col, vec_col)
+        vcol = vec_col
+
+    cents = kmeans_centroids(
+        vecs, vcol, id_col, n_lists=n_clusters,
+        n_iters=n_iters, sample_stride=sample_stride,
+        init_order="spread",  # one seed per separated cluster, not
+        # wherever id/crawl-order locality happens to put them
+    )
+    assigned = kmeans_assign(vecs, vcol, id_col, cents, nprobe=nprobe)
+    tagged = df.join(assigned, id_col, "left")
+    return cap_per_stratum(tagged, id_col, "cluster_id", cap, salt=salt)
 
 
 def temperature_mixture(

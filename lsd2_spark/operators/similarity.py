@@ -267,6 +267,48 @@ def _l2_assign(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
     return round6_np(np.maximum(d2, 0.0))
 
 
+def _farthest_point_init(samp: DataFrame, n_lists: int) -> np.ndarray:
+    """Deterministic farthest-point seeding over the (cached) k-means
+    sample: seed 1 is the smallest id; each next seed is the vector
+    maximizing its min distance to the chosen set (ties to smaller id).
+    The greedy D-max analogue of k-means++ without RNG — for
+    well-separated clusters it provably lands one seed per cluster,
+    where id/hash-ordered seeding can put every seed in one cluster
+    (id-order locality: crawl order, planted blocks).
+
+    Cost: one TakeOrdered pass over the cached sample per seed —
+    O(n_lists) scans, each a per-partition top-1 merge, nothing
+    collected but single rows.  Stops early (returning fewer rows)
+    when the sample has fewer distinct vectors than seeds."""
+    from pyspark.sql.types import DoubleType
+
+    spark = samp.sparkSession
+    first = samp.orderBy("_vid").limit(1).collect()
+    if not first:
+        return np.zeros((0, 0), dtype=np.float64)
+    chosen = [np.asarray(first[0]["_v"], dtype=np.float64)]
+    for _ in range(1, n_lists):
+        bc_c = spark.sparkContext.broadcast(np.stack(chosen))
+
+        @F.pandas_udf(DoubleType())
+        def min_dist(v: pd.Series) -> pd.Series:
+            if not len(v):
+                return pd.Series([], dtype="float64")
+            m = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+            return pd.Series(_l2_assign(m, bc_c.value).min(axis=1))
+
+        nxt = (
+            samp.select("_vid", "_v", min_dist(F.col("_v")).alias("_d"))
+            .orderBy(F.desc("_d"), F.asc("_vid"))
+            .limit(1)
+            .collect()
+        )
+        if not nxt or nxt[0]["_d"] <= 0.0:
+            break  # fewer distinct vectors than requested seeds
+        chosen.append(np.asarray(nxt[0]["_v"], dtype=np.float64))
+    return np.stack(chosen)
+
+
 def kmeans_centroids(
     candidates: DataFrame,
     vec_col: str,
@@ -275,6 +317,7 @@ def kmeans_centroids(
     n_iters: int = 2,
     sample_stride: int = 1,
     dim: int | None = None,
+    init_order: str = "id",
 ) -> np.ndarray:
     """Deterministic Lloyd's k-means over raw vectors — every step is
     engine-agnostic so a SQL oracle can replay it bit-for-bit:
@@ -285,7 +328,12 @@ def kmeans_centroids(
       casts below snap to an unambiguous 1e-6 grid point in any engine
       (DuckDB's double→DECIMAL cast scales in floating point and can
       snap values near a grid boundary differently — observed);
-    - init: the first ``n_lists`` sampled vectors by id;
+    - init: the first ``n_lists`` sampled vectors by id (the
+      oracle-replayed default; ``init_order="hash"`` orders by the
+      portable hash instead — equally replayable via hash64_sql —
+      and ``init_order="spread"`` uses deterministic farthest-point
+      seeding, the right choice when id order carries topical
+      locality);
     - assignment: argmin of FLOOR(L2²·1e6+0.5)/1e6 (deterministic half-up,
       engine-portable), ties to the smaller list id;
     - update: per-dimension DECIMAL(28,6) sums (exact, order-free)
@@ -314,8 +362,29 @@ def kmeans_centroids(
         samp = samp.filter(F.col("_vid") % sample_stride == 0)
     samp = samp.cache()
 
-    init_rows = samp.orderBy("_vid").limit(n_lists).collect()
-    cents = np.array([r["_v"] for r in init_rows], dtype=np.float64)
+    # init: "id" = first n_lists by id (the oracle-replayed default,
+    # q41); "hash" = first n_lists by the portable 60-bit hash of the
+    # id — equally deterministic and SQL-replayable (hash64_sql), but
+    # immune to id-order locality (crawl order, planted blocks), which
+    # under "id" seeds every centroid inside one neighborhood
+    if init_order == "spread":
+        cents = _farthest_point_init(samp, n_lists)
+    else:
+        if init_order == "hash":
+            from lsd2_spark.functions.portable_hash import hash64
+
+            init_sort = [
+                hash64(F.col("_vid").cast("string")).asc(),
+                F.col("_vid").asc(),
+            ]
+        elif init_order == "id":
+            init_sort = [F.col("_vid").asc()]
+        else:
+            raise ValueError(
+                f"init_order must be 'id', 'hash' or 'spread', got {init_order!r}"
+            )
+        init_rows = samp.orderBy(*init_sort).limit(n_lists).collect()
+        cents = np.array([r["_v"] for r in init_rows], dtype=np.float64)
 
     partial_schema = "_list int, _cnt long, _smicro array<long>"
 

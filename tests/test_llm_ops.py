@@ -1052,3 +1052,92 @@ def test_random_project_preserves_neighborhoods(spark):
     b = {r["vec_id"]: r["projected"] for r in random_project(bad, "embedding", 8).collect()}
     assert b[0] is not None and len(b[0]) == 8
     assert b[1] is None and b[2] is None  # null + ragged -> NULL, rows kept
+
+
+def test_cluster_balanced_sample_text_path(spark):
+    """Three planted topics with disjoint vocab, one topic 10x
+    over-represented: the balanced sample keeps the quota per cluster
+    (the dominant topic can no longer swamp the selection), is
+    reproducible, and each kept cluster is topic-pure."""
+    from lsd2_spark.operators.sampling import cluster_balanced_sample
+
+    vocab = {
+        "astro": "telescope galaxy nebula photon redshift quasar orbit",
+        "cook": "saucepan garlic simmer risotto parmesan ladle broth",
+        "law": "statute plaintiff verdict appellate tort subpoena docket",
+    }
+    rows, i = [], 0
+    for topic, words in vocab.items():
+        n = 100 if topic == "astro" else 10  # astro swamps uniform sampling
+        w = words.split()
+        for j in range(n):
+            text = " ".join(w[(j + k) % len(w)] for k in range(20))
+            rows.append((i, topic, text))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, topic string, text string")
+
+    got = cluster_balanced_sample(
+        df, "doc_id", text_col="text", n_clusters=3, cap=5, n_iters=3
+    ).toPandas()
+    assert len(got) == 15
+    assert set(got.columns) >= {"doc_id", "topic", "text", "cluster_id", "kept_rank"}
+    per_cluster = got.groupby("cluster_id").size()
+    assert (per_cluster == 5).all() and len(per_cluster) == 3
+    # clusters are topic-pure: each kept cluster holds exactly one topic
+    purity = got.groupby("cluster_id")["topic"].nunique()
+    assert (purity == 1).all()
+    # the dominant topic is capped to its quota, not its prevalence
+    assert (got["topic"] == "astro").sum() == 5
+
+    again = cluster_balanced_sample(
+        df.repartition(7), "doc_id", text_col="text", n_clusters=3, cap=5, n_iters=3
+    ).toPandas()
+    assert sorted(got["doc_id"]) == sorted(again["doc_id"])
+
+
+def test_cluster_balanced_sample_vec_path_total_and_nulls(spark):
+    """vec_col path over the real embeddings table with a total budget,
+    plus NULL-embedding totality: invalid rows form their own capped
+    stratum instead of crashing or vanishing silently."""
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+    from lsd2_spark.operators.sampling import cluster_balanced_sample
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = cluster_balanced_sample(
+        emb, "vec_id", vec_col="embedding", n_clusters=4, total=12, n_iters=1
+    ).toPandas()
+    assert 0 < len(got) <= 12
+    assert (got.groupby("cluster_id").size() <= 3).all()
+
+    bad = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, None), (3, None), (4, None)],
+        StructType(
+            [
+                StructField("vec_id", LongType()),
+                StructField("embedding", ArrayType(DoubleType())),
+            ]
+        ),
+    )
+    kept = cluster_balanced_sample(
+        bad, "vec_id", vec_col="embedding", n_clusters=1, cap=2, n_iters=1
+    ).toPandas()
+    nulls = kept[kept["cluster_id"].isna()]
+    assert len(nulls) == 2  # NULL stratum capped like any cluster
+    assert (kept["cluster_id"].notna().sum()) == 1
+
+
+def test_cluster_balanced_sample_rejects_bad_args(spark):
+    import pytest as _pytest
+
+    from lsd2_spark.operators.sampling import cluster_balanced_sample
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        cluster_balanced_sample(df, "doc_id", n_clusters=2, cap=1)  # no vectors
+    with _pytest.raises(ValueError):
+        cluster_balanced_sample(df, "doc_id", text_col="text", n_clusters=2)  # no quota
+    with _pytest.raises(ValueError):
+        cluster_balanced_sample(
+            df, "doc_id", text_col="text", vec_col="text", n_clusters=2, cap=1
+        )
