@@ -722,6 +722,17 @@ def main() -> None:
         funnel = {r["stage"]: r["docs"] for r in curation_report(tagged).collect()}
         extras["curation_funnel"] = round(time.perf_counter() - t0, 3)
         extras["curation_funnel_kept"] = funnel.get("kept", 0)
+
+        # topic-diversity sampling: k-means (farthest-point seeding,
+        # n_clusters scans of the cached sample) + per-cluster quota
+        from lsd2_spark.operators.sampling import cluster_balanced_sample
+
+        t0 = time.perf_counter()
+        kept = cluster_balanced_sample(
+            docs, "doc_id", text_col="text", n_clusters=16, cap=200, n_iters=2
+        ).count()
+        extras["cluster_sample"] = round(time.perf_counter() - t0, 3)
+        extras["cluster_sample_kept"] = kept
     except Exception as e:  # never let the extras break the artifact
         extras["error"] = str(e)[:200]
 

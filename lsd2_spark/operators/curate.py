@@ -113,8 +113,18 @@ def curate_corpus(
         F.col("lang_pred").isin(*languages) if languages else F.lit(True),
     ).withColumn("quality_pass", F.col("gopher_pass"))
 
-    survivors = tagged.filter(F.col("quality_pass") & F.col("lang_pass")).select(
-        id_col, text_col, "quality"
+    # Materialize the survivor slice ONCE (id, text, quality — the
+    # narrow frame every shuffle stage feeds on).  The funnel's stages
+    # assemble as four independent join branches, and Spark does not
+    # dedupe common subplans across branches — unmaterialized, the
+    # whole stage-A Arrow pass and the exact-dedup window re-execute
+    # per branch (measured 22 -> 12 s warm at sf0.1).  At scale this
+    # is the standard iterative-pipeline trade: executor-local storage
+    # for the gated corpus vs recomputing the row-local battery 4x.
+    survivors = (
+        tagged.filter(F.col("quality_pass") & F.col("lang_pass"))
+        .select(id_col, text_col, "quality")
+        .localCheckpoint(eager=False)
     )
 
     # --- stage B: exact dedup — ONE shuffle on the content hash ------
