@@ -319,6 +319,7 @@ def kmeans_centroids(
     sample_stride: int = 1,
     dim: int | None = None,
     init_order: str = "id",
+    init_subsample: int = 4096,
 ) -> np.ndarray:
     """Deterministic Lloyd's k-means over raw vectors — every step is
     engine-agnostic so a SQL oracle can replay it bit-for-bit:
@@ -369,7 +370,7 @@ def kmeans_centroids(
     # immune to id-order locality (crawl order, planted blocks), which
     # under "id" seeds every centroid inside one neighborhood
     if init_order == "spread":
-        cents = _farthest_point_init(samp, n_lists)
+        cents = _farthest_point_init(samp, n_lists, subsample=init_subsample)
     else:
         if init_order == "hash":
             from lsd2_spark.functions.portable_hash import hash64
