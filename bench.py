@@ -158,9 +158,12 @@ def main() -> None:
         inbox = f"{tmp}/inbox"
         ev.repartition(4).write.mode("overwrite").parquet(inbox)
         n_stream_rows = ev.count()
-        # min-of-repeats for streaming too (VERDICT r9 item 6): the
-        # single-run number drifted 1,411 -> 1,353 rows/s across rounds
-        # on load noise alone.  Each run streams into its OWN copy of
+        # multi-run streaming (VERDICT r9 item 6): the single-run
+        # number drifted 1,411 -> 1,353 rows/s across rounds on load
+        # noise alone.  wall_sec/rows_per_sec report the MEDIAN run;
+        # min_rows_per_sec is the load-robust min-of-repeats number
+        # (see the comment at the report dict below).
+        # Each run streams into its OWN copy of
         # the standing catalog with a fresh checkpoint — the
         # exactly-once high-water mark is per-catalog, so reruns
         # re-ingest instead of no-opping.

@@ -420,6 +420,10 @@ def ngram_jaccard_pairs(
             F.least(F.col("id1"), F.col("id2")).alias("id1"),
             F.greatest(F.col("id1"), F.col("id2")).alias("id2"),
         ).dropDuplicates(["id1", "id2"])
+        # a degenerate (x, x) candidate (symmetric-join input) would
+        # survive normalization and score itself at jaccard 1.0; the
+        # unrestricted path excludes self-pairs structurally (id1<id2)
+        cand = cand.filter(F.col("id1") != F.col("id2"))
         # group-bound FIRST with slim (id, group) projections — gram
         # arrays must never ride a shuffle for a pair the group bound
         # drops (measured 79x pair reduction on the bench corpus)

@@ -230,17 +230,24 @@ class DedupIndex:
     def _read_exact(self, id_type=None) -> DataFrame:
         try:
             return self.spark.read.parquet(os.path.join(self.path, "exact"))
-        except AnalysisException:  # empty index: no data files yet
-            if id_type is None:
+        except AnalysisException:
+            if id_type is None or not self._fs.isdir(
+                os.path.join(self.path, "exact")
+            ):
+                # a MISSING table dir is corruption (deleted, or a
+                # legacy crash layout), not an empty index — failing
+                # loud beats silently accepting every duplicate
                 raise
             return self._exact_rows(self._empty_corpus(id_type))
 
     def _read_bands(self, id_type=None) -> DataFrame:
         try:
             return self.spark.read.parquet(os.path.join(self.path, "bands"))
-        except AnalysisException:  # empty index: no data files yet
-            if id_type is None:
-                raise
+        except AnalysisException:
+            if id_type is None or not self._fs.isdir(
+                os.path.join(self.path, "bands")
+            ):
+                raise  # missing dir = corruption, not an empty index
             return self._banded_rows(self._empty_corpus(id_type))
 
     # -- probing ------------------------------------------------------
@@ -273,11 +280,15 @@ class DedupIndex:
         all-pairs."""
         tc, ic = self.text_col, self.id_col
         spark = self.spark
-        exact = self._read_exact(id_type=df.schema[ic].dataType)
-        if exclude_ids is not None:
-            excl = F.broadcast(
+        excl = (
+            F.broadcast(
                 exclude_ids.select(F.col(exclude_ids.columns[0]).alias("_xid"))
             )
+            if exclude_ids is not None
+            else None
+        )
+        exact = self._read_exact(id_type=df.schema[ic].dataType)
+        if excl is not None:
             exact = exact.join(
                 excl, exact["canonical_id"] == excl["_xid"], "left_anti"
             )
@@ -291,12 +302,9 @@ class DedupIndex:
         bandtab = self._read_bands(id_type=df.schema[ic].dataType).filter(
             F.col("band").isin(list(range(self.bands)))
         )
-        if exclude_ids is not None:
-            excl_b = F.broadcast(
-                exclude_ids.select(F.col(exclude_ids.columns[0]).alias("_xid"))
-            )
+        if excl is not None:
             bandtab = bandtab.join(
-                excl_b, bandtab["id"] == excl_b["_xid"], "left_anti"
+                excl, bandtab["id"] == excl["_xid"], "left_anti"
             )
 
         probe = df.select(
@@ -399,6 +407,11 @@ class DedupIndex:
             exact = self.probe_exact_reads_min()
             bands = self._read_bands()
         except AnalysisException:
+            if not (
+                self._fs.isdir(os.path.join(self.path, "exact"))
+                and self._fs.isdir(os.path.join(self.path, "bands"))
+            ):
+                raise  # missing table dir = corruption, fail loud
             return  # empty index (no data files yet): nothing to compact
         tmp_e = os.path.join(self.path, "exact._compact")
         tmp_b = os.path.join(self.path, "bands._compact")

@@ -148,6 +148,7 @@ class HadoopFS(LifecycleFS):
         self._jvm = spark._jvm
         self._gateway = spark.sparkContext._gateway
         self._conf = spark._jsc.hadoopConfiguration()
+        self._fs_cache: dict = {}
 
     # -- plumbing -----------------------------------------------------------
 
@@ -155,12 +156,25 @@ class HadoopFS(LifecycleFS):
         return self._jvm.org.apache.hadoop.fs.Path(path)
 
     def _get_fs(self, path: str):
-        fs = self._jpath(path).getFileSystem(self._conf)
-        try:  # no-op on HDFS/object stores; kills .crc files on file:
-            fs.setWriteChecksum(False)
-            fs.setVerifyChecksum(False)
-        except Exception:  # noqa: BLE001 — optional capability
-            pass
+        # PRIVATE (uncached) FileSystem instances, one per
+        # (scheme, authority), held for this HadoopFS's lifetime.
+        # FileSystem.get() returns the JVM-wide cached instance shared
+        # with Spark's own driver I/O — flipping checksums on THAT
+        # would silently disable .crc corruption detection for every
+        # other user of the process, not just lifecycle paths.
+        uri = self._jpath(path).toUri()
+        key = (uri.getScheme(), uri.getAuthority())
+        fs = self._fs_cache.get(key)
+        if fs is None:
+            fs = self._jvm.org.apache.hadoop.fs.FileSystem.newInstance(
+                uri, self._conf
+            )
+            try:  # no-op on HDFS/object stores; kills .crc files on file:
+                fs.setWriteChecksum(False)
+                fs.setVerifyChecksum(False)
+            except Exception:  # noqa: BLE001 — optional capability
+                pass
+            self._fs_cache[key] = fs
         return fs
 
     _NOT_FOUND = (

@@ -69,7 +69,22 @@ def _sentinel_from_head(head: bytes, fname: str) -> str:
     return f"{eol}{version}{eol}"
 
 
-def _probe_heads_local(path: str) -> list[tuple[str, bytes]]:
+def _sample_paths(files: list, sample: int) -> list:
+    """First + last + evenly spaced between (``sample <= 1`` → first
+    only).  Selection happens on NAMES, before any head is read — the
+    probe must cost ``sample`` reads, not one round-trip per object in
+    a hundred-thousand-file crawl directory."""
+    if len(files) <= sample:
+        return files
+    if sample <= 1:
+        return [files[0]]
+    idx = sorted(
+        {round(i * (len(files) - 1) / (sample - 1)) for i in range(sample)}
+    )
+    return [files[i] for i in idx]
+
+
+def _probe_heads_local(path: str, sample: int) -> list[tuple[str, bytes]]:
     import glob as _glob
     import os as _os
 
@@ -78,17 +93,18 @@ def _probe_heads_local(path: str) -> list[tuple[str, bytes]]:
         cand = _os.path.join(path, "*")
     files = sorted(f for f in _glob.glob(cand) if _os.path.isfile(f))
     heads = []
-    for f in files:
+    for f in _sample_paths(files, sample):
         with open(f, "rb") as fh:
             heads.append((f, fh.read(4096)))
     return heads
 
 
-def _probe_heads_hadoop(path: str, spark) -> list[tuple[str, bytes]]:
+def _probe_heads_hadoop(path: str, spark, sample: int) -> list[tuple[str, bytes]]:
     """Head-probe through the Hadoop FileSystem (JVM gateway) — the
     remote-scheme twin of the local glob/open probe, so ``hdfs://`` /
     ``s3a://`` / ``abfss://`` / ``file://`` corpora get the same
-    framing detection instead of a driver-side FileNotFoundError."""
+    framing detection instead of a driver-side FileNotFoundError.
+    One listing RPC, then ``sample`` bounded head reads."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -96,10 +112,12 @@ def _probe_heads_hadoop(path: str, spark) -> list[tuple[str, bytes]]:
     if fs.isDirectory(jpath):
         jpath = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/*")
     statuses = fs.globStatus(jpath)
+    files = sorted(
+        (s for s in (statuses or []) if s.isFile()),
+        key=lambda s: s.getPath().getName(),
+    )
     heads = []
-    for s in sorted(statuses or [], key=lambda s: s.getPath().getName()):
-        if not s.isFile():
-            continue
+    for s in _sample_paths(files, sample):
         stream = fs.open(s.getPath())
         try:
             bounded = jvm.org.apache.commons.io.input.BoundedInputStream(
@@ -156,16 +174,11 @@ def detect_warc_framing(path: str, spark=None, sample: int = 5) -> str:
                 "scheme'd path through the Hadoop FileSystem; pass "
                 "spark= or an explicit record_sep (e.g. WARC_SENTINEL)"
             )
-        heads = _probe_heads_hadoop(path, spark)
+        heads = _probe_heads_hadoop(path, spark, sample)
     else:
-        heads = _probe_heads_local(path)
+        heads = _probe_heads_local(path, sample)
     if not heads:
         raise FileNotFoundError(f"no archive files match {path!r}")
-    if len(heads) > sample:  # first + last + evenly spaced between
-        idx = sorted(
-            {round(i * (len(heads) - 1) / (sample - 1)) for i in range(sample)}
-        )
-        heads = [heads[i] for i in idx]
     sentinels = {f: _sentinel_from_head(h, f) for f, h in heads}
     distinct = sorted(set(sentinels.values()))
     if len(distinct) > 1:

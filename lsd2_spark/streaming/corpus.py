@@ -213,10 +213,9 @@ class StreamingDedupIndexWriter:
         #    very probe that must reject it.  A fresh batch probes
         #    unmasked.  No complete accept dir on replay means the
         #    crash hit before any index mutation: probe unmasked.
+        mask = self._crashed_attempt_survivors(batch_df, batch_id)
         flags = self.index.probe(
-            batch,
-            threshold=self.threshold,
-            exclude_ids=self._crashed_attempt_survivors(batch_df, batch_id),
+            batch, threshold=self.threshold, exclude_ids=mask
         )
         clean = flags.filter(
             F.col("exact_dup_of").isNull() & F.col("near_dup_of").isNull()
@@ -228,11 +227,22 @@ class StreamingDedupIndexWriter:
         # 3. accept: fence first (the marker must be durable BEFORE any
         #    index mutation, so every state where this batch's rows are
         #    indexed-but-uncommitted carries it), then the idempotent
-        #    per-batch directory, then the index append
+        #    per-batch directory, then the index append.  When the
+        #    replay's mask came FROM a complete accept dir, do NOT
+        #    rewrite it: the recomputed survivor set equals its
+        #    contents (determinism note in _crashed_attempt_survivors),
+        #    and overwrite would delete the only record of the crashed
+        #    attempt's acceptances — a second crash mid-rewrite would
+        #    then leave no _SUCCESS, the next replay would probe
+        #    unmasked, every survivor would self-reject against its own
+        #    indexed signature, and the batch's documents would vanish
+        #    from the corpus while their signatures keep rejecting all
+        #    future copies.
         self._mark_inflight(batch_id)
-        survivors.write.mode("overwrite").parquet(
-            os.path.join(self.accept_dir, f"batch_id={int(batch_id)}")
-        )
+        if mask is None:
+            survivors.write.mode("overwrite").parquet(
+                os.path.join(self.accept_dir, f"batch_id={int(batch_id)}")
+            )
         self.index.update(survivors)
         self.stats.append((int(batch_id), int(n_in), int(survivors.count())))
         self._commit(batch_id)

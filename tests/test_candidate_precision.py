@@ -131,6 +131,17 @@ def test_ngram_jaccard_candidates_restriction(spark):
     for k, v in sub_rows.items():
         assert v == full_rows[k]
 
+    # degenerate (x, x) candidates (symmetric-join inputs) must not
+    # surface as self-pairs at jaccard 1.0 — the unrestricted path
+    # excludes them structurally (id1 < id2), so must this one
+    selfy = spark.createDataFrame(
+        [(1, 1), (2, 2), (1, 3)], "id1 long, id2 long"
+    )
+    selfed = ngram_jaccard_pairs(
+        docs, "text", "doc_id", ["lang", "source"], candidates=selfy
+    )
+    assert {(r["id1"], r["id2"]) for r in selfed.collect()} == {(1, 3)}
+
 
 def test_ngram_pair_count_estimate_and_unrestricted_warning(spark, caplog):
     """The unrestricted escape hatch is loud, not silent: every

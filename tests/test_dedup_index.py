@@ -207,6 +207,18 @@ def test_empty_corpus_start(spark, tmp_path):
     assert again[9]["exact_dup_of"] == 1 and again[9]["near_dup_of"] == 1
 
 
+def test_missing_table_dir_is_corruption_not_empty(spark, index):
+    """The typed-empty fallback exists for 'table dir present but no
+    data files yet' (empty-corpus build); a MISSING table dir is
+    corruption and must raise, not silently report every document as
+    fresh."""
+    import shutil
+
+    shutil.rmtree(f"{index.path}/bands")
+    with pytest.raises(Exception, match="PATH_NOT_FOUND|bands"):
+        index.probe(_df(spark, _BASE[:1])).collect()
+
+
 def test_build_rejects_bad_band_count(spark, tmp_path):
     with pytest.raises(ValueError):
         DedupIndex.build(_df(spark, _BASE), "text", "doc_id", str(tmp_path / "x"), bands=5)

@@ -381,6 +381,17 @@ def test_detect_warc_framing_mixed_corpus_raises(spark, tmp_path):
     for i in range(12):
         (d / f"c{i:02d}.warc").write_bytes(rec.encode())
     assert detect_warc_framing(str(d)) == "\r\nWARC/1.0\r\n"
+    # name-level sampling: only `sample` heads are READ, not every
+    # file's (a remote crawl dir must cost `sample` round-trips), and
+    # sample=1 is a legal degenerate probe (first file only)
+    from lsd2_spark.sources import webtext as _wt
+
+    assert len(_wt._probe_heads_local(str(d), 5)) == 5
+    assert detect_warc_framing(str(d), sample=1) == "\r\nWARC/1.0\r\n"
+    files = list(range(100))
+    picked = _wt._sample_paths(files, 5)
+    assert picked[0] == 0 and picked[-1] == 99 and len(picked) == 5
+    assert _wt._sample_paths(files, 1) == [0]
 
 
 def test_detect_warc_framing_scheme_paths(spark, tmp_path):

@@ -122,6 +122,35 @@ def test_replay_is_exactly_once(spark, seeded):
     assert not os.path.exists(os.path.join(idx.path, "_stream_inflight.json"))
 
 
+def test_replay_never_rewrites_a_complete_accept_dir(spark, seeded):
+    """A fenced replay whose mask came from the complete accept dir
+    must NOT overwrite that dir: it is the only record of the crashed
+    attempt's acceptances, and a second crash mid-overwrite would
+    strand the batch's documents (indexed signatures, no corpus rows —
+    all future copies silently rejected)."""
+    idx, accept = seeded
+    w = stream_dedup_into_index(None, idx, accept, threshold=0.5)
+    batch = _docs(spark, [(12, BASE[2])])
+    w._apply(batch, batch_id=0)
+    adir = os.path.join(accept, "batch_id=0")
+    before = {
+        f: os.path.getmtime(os.path.join(adir, f)) for f in os.listdir(adir)
+    }
+    # crash window: hwm lost, inflight fence present
+    os.remove(os.path.join(idx.path, "_stream_hwm.json"))
+    idx._fs.publish(
+        os.path.join(idx.path, "_stream_inflight.json"), '{"batch_id": 0}'
+    )
+    w._apply(batch, batch_id=0)
+    after = {
+        f: os.path.getmtime(os.path.join(adir, f)) for f in os.listdir(adir)
+    }
+    assert after == before  # same files, untouched bytes
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(adir).collect()
+    ) == [12]
+
+
 def test_fresh_batch_reusing_indexed_ids_is_screened(spark, seeded):
     """A NEW batch that re-delivers an (id, text) row the index already
     holds — a re-crawl emitting the same doc_id — must be rejected as a
