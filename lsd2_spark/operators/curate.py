@@ -46,7 +46,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 __all__ = ["curate_corpus", "curation_report", "FUNNEL_STAGES"]
 
@@ -128,16 +127,10 @@ def curate_corpus(
     )
 
     # --- stage B: exact dedup — ONE shuffle on the content hash ------
-    exact_flag = (
-        survivors.select(
-            F.col(id_col), F.md5(F.col(text_col)).alias("_content_hash")
-        )
-        .withColumn(
-            "exact_canonical",
-            F.col(id_col)
-            == F.min(id_col).over(Window.partitionBy("_content_hash")),
-        )
-        .select(id_col, "exact_canonical")
+    from lsd2_spark.operators.dedup import exact_dedup
+
+    exact_flag = exact_dedup(survivors, text_col, id_col).select(
+        id_col, (F.col("is_canonical") == 1).alias("exact_canonical")
     )
 
     # --- stage C: fuzzy dedup over exact survivors, keep-best-quality

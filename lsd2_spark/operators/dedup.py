@@ -439,7 +439,16 @@ def ngram_jaccard_pairs(
         for c in group_cols:
             bounded = bounded.filter(F.col(f"_l_{c}") == F.col(f"_r_{c}"))
         bounded = bounded.select("id1", "id2")
-        garr = df.select(F.col(id_col), _grams_array(text_col, n).alias("_g"))
+        # gram arrays ONLY for candidate members: without the semi-join
+        # the transform/array_distinct kernel runs over the whole
+        # corpus for what may be a sparse pair set, breaking the
+        # "linear in |candidates|" cost model this path promises
+        members = bounded.select(F.col("id1").alias(id_col)).union(
+            bounded.select(F.col("id2").alias(id_col))
+        )
+        garr = df.join(members, id_col, "left_semi").select(
+            F.col(id_col), _grams_array(text_col, n).alias("_g")
+        )
         a1 = garr.select(F.col(id_col).alias("id1"), F.col("_g").alias("_g1"))
         a2 = garr.select(F.col(id_col).alias("id2"), F.col("_g").alias("_g2"))
         return (

@@ -7,13 +7,16 @@ persists the dedup state as two engine-neutral parquet tables and
 answers "is this new document a duplicate of anything in the corpus?"
 with bounded joins:
 
-- ``exact/``     — (text_hash, canonical_id): one row per distinct
+- ``exact[.eN]/`` — (text_hash, canonical_id): one row per distinct
   content hash (md5 of the raw text, same key as
   ``dedup.exact_dedup``).
-- ``bands/``     — (band, bucket, id, mh0..mh{k-1}): the banded
+- ``bands[.eN]/`` — (band, bucket, id, mh0..mh{k-1}): the banded
   minhash signature table, hive-partitioned by ``band`` so a probe
   join prunes to the band partitions it needs.
-- ``_dedup_index.json`` — {bands, k, text/id column names}.
+- ``_dedup_index.json`` — {bands, k, text/id column names, epoch}.
+  ``epoch`` versions the table directories (``.eN`` suffix, bare names
+  at epoch 0): compact() writes the next epoch and atomically flips
+  this pointer instead of renaming live directories.
 
 Control-plane I/O (meta, compact staging/swap, crash healing) routes
 through the same :class:`~lsd2_spark.sources.fs.LifecycleFS` seam as the
@@ -53,7 +56,6 @@ from lsd2_spark.sources.fs import LOCAL_FS, LifecycleFS
 __all__ = ["DedupIndex"]
 
 _META = "_dedup_index.json"
-_COMPACT_INTENT = "_compact_intent.json"
 
 
 def _band_cols(k: int, bands: int):
@@ -92,48 +94,67 @@ class DedupIndex:
         self.k = int(m["k"])
         self.text_col = m["text_col"]
         self.id_col = m["id_col"]
-        self._heal_compact()
+        self.epoch = int(m.get("epoch", 0))
+        self._gc_stale_epochs()
 
-    def _intent_path(self) -> str:
-        return os.path.join(self.path, _COMPACT_INTENT)
+    # -- epoch-versioned table dirs -------------------------------------
+    #
+    # compact() NEVER renames or deletes the live tables in place — it
+    # writes the rewritten tables to the NEXT epoch's directories and
+    # atomically flips the meta pointer (``publish``, the one atomic
+    # LifecycleFS primitive).  Directory renames are the one lifecycle
+    # op with an unfixable object-store crash window: copy-then-delete
+    # interrupted mid-DELETE leaves source partial and destination
+    # complete, a state no marker protocol can tell apart from the
+    # mirror image (source complete, destination partial) without
+    # per-file manifests.  With the pointer flip, every crash window is
+    # trivially safe: staged dirs are unreferenced until the flip,
+    # the flip is atomic, and anything unreferenced is garbage the next
+    # open/compact sweeps (single-writer assumption, like the rest of
+    # the lifecycle layer).
 
-    def _heal_compact(self) -> None:
-        """Converge a crashed :meth:`compact`.
+    def _table_dir(self, name: str) -> str:
+        suffix = "" if self.epoch == 0 else f".e{self.epoch}"
+        return os.path.join(self.path, name + suffix)
 
-        Readable intent marker → the staged rewrites completed before
-        the crash (the marker is published only after both staging
-        writes finish): roll FORWARD — per table, if the staging dir
-        still exists, remove the (possibly torn) live dir and rename
-        staging in; a staging dir already gone means its rename's copy
-        completed (copy-then-delete deletes the source last), so the
-        live dir is whole.  Re-runnable at every step: a crash mid-heal
-        repeats the same rmtree+rename, overwriting any torn copy.
+    @property
+    def exact_dir(self) -> str:
+        return self._table_dir("exact")
 
-        No/unreadable marker → the crash hit before publish: the live
-        tables were never touched, so roll back by removing stale
-        staging dirs.  A mixed outcome (one table new, one old) cannot
-        arise from that branch, and wouldn't matter if it did — compact
-        is logically idempotent (same rows either side), so any mix of
-        COMPLETE table versions answers probes identically; only a torn
-        table is unsafe, and torn copies are confined to the
-        marker-present roll-forward branch, which never clears the
-        marker until both tables are whole."""
-        fs = self._fs
-        intent = fs.exists(self._intent_path())
-        for final in ("exact", "bands"):
-            dst = os.path.join(self.path, final)
-            stage = dst + "._compact"
-            if intent:
-                if fs.isdir(stage):
-                    fs.rmtree(dst)
-                    fs.rename(stage, dst)
-            else:
-                fs.rmtree(stage)
-        if intent:
-            try:
-                fs.remove(self._intent_path())
-            except FileNotFoundError:
-                pass
+    @property
+    def bands_dir(self) -> str:
+        return self._table_dir("bands")
+
+    _TABLE_RE = r"^(exact|bands)(\.e(\d+))?$"
+
+    def _gc_stale_epochs(self) -> None:
+        """Remove table dirs not referenced by the current epoch: the
+        debris of a compact that crashed before its pointer flip
+        (staged next-epoch dirs) or after it (previous-epoch dirs).
+        Idempotent, best-effort; the live tables are never touched."""
+        import re
+
+        try:
+            names = self._fs.listdir(self.path)
+        except FileNotFoundError:
+            return
+        for n in names:
+            m = re.match(self._TABLE_RE, n)
+            if m is None:
+                continue
+            ep = int(m.group(3)) if m.group(3) else 0
+            if ep != self.epoch:
+                self._fs.rmtree(os.path.join(self.path, n))
+
+    def _publish_meta(self) -> None:
+        meta = {
+            "bands": self.bands,
+            "k": self.k,
+            "text_col": self.text_col,
+            "id_col": self.id_col,
+            "epoch": self.epoch,
+        }
+        self._fs.publish(os.path.join(self.path, _META), json.dumps(meta))
 
     # -- construction -------------------------------------------------
 
@@ -163,9 +184,9 @@ class DedupIndex:
         idx._fs = fs or LOCAL_FS
         idx.bands, idx.k = bands, k
         idx.text_col, idx.id_col = text_col, id_col
+        idx.epoch = 0
         idx._fs.makedirs(path)
-        meta = {"bands": bands, "k": k, "text_col": text_col, "id_col": id_col}
-        idx._fs.publish(os.path.join(path, _META), json.dumps(meta))
+        idx._publish_meta()
         idx._write(df, mode="overwrite")
         return idx
 
@@ -192,16 +213,18 @@ class DedupIndex:
             *[f"mh{i}" for i in range(self.k)],
         )
 
-    def _write(self, df: DataFrame, mode: str) -> None:
+    def _write(
+        self, df: DataFrame, mode: str, exact_dir=None, bands_dir=None
+    ) -> None:
         self._exact_rows(df).write.mode(mode).parquet(
-            os.path.join(self.path, "exact")
+            exact_dir or self.exact_dir
         )
         (
             self._banded_rows(df)
             .repartition("band")
             .write.mode(mode)
             .partitionBy("band")
-            .parquet(os.path.join(self.path, "bands"))
+            .parquet(bands_dir or self.bands_dir)
         )
 
     # -- empty-index-safe table readers --------------------------------
@@ -229,11 +252,9 @@ class DedupIndex:
 
     def _read_exact(self, id_type=None) -> DataFrame:
         try:
-            return self.spark.read.parquet(os.path.join(self.path, "exact"))
+            return self.spark.read.parquet(self.exact_dir)
         except AnalysisException:
-            if id_type is None or not self._fs.isdir(
-                os.path.join(self.path, "exact")
-            ):
+            if id_type is None or not self._fs.isdir(self.exact_dir):
                 # a MISSING table dir is corruption (deleted, or a
                 # legacy crash layout), not an empty index — failing
                 # loud beats silently accepting every duplicate
@@ -242,11 +263,9 @@ class DedupIndex:
 
     def _read_bands(self, id_type=None) -> DataFrame:
         try:
-            return self.spark.read.parquet(os.path.join(self.path, "bands"))
+            return self.spark.read.parquet(self.bands_dir)
         except AnalysisException:
-            if id_type is None or not self._fs.isdir(
-                os.path.join(self.path, "bands")
-            ):
+            if id_type is None or not self._fs.isdir(self.bands_dir):
                 raise  # missing dir = corruption, not an empty index
             return self._banded_rows(self._empty_corpus(id_type))
 
@@ -393,28 +412,30 @@ class DedupIndex:
         run it like any table-maintenance job, frequency set by update
         churn.
 
-        Crash safety (mirrors the catalog's two-phase compact): both
-        rewrites land in STAGING dirs first; only after both complete
-        does ``publish`` (the one atomic primitive) drop the intent
-        marker, and only then does the swap touch the live dirs.  A
-        crash anywhere re-converges on the next open/compact via
-        :meth:`_heal_compact` — roll back (no marker: staging dropped,
-        live untouched) or roll forward (marker: re-run the same
-        rmtree+rename per table, which overwrites any torn copy a
-        non-atomic rename left)."""
-        self._heal_compact()
+        Crash safety is the epoch pointer flip (see the class-level
+        comment at :meth:`_table_dir`): both rewrites land in the NEXT
+        epoch's directories — unreferenced until the flip — then one
+        atomic ``publish`` of the meta moves the pointer, then the old
+        epoch's dirs are garbage.  No live table is ever renamed,
+        deleted-then-replaced, or read half-written: a crash before the
+        flip leaves the old epoch serving (staged dirs swept later), a
+        crash after it leaves the new epoch serving (old dirs swept
+        later).  The one atomicity requirement is ``publish`` — exactly
+        the LifecycleFS contract object stores can honor."""
+        self._gc_stale_epochs()
         try:
             exact = self.probe_exact_reads_min()
             bands = self._read_bands()
         except AnalysisException:
             if not (
-                self._fs.isdir(os.path.join(self.path, "exact"))
-                and self._fs.isdir(os.path.join(self.path, "bands"))
+                self._fs.isdir(self.exact_dir)
+                and self._fs.isdir(self.bands_dir)
             ):
                 raise  # missing table dir = corruption, fail loud
             return  # empty index (no data files yet): nothing to compact
-        tmp_e = os.path.join(self.path, "exact._compact")
-        tmp_b = os.path.join(self.path, "bands._compact")
+        new_epoch = self.epoch + 1
+        tmp_e = os.path.join(self.path, f"exact.e{new_epoch}")
+        tmp_b = os.path.join(self.path, f"bands.e{new_epoch}")
         exact.write.mode("overwrite").parquet(tmp_e)
         (
             bands.dropDuplicates(["band", "bucket", "id"])
@@ -423,9 +444,8 @@ class DedupIndex:
             .partitionBy("band")
             .parquet(tmp_b)
         )
-        self._fs.publish(self._intent_path(), json.dumps({"phase": "done"}))
-        for tmp, final in ((tmp_e, "exact"), (tmp_b, "bands")):
-            dst = os.path.join(self.path, final)
-            self._fs.rmtree(dst)
-            self._fs.rename(tmp, dst)
-        self._fs.remove(self._intent_path())
+        old_exact, old_bands = self.exact_dir, self.bands_dir
+        self.epoch = new_epoch
+        self._publish_meta()  # THE atomic flip: readers move with it
+        self._fs.rmtree(old_exact)
+        self._fs.rmtree(old_bands)

@@ -155,26 +155,34 @@ def detect_warc_framing(path: str, spark=None, sample: int = 5) -> str:
     probe exists to prevent.  Pass ``record_sep`` explicitly and scan
     each framing's files separately in that case.
 
-    Paths with a URI scheme (``hdfs://``, ``s3a://``, ``abfss://``,
-    ``file://``, ...) are probed through the Hadoop FileSystem via the
-    JVM gateway when ``spark`` is given (``read_wet``/``read_warc``
-    always pass it); without a session the local glob/open probe only
-    understands plain local paths and a scheme'd path raises with that
-    guidance.
+    With ``spark`` given (``read_wet``/``read_warc`` always pass it),
+    the probe goes through the Hadoop FileSystem via the JVM gateway
+    for EVERY path — scheme'd (``hdfs://``, ``s3a://``, ``abfss://``,
+    ``file://``) or scheme-less, which Hadoop resolves against
+    ``fs.defaultFS`` exactly like the ``spark.read.text`` scan will.
+    Without a session the local glob/open probe only understands plain
+    local paths and a scheme'd path raises with that guidance.
 
     Raises ``ValueError`` when a head is not a WARC version line —
     failing loudly beats a silent one-record parse.
     """
     import re as _re
 
-    if _re.match(_SCHEME_RE, path):
-        if spark is None:
-            raise ValueError(
-                f"detect_warc_framing({path!r}) needs spark= to probe a "
-                "scheme'd path through the Hadoop FileSystem; pass "
-                "spark= or an explicit record_sep (e.g. WARC_SENTINEL)"
-            )
+    if spark is not None:
+        # ALWAYS probe through the Hadoop FileSystem when a session is
+        # available: it resolves scheme-less paths against
+        # fs.defaultFS exactly like spark.read.text will — a driver
+        # local glob would probe the wrong filesystem on a cluster
+        # whose defaultFS is HDFS (FileNotFoundError on valid data,
+        # or a stale same-named local file returning the wrong
+        # sentinel)
         heads = _probe_heads_hadoop(path, spark, sample)
+    elif _re.match(_SCHEME_RE, path):
+        raise ValueError(
+            f"detect_warc_framing({path!r}) needs spark= to probe a "
+            "scheme'd path through the Hadoop FileSystem; pass "
+            "spark= or an explicit record_sep (e.g. WARC_SENTINEL)"
+        )
     else:
         heads = _probe_heads_local(path, sample)
     if not heads:

@@ -44,11 +44,14 @@ Two fences make that mask precise:
   Without it, a NEW batch re-delivering an id the index already holds
   (a re-crawl emitting the same doc_id) would mask out exactly the
   index row that should reject it and self-approve the duplicate.
-- the mask CONTENT is the batch's accept directory (whose ``_SUCCESS``
-  commit strictly precedes the index update), not the batch's full id
-  list: only accepted survivors can be in the index, and masking the
-  whole batch would hide OLDER index entries sharing an id with any
-  re-delivered batch row.
+- the mask CONTENT is the batch's accept directory, not the batch's
+  full id list: only accepted survivors can be in the index, and
+  masking the whole batch would hide OLDER index entries sharing an id
+  with any re-delivered batch row.  The marker's ``accepted`` bit —
+  flipped strictly after the accept write returns and strictly before
+  the index update — is the module's own durable record that the
+  directory is complete (Spark's ``_SUCCESS`` is not relied on: object
+  stores commonly disable it, and it lives on the wrong filesystem).
 
 Requires ids to be unique per distinct document (the same id arriving
 twice means the same document).  All markers route through the index's
@@ -138,36 +141,48 @@ class StreamingDedupIndexWriter:
             pass
 
     # -- inflight fence: scopes the replay mask to genuine replays ------
+    #
+    # Two-phase marker, both phases via the index FS's atomic publish:
+    # {"batch_id": N, "accepted": false} lands BEFORE the accept-dir
+    # write, flips to "accepted": true strictly AFTER that write
+    # returns and strictly BEFORE the index update.  The accepted bit
+    # is therefore this module's OWN durable record that the accept
+    # dir is complete — independent of Spark's _SUCCESS marker, which
+    # object-store deployments commonly disable
+    # (mapreduce.fileoutputcommitter.marksuccessfuljobs=false) and
+    # which lives on the accept dir's filesystem rather than the
+    # index's.
 
     def _inflight_path(self) -> str:
         return os.path.join(self.index.path, _INFLIGHT)
 
-    def _inflight_batch(self) -> int:
+    def _inflight_state(self) -> tuple[int, bool]:
         try:
             blob = self.index._fs.read_text(self._inflight_path())
         except FileNotFoundError:
-            return -1
-        return int(json.loads(blob)["batch_id"])
+            return -1, False
+        m = json.loads(blob)
+        return int(m["batch_id"]), bool(m.get("accepted", False))
 
-    def _mark_inflight(self, batch_id: int) -> None:
+    def _mark_inflight(self, batch_id: int, accepted: bool) -> None:
         self.index._fs.publish(
-            self._inflight_path(), json.dumps({"batch_id": int(batch_id)})
+            self._inflight_path(),
+            json.dumps({"batch_id": int(batch_id), "accepted": accepted}),
         )
 
     def _crashed_attempt_survivors(self, batch_df, batch_id: int):
         """The exclude mask for a replayed batch: the survivor ids the
         crashed attempt accepted (and may have indexed), read back from
         its accept directory.  Returns None (no mask) for fresh batches
-        and for replays whose crash predates the accept dir's _SUCCESS
-        commit — in both cases the index holds nothing of this batch.
-        Determinism: the attempt's survivor set is a pure function of
-        the batch and the index view it probed; masking exactly that
-        set recreates the view, so the re-run reproduces it."""
-        if self._inflight_batch() != batch_id:
+        and for replays whose crash predates the accepted-marker flip —
+        in both cases the index holds nothing of this batch (the index
+        update runs strictly after the flip).  Determinism: the
+        attempt's survivor set is a pure function of the batch and the
+        index view it probed; masking exactly that set recreates the
+        view, so the re-run reproduces it."""
+        if self._inflight_state() != (batch_id, True):
             return None
         prior = os.path.join(self.accept_dir, f"batch_id={int(batch_id)}")
-        if not self.index._fs.exists(os.path.join(prior, "_SUCCESS")):
-            return None
         return (
             batch_df.sparkSession.read.parquet(prior)
             .select(self.index.id_col)
@@ -184,15 +199,17 @@ class StreamingDedupIndexWriter:
         tc, ic = self.index.text_col, self.index.id_col
         n_in = batch_df.count()
 
-        # 1. within-batch screen
-        best = (
-            batch_df.select(
-                F.md5(F.col(tc).cast("string")).alias("_h"), F.col(ic)
-            )
-            .groupBy("_h")
-            .agg(F.min(ic).alias(ic))
+        # 1. within-batch screen (the standalone exact_dedup operator —
+        #    same hash normalization as the index's own text_hash)
+        from lsd2_spark.operators.dedup import exact_dedup
+
+        batch = batch_df.join(
+            exact_dedup(batch_df, tc, ic)
+            .filter("is_canonical = 1")
+            .select(ic),
+            ic,
+            "left_semi",
         )
-        batch = batch_df.join(best, ic, "left_semi")
         if self.within_batch == "fuzzy":
             from lsd2_spark.operators.dedup import dedup_clusters
 
@@ -202,17 +219,17 @@ class StreamingDedupIndexWriter:
             batch = batch.join(canon.select(ic), ic, "left_semi")
 
         # 2. probe the accepted corpus.  ONLY on a genuine replay (the
-        #    inflight fence names this batch: crash between index
-        #    update and commit) is a mask applied — and the mask is the
-        #    crashed attempt's SURVIVOR set (read back from this
-        #    batch's accept directory, whose _SUCCESS commit strictly
-        #    precedes the index update), not the whole batch: those are
+        #    inflight fence reads (this batch, accepted=true): crash
+        #    between index update and commit) is a mask applied — and
+        #    the mask is the crashed attempt's SURVIVOR set (read back
+        #    from this batch's accept directory, complete by the
+        #    accepted-marker ordering), not the whole batch: those are
         #    the only rows that may already be indexed, and masking
         #    anything more would hide OLDER index entries that share an
         #    id with a batch row (a re-delivered document) from the
         #    very probe that must reject it.  A fresh batch probes
-        #    unmasked.  No complete accept dir on replay means the
-        #    crash hit before any index mutation: probe unmasked.
+        #    unmasked.  accepted=false on replay means the crash hit
+        #    before any index mutation: probe unmasked.
         mask = self._crashed_attempt_survivors(batch_df, batch_id)
         flags = self.index.probe(
             batch, threshold=self.threshold, exclude_ids=mask
@@ -233,16 +250,21 @@ class StreamingDedupIndexWriter:
         #    contents (determinism note in _crashed_attempt_survivors),
         #    and overwrite would delete the only record of the crashed
         #    attempt's acceptances — a second crash mid-rewrite would
-        #    then leave no _SUCCESS, the next replay would probe
-        #    unmasked, every survivor would self-reject against its own
-        #    indexed signature, and the batch's documents would vanish
-        #    from the corpus while their signatures keep rejecting all
-        #    future copies.
-        self._mark_inflight(batch_id)
+        #    leave a torn dir whose next replay (were the accepted bit
+        #    ever reset) would probe unmasked, self-reject every
+        #    survivor, and strand the batch's documents: signatures
+        #    indexed, corpus rows gone, all future copies silently
+        #    rejected.
         if mask is None:
+            self._mark_inflight(batch_id, accepted=False)
             survivors.write.mode("overwrite").parquet(
                 os.path.join(self.accept_dir, f"batch_id={int(batch_id)}")
             )
+            self._mark_inflight(batch_id, accepted=True)
+        # on a masked replay the marker already reads (batch_id, true)
+        # and MUST keep doing so — resetting accepted would, after one
+        # more crash, send the next replay down the unmasked branch
+        # against an index that already holds this batch
         self.index.update(survivors)
         self.stats.append((int(batch_id), int(n_in), int(survivors.count())))
         self._commit(batch_id)

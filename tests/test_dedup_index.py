@@ -242,10 +242,10 @@ def test_compact_preserves_probe_results(spark, index):
     index.update(_df(spark, dup))  # same content appended twice
     batch = _df(spark, [(91, "the quick brown fox jumps over the lazy dog near the river bank")])
     before = sorted(map(tuple, index.probe(batch).collect()))
-    n_exact_before = spark.read.parquet(f"{index.path}/exact").count()
+    n_exact_before = spark.read.parquet(index.exact_dir).count()
     index.compact()
     after = sorted(map(tuple, index.probe(batch).collect()))
-    n_exact_after = spark.read.parquet(f"{index.path}/exact").count()
+    n_exact_after = spark.read.parquet(index.exact_dir).count()
     assert before == after
     assert n_exact_after < n_exact_before  # duplicate hash rows collapsed
 
@@ -267,74 +267,30 @@ def test_string_ids_are_supported(spark, tmp_path):
     assert got["z"]["near_dup_of"] == "a"
 
 
-class _DirCopyDeleteFS:
-    """Object-store-shaped rename over files OR directories: copy the
-    bytes, then delete the source — never atomic, torn destination
-    possible on crash.  Mixin over LocalFS (see test_lifecycle_fs.py
-    for the file-only original)."""
-
-    def __init__(self):
-        self.renames = 0
-
-    @staticmethod
-    def _copy(src: str, dst: str) -> None:
-        import os
-        import shutil
-
-        if os.path.isdir(src):
-            shutil.copytree(src, dst, dirs_exist_ok=True)
-        else:
-            shutil.copyfile(src, dst)
-
-    @staticmethod
-    def _drop(src: str) -> None:
-        import os
-        import shutil
-
-        if os.path.isdir(src):
-            shutil.rmtree(src)
-        else:
-            os.remove(src)
-
-    def rename(self, src: str, dst: str) -> None:
-        self.renames += 1
-        self._copy(src, dst)
-        self._drop(src)
-
-
-def _torn_fs(crash_on: int):
-    """A LifecycleFS whose ``crash_on``-th rename crashes mid-copy,
-    leaving every copied file truncated to half its bytes at the
-    destination and the source intact — the worst legal state of a
-    non-atomic directory rename."""
+def test_compact_crash_before_pointer_flip_serves_old_epoch(spark, index):
+    """A compact that crashed BEFORE the meta pointer flip leaves
+    (possibly torn) next-epoch staging dirs that nothing references:
+    reopening serves the old epoch unchanged and sweeps the debris."""
     import os
 
-    from lsd2_spark.sources.fs import LocalFS
-
-    class TornFS(_DirCopyDeleteFS, LocalFS):
-        def rename(self, src: str, dst: str) -> None:
-            self.renames += 1
-            if self.renames == crash_on:
-                self._copy(src, dst)
-                for root, _dirs, files in os.walk(dst):
-                    for f in files:
-                        p = os.path.join(root, f)
-                        data = open(p, "rb").read()
-                        with open(p, "wb") as out:
-                            out.write(data[: max(1, len(data) // 2)])
-                raise RuntimeError("injected crash mid-copy")
-            self._copy(src, dst)
-            self._drop(src)
-
-    return TornFS()
+    batch = _df(spark, [(97, "the quick brown fox jumps over the lazy dog near the river bank")])
+    before = sorted(map(tuple, index.probe(batch).collect()))
+    os.makedirs(f"{index.path}/exact.e1")
+    with open(f"{index.path}/exact.e1/part-torn.parquet", "wb") as f:
+        f.write(b"half a parquet file")
+    os.makedirs(f"{index.path}/bands.e1")
+    reopened = DedupIndex(spark, index.path)
+    assert reopened.epoch == 0
+    after = sorted(map(tuple, reopened.probe(batch).collect()))
+    assert after == before
+    assert not os.path.exists(f"{index.path}/exact.e1")
+    assert not os.path.exists(f"{index.path}/bands.e1")
 
 
-@pytest.mark.parametrize("crash_on", [1, 2])
-def test_compact_crash_mid_swap_rolls_forward(spark, index, crash_on):
-    """A crash tearing either swap rename (exact first, bands second)
-    after the intent marker published must roll FORWARD on reopen: the
-    staged complete rewrite replaces the torn live dir, probes are
-    unchanged, and no staging/marker debris survives."""
+def test_compact_crash_after_pointer_flip_serves_new_epoch(spark, index):
+    """A compact that crashed AFTER the flip but before sweeping the
+    old dirs serves the new epoch (the flip is the commit point) and
+    the stale previous-epoch dirs are swept on reopen."""
     import os
 
     dup = [(95, "the quick brown fox jumps over the lazy dog near the river bank")]
@@ -342,39 +298,36 @@ def test_compact_crash_mid_swap_rolls_forward(spark, index, crash_on):
     batch = _df(spark, [(96, "the quick brown fox jumps over the lazy dog near the river bank")])
     before = sorted(map(tuple, index.probe(batch).collect()))
 
-    crasher = DedupIndex(spark, index.path, fs=_torn_fs(crash_on))
-    with pytest.raises(RuntimeError, match="injected crash"):
-        crasher.compact()
-    assert os.path.exists(f"{index.path}/_compact_intent.json")
+    class CrashAfterFlip(RuntimeError):
+        pass
 
-    reopened = DedupIndex(spark, index.path)  # heals in __init__
+    orig_rmtree = index._fs.rmtree
+
+    def exploding_rmtree(p):
+        raise CrashAfterFlip(p)
+
+    index._fs.rmtree = exploding_rmtree
+    try:
+        with pytest.raises(CrashAfterFlip):
+            index.compact()
+    finally:
+        index._fs.rmtree = orig_rmtree
+    # the flip happened; old-epoch dirs are stale debris
+    assert os.path.isdir(f"{index.path}/exact")
+    assert os.path.isdir(f"{index.path}/exact.e1")
+
+    reopened = DedupIndex(spark, index.path)
+    assert reopened.epoch == 1
     after = sorted(map(tuple, reopened.probe(batch).collect()))
     assert after == before
-    for leftover in ("exact._compact", "bands._compact", "_compact_intent.json"):
-        assert not os.path.exists(f"{index.path}/{leftover}")
-    # the compact itself completed via roll-forward: dup hashes collapsed
+    assert not os.path.exists(f"{index.path}/exact")  # swept on reopen
+    assert not os.path.exists(f"{index.path}/bands")
+    # the compact completed: duplicate hash rows collapsed
     per_hash = (
-        spark.read.parquet(f"{index.path}/exact")
+        spark.read.parquet(reopened.exact_dir)
         .groupBy("text_hash").count().agg(F.max("count")).collect()[0][0]
     )
     assert per_hash == 1
-
-
-def test_compact_crash_before_marker_rolls_back(spark, index):
-    """Staging dirs without an intent marker (crash before publish)
-    mean the live tables were never touched: reopening drops the
-    staging debris and serves identical probes."""
-    import os
-
-    batch = _df(spark, [(97, "the quick brown fox jumps over the lazy dog near the river bank")])
-    before = sorted(map(tuple, index.probe(batch).collect()))
-    os.makedirs(f"{index.path}/exact._compact")
-    with open(f"{index.path}/exact._compact/part-torn.parquet", "wb") as f:
-        f.write(b"half a parquet file")
-    reopened = DedupIndex(spark, index.path)
-    after = sorted(map(tuple, reopened.probe(batch).collect()))
-    assert after == before
-    assert not os.path.exists(f"{index.path}/exact._compact")
 
 
 def test_index_lifecycle_through_hadoop_fs(spark, index, tmp_path):

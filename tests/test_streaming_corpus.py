@@ -110,7 +110,7 @@ def test_replay_is_exactly_once(spark, seeded):
     # themselves.
     os.remove(os.path.join(idx.path, "_stream_hwm.json"))
     idx._fs.publish(
-        os.path.join(idx.path, "_stream_inflight.json"), '{"batch_id": 0}'
+        os.path.join(idx.path, "_stream_inflight.json"), '{"batch_id": 0, "accepted": true}'
     )
     w._apply(batch, batch_id=0)
     again = sorted(
@@ -139,7 +139,7 @@ def test_replay_never_rewrites_a_complete_accept_dir(spark, seeded):
     # crash window: hwm lost, inflight fence present
     os.remove(os.path.join(idx.path, "_stream_hwm.json"))
     idx._fs.publish(
-        os.path.join(idx.path, "_stream_inflight.json"), '{"batch_id": 0}'
+        os.path.join(idx.path, "_stream_inflight.json"), '{"batch_id": 0, "accepted": true}'
     )
     w._apply(batch, batch_id=0)
     after = {
@@ -149,6 +149,35 @@ def test_replay_never_rewrites_a_complete_accept_dir(spark, seeded):
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(adir).collect()
     ) == [12]
+
+
+def test_replay_before_accept_completion_probes_unmasked(spark, seeded):
+    """accepted=false on the fence means the crash hit before the
+    accept write finished — the index was never touched (the update
+    runs strictly after the accepted flip), so the replay probes
+    unmasked, rewrites the (possibly torn) accept dir, and converges to
+    the same outcome as a clean first run."""
+    idx, accept = seeded
+    w = stream_dedup_into_index(None, idx, accept, threshold=0.5)
+    batch = _docs(spark, [(12, BASE[2])])
+    # simulate: fence published accepted=false, torn accept dir,
+    # index untouched
+    idx._fs.publish(
+        os.path.join(idx.path, "_stream_inflight.json"),
+        '{"batch_id": 0, "accepted": false}',
+    )
+    adir = os.path.join(accept, "batch_id=0")
+    os.makedirs(adir)
+    with open(os.path.join(adir, "part-torn.parquet"), "wb") as f:
+        f.write(b"torn")
+    w._apply(batch, batch_id=0)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(adir).collect()
+    ) == [12]
+    assert not os.path.exists(os.path.join(idx.path, "_stream_inflight.json"))
+    # and the accepted doc is really indexed now
+    hit = idx.probe(_docs(spark, [(99, BASE[2])]), threshold=0.5).collect()[0]
+    assert hit["exact_dup_of"] == 12
 
 
 def test_fresh_batch_reusing_indexed_ids_is_screened(spark, seeded):
