@@ -29,6 +29,13 @@ Contract notes (what callers may and may not assume):
   rename, overwriting any torn destination.  The fault-injection test
   (tests/test_lifecycle_fs.py) drives compact recovery through a
   non-atomic, mid-copy-crashing rename to hold this invariant.
+  The re-runnability argument holds for FILES only (a single-object
+  delete is atomic on every store): do NOT rename a DIRECTORY holding
+  the only copy of data — a multi-object delete phase interrupted
+  midway leaves source partial AND destination complete, a state no
+  marker protocol can tell apart from its mirror image without
+  per-file manifests.  Version the directory and flip a pointer via
+  ``publish`` instead (see operators/dedup_index.py's epoch scheme).
 - ``remove``/``read_text`` raise ``FileNotFoundError`` like their
   ``os`` counterparts — the marker protocol distinguishes "absent"
   from "unreadable" with it.
