@@ -61,6 +61,15 @@ def main() -> None:
     from lsd2_spark import get_spark
     from lsd2_spark.queries import all_queries
 
+    # The bench contract is exactly ONE JSON line on stdout, but JVM
+    # unified-logging warnings ("[gc,alloc] ... GCLocker") write to
+    # fd 1 directly, bypassing Python (observed corrupting the
+    # artifact at sf0.1; -Xlog redirection did not take in local
+    # mode).  Move the REAL stdout aside at the OS level before the
+    # JVM starts — everything the session prints lands on stderr, and
+    # only the final JSON line is written to the saved fd.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
     spark = get_spark(app_name="lsd2_bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
@@ -756,7 +765,8 @@ def main() -> None:
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
-    print(json.dumps(result))
+    os.write(real_stdout, (json.dumps(result) + "\n").encode())
+    os.close(real_stdout)
     spark.stop()
 
 

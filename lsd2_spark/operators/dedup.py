@@ -387,6 +387,7 @@ def ngram_jaccard_pairs(
     group_cols: list[str],
     n: int = 3,
     candidates: DataFrame | None = None,
+    prune_members: bool = False,
 ) -> DataFrame:
     """Exact character-n-gram jaccard, either over proposed candidate
     pairs (the scale path) or over all pairs within each group (the
@@ -401,10 +402,18 @@ def ngram_jaccard_pairs(
     than two ids and the group key rides a shuffle for pairs the group
     bound would drop; (2) each surviving pair picks up both documents'
     distinct-gram ARRAYS by id-equi-join and the shared count is one
-    JVM-side ``array_intersect`` — per-pair cost is O(doc length),
-    linear in ``|candidates|``, no explode.  Pairs are normalized to
-    ``id1 < id2``; a candidate pair outside the group bound or sharing
-    zero grams simply never surfaces.
+    JVM-side ``array_intersect`` — per-pair JOIN cost is O(doc length),
+    linear in ``|candidates|``, no explode.  The gram projection itself
+    is one linear corpus pass (the same order as the banding that
+    proposed the candidates); ``prune_members=True`` adds a distinct
+    member semi-join restricting it to candidate participants — worth
+    it when candidates are SPARSE relative to the corpus (the typical
+    production banding regime), pure overhead when they touch most
+    documents (measured +6 s on the dense sf0.1 bench corpus vs the
+    one corpus-wide transform pass it saves).  Results are identical
+    either way.  Pairs are normalized to ``id1 < id2``; a candidate
+    pair outside the group bound or sharing zero grams simply never
+    surfaces.
 
     **WARNING — candidates=None is quadratic within groups.** The
     unrestricted path self-joins gram rows bounded only by
@@ -439,16 +448,21 @@ def ngram_jaccard_pairs(
         for c in group_cols:
             bounded = bounded.filter(F.col(f"_l_{c}") == F.col(f"_r_{c}"))
         bounded = bounded.select("id1", "id2")
-        # gram arrays ONLY for candidate members: without the semi-join
-        # the transform/array_distinct kernel runs over the whole
-        # corpus for what may be a sparse pair set, breaking the
-        # "linear in |candidates|" cost model this path promises
-        members = bounded.select(F.col("id1").alias(id_col)).union(
-            bounded.select(F.col("id2").alias(id_col))
-        )
-        garr = df.join(members, id_col, "left_semi").select(
-            F.col(id_col), _grams_array(text_col, n).alias("_g")
-        )
+        src = df
+        if prune_members:
+            # gram arrays ONLY for candidate participants: distinct()
+            # first (the raw union carries 2 heavily-duplicated rows
+            # per pair; deduplicated to <= n_docs ids, AQE can turn
+            # the semi-join into a broadcast), and the gram projection
+            # sits ABOVE the join so it computes only for survivors.
+            # See the docstring for when this pays for itself.
+            members = (
+                bounded.select(F.col("id1").alias(id_col))
+                .union(bounded.select(F.col("id2").alias(id_col)))
+                .distinct()
+            )
+            src = df.join(members, id_col, "left_semi")
+        garr = src.select(F.col(id_col), _grams_array(text_col, n).alias("_g"))
         a1 = garr.select(F.col(id_col).alias("id1"), F.col("_g").alias("_g1"))
         a2 = garr.select(F.col(id_col).alias("id2"), F.col("_g").alias("_g2"))
         return (

@@ -131,6 +131,16 @@ def test_ngram_jaccard_candidates_restriction(spark):
     for k, v in sub_rows.items():
         assert v == full_rows[k]
 
+    # prune_members=True (the sparse-candidate optimization) must be
+    # result-identical to the default
+    pruned = ngram_jaccard_pairs(
+        docs, "text", "doc_id", ["lang", "source"],
+        candidates=cand, prune_members=True,
+    )
+    assert {
+        (r["id1"], r["id2"]): r["jaccard"] for r in pruned.collect()
+    } == sub_rows
+
     # degenerate (x, x) candidates (symmetric-join inputs) must not
     # surface as self-pairs at jaccard 1.0 — the unrestricted path
     # excludes them structurally (id1 < id2), so must this one
