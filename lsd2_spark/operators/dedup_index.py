@@ -405,6 +405,52 @@ class DedupIndex:
             .agg(F.min("canonical_id").alias("canonical_id"))
         )
 
+    def fsck(self, repair: bool = False) -> dict:
+        """Consistency report for the on-disk index (the DedupIndex
+        twin of the catalog's fsck): current epoch, whether both live
+        table dirs exist, any orphan epoch dirs (debris of a crashed
+        compact — swept automatically on open/compact, or here with
+        ``repair=True``), row counts, and the duplicate-hash backlog
+        (rows `compact()` would collapse; they cost bytes, never
+        correctness — probes aggregate min per hash)."""
+        import re
+
+        report: dict = {"epoch": self.epoch}
+        report["exact_dir_present"] = self._fs.isdir(self.exact_dir)
+        report["bands_dir_present"] = self._fs.isdir(self.bands_dir)
+        orphans = []
+        try:
+            for n in self._fs.listdir(self.path):
+                m = re.match(self._TABLE_RE, n)
+                if m is not None:
+                    ep = int(m.group(3)) if m.group(3) else 0
+                    if ep != self.epoch:
+                        orphans.append(n)
+        except FileNotFoundError:
+            pass
+        report["orphan_dirs"] = sorted(orphans)
+        if repair and orphans:
+            self._gc_stale_epochs()
+            report["repaired"] = True
+        try:
+            exact = self._read_exact()
+            n_rows = exact.count()
+            n_hashes = exact.select("text_hash").distinct().count()
+            report["exact_rows"] = n_rows
+            report["duplicate_hash_backlog"] = n_rows - n_hashes
+            report["bands_rows"] = self._read_bands().count()
+        except AnalysisException:
+            # empty index (no data files yet) — structurally fine
+            report["exact_rows"] = 0
+            report["duplicate_hash_backlog"] = 0
+            report["bands_rows"] = 0
+        report["healthy"] = (
+            report["exact_dir_present"]
+            and report["bands_dir_present"]
+            and not (orphans and not repair)
+        )
+        return report
+
     def compact(self) -> None:
         """Rewrite both tables from their current contents: collapses
         duplicate text-hash rows accumulated by updates and re-packs

@@ -370,3 +370,38 @@ def test_probe_scan_carries_band_partition_filter(spark, index):
     assert re.search(r"PartitionFilters: \[band#\d+ IN \(0,", plan), (
         "bands/ scan has no static band PartitionFilter"
     )
+
+
+def test_fsck_reports_backlog_orphans_and_health(spark, index):
+    """fsck: duplicate-hash backlog appears after re-appends and clears
+    after compact; an orphan epoch dir (crashed-compact debris created
+    AFTER open, so the open-time sweep missed it) flags unhealthy until
+    repair=True removes it; an empty index is structurally healthy."""
+    import os
+
+    dup = [(95, "the quick brown fox jumps over the lazy dog near the river bank")]
+    index.update(_df(spark, dup))
+    index.update(_df(spark, dup))
+    rep = index.fsck()
+    assert rep["healthy"] and rep["epoch"] == 0
+    assert rep["duplicate_hash_backlog"] >= 1
+    index.compact()
+    rep2 = index.fsck()
+    assert rep2["epoch"] == 1 and rep2["duplicate_hash_backlog"] == 0
+    # the appended dup shares doc 1's hash: compact collapses to one
+    # row per DISTINCT hash
+    assert rep2["exact_rows"] == len(_BASE)
+
+    os.makedirs(f"{index.path}/exact.e7")  # debris landing post-open
+    rep3 = index.fsck()
+    assert not rep3["healthy"] and rep3["orphan_dirs"] == ["exact.e7"]
+    rep4 = index.fsck(repair=True)
+    assert rep4["repaired"] and not os.path.exists(f"{index.path}/exact.e7")
+    assert index.fsck()["healthy"]
+
+    empty = DedupIndex.build(
+        spark.createDataFrame([], "doc_id long, text string"),
+        "text", "doc_id", f"{index.path}_empty",
+    )
+    erep = empty.fsck()
+    assert erep["healthy"] and erep["exact_rows"] == 0 and erep["bands_rows"] == 0
