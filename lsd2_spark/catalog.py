@@ -1209,10 +1209,14 @@ class Catalog:
         if halo_paths:
             old_halo = spark.read.parquet(*halo_paths).select(*data_cols)
             cands = cands.unionByName(old_halo)
-        # localCheckpoint: the dynamic overwrite below writes into the
+        # lineage cut: the dynamic overwrite below writes into the
         # same neighbor/ tree some candidates were read from — truncate
-        # the lineage so the write doesn't read its own output path
-        cands = cands.dropDuplicates([meta.id_kw]).localCheckpoint()
+        # the lineage so the write doesn't read its own output path.
+        # Flavor from the session conf (local default; "reliable" on
+        # preemptible clusters — see operators/common.cut_lineage).
+        from lsd2_spark.operators.common import cut_lineage
+
+        cands = cut_lineage(cands.dropDuplicates([meta.id_kw]))
 
         child_hips: dict[int, list[int]] = {}
         for o2, cp in child_cells:

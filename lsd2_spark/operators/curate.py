@@ -65,6 +65,7 @@ def curate_corpus(
     decontam_n: int = 5,
     decontam_hashed: bool = False,
     fix_encoding: bool = True,
+    lineage_cut: str | None = None,
     **gopher_kwargs,
 ) -> DataFrame:
     """Tag every document with the full curation funnel's verdicts.
@@ -89,6 +90,17 @@ def curate_corpus(
     content-hash shuffle + the banded LSH shuffles + a broadcast
     decontam join, all over row-local survivors only.  Nothing is
     collected on the driver.
+
+    ``lineage_cut`` picks how the survivor slice (and the fuzzy CC
+    fixpoint) materialize: ``"local"`` (default — localCheckpoint,
+    fastest, executor-loss-FATAL on preemptible clusters),
+    ``"reliable"`` (``.checkpoint()`` into the job's checkpoint dir —
+    survives executor loss; call ``setCheckpointDir`` first), or
+    ``"persist"`` (MEMORY_AND_DISK cache for the survivor slice —
+    keeps lineage so lost blocks recompute; the CC fixpoint still
+    needs a true cut and runs its rounds on localCheckpoint).  Or set
+    the session conf (:data:`~lsd2_spark.operators.common.
+    CONF_LINEAGE_CUT`) once per job.
     """
     from lsd2_spark.operators.dedup import dedup_clusters
     from lsd2_spark.operators.quality_rules import gopher_quality_flags
@@ -118,12 +130,21 @@ def curate_corpus(
     # dedupe common subplans across branches — unmaterialized, the
     # whole stage-A Arrow pass and the exact-dedup window re-execute
     # per branch (measured 22 -> 12 s warm at sf0.1).  At scale this
-    # is the standard iterative-pipeline trade: executor-local storage
-    # for the gated corpus vs recomputing the row-local battery 4x.
-    survivors = (
-        tagged.filter(F.col("quality_pass") & F.col("lang_pass"))
-        .select(id_col, text_col, "quality")
-        .localCheckpoint(eager=False)
+    # is the standard iterative-pipeline trade: storage for the gated
+    # corpus vs recomputing the row-local battery 4x — and the STORAGE
+    # KIND is the cluster-robustness knob: lineage_cut="persist" keeps
+    # lineage (lost executors recompute) and "reliable" checkpoints to
+    # the job store, either one removing the localCheckpoint
+    # executor-loss hazard on preemptible clusters (ADVICE r10).
+    from lsd2_spark.operators.common import cut_lineage
+
+    survivors = cut_lineage(
+        tagged.filter(F.col("quality_pass") & F.col("lang_pass")).select(
+            id_col, text_col, "quality"
+        ),
+        mode=lineage_cut,
+        eager=False,
+        allow_persist=True,
     )
 
     # --- stage B: exact dedup — ONE shuffle on the content hash ------
@@ -144,6 +165,8 @@ def curate_corpus(
         min_jaccard=fuzzy_min_jaccard,
         bands=bands,
         score_col="quality",
+        # the CC fixpoint needs a TRUE plan cut; persist isn't one
+        lineage_cut=None if lineage_cut == "persist" else lineage_cut,
     ).select(id_col, (F.col("is_canonical") == 1).alias("fuzzy_canonical"))
 
     # --- stage D: decontamination over fuzzy survivors (broadcast) ---

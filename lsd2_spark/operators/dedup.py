@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from lsd2_spark.functions.numeric import round6
-from lsd2_spark.operators.common import spread_partitions
+from lsd2_spark.operators.common import cut_lineage, spread_partitions
 from lsd2_spark.functions.portable_hash import MINHASH_PERMS, MOD, hash64, WS
 
 log = logging.getLogger(__name__)
@@ -179,7 +179,11 @@ def lsh_candidate_pairs(
 
 
 def connected_components(
-    vertices: DataFrame, edges: DataFrame, id_col: str, n_steps: int = 50
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    n_steps: int = 50,
+    lineage_cut: str | None = None,
 ) -> DataFrame:
     """Connected components by min-label propagation, run to fixpoint:
     each round every vertex takes the minimum label in its 1-hop
@@ -193,10 +197,13 @@ def connected_components(
 
     Each round is one equi-join + partial-aggregated min — the standard
     scalable CC shape.  The per-round convergence count forces an
-    action anyway, so labels are ``localCheckpoint``-ed every round:
-    the count reads the materialized blocks for free and lineage never
-    grows with the iteration count (a 100-round chain would otherwise
-    build a 100-deep plan).
+    action anyway, so labels are checkpointed every round: the count
+    reads the materialized blocks for free and lineage never grows
+    with the iteration count (a 100-round chain would otherwise build
+    a 100-deep plan).  ``lineage_cut`` picks the checkpoint flavor —
+    ``"local"`` (default; executor-local, fastest) or ``"reliable"``
+    (cluster-survivable; see :func:`~lsd2_spark.operators.common.
+    cut_lineage`, also settable session-wide via its conf key).
 
     ``edges`` must have columns ``id1``/``id2``; returns
     (id_col, cluster_id).
@@ -230,8 +237,8 @@ def connected_components(
                     < F.col("cluster_id")
                 ).alias("_changed"),
             )
-            .localCheckpoint(eager=True)
         )
+        stepped = cut_lineage(stepped, mode=lineage_cut, eager=True)
         changed = stepped.filter(F.col("_changed")).count()
         labels = stepped.select(
             "v", F.col("new_cluster_id").alias("cluster_id")
@@ -258,6 +265,7 @@ def dedup_clusters(
     n_steps: int = 50,
     bands: int = 4,
     score_col: str | None = None,
+    lineage_cut: str | None = None,
 ) -> DataFrame:
     """End-to-end fuzzy dedup: LSH candidate pairs → jaccard threshold
     → connected components (run to fixpoint; ``n_steps`` caps the
@@ -269,11 +277,16 @@ def dedup_clusters(
     the HIGHEST-scoring member wins (ties → smaller id) — the
     keep-the-best-quality-duplicate policy of corpus curation (pair
     with ``text_analysis.quality_score``).  The score path adds one
-    partial-aggregable max per cluster — same shuffle count."""
+    partial-aggregable max per cluster — same shuffle count.
+    ``lineage_cut`` picks the CC fixpoint's per-round checkpoint
+    flavor — ``"local"`` (default) or ``"reliable"`` for preemptible
+    clusters (see :func:`connected_components`)."""
     edges = lsh_candidate_pairs(df, text_col, id_col, bands).filter(
         F.col("jaccard_est") >= min_jaccard
     )
-    cc = connected_components(df.select(id_col), edges, id_col, n_steps)
+    cc = connected_components(
+        df.select(id_col), edges, id_col, n_steps, lineage_cut=lineage_cut
+    )
     if score_col is None:
         return cc.select(
             F.col(id_col),

@@ -58,6 +58,24 @@ __all__ = ["DedupIndex"]
 _META = "_dedup_index.json"
 
 
+def _is_empty_table_error(e: AnalysisException) -> bool:
+    """True only for the one AnalysisException an EMPTY index legally
+    produces: a parquet directory with zero data files
+    (UNABLE_TO_INFER_SCHEMA).  Any other analysis failure on a present
+    table — schema drift across appended files, a corrupt footer
+    surfacing at analysis — must propagate: treating it as an empty
+    index would silently pass every probed document as fresh (ADVICE
+    r10: match the error class, never bare AnalysisException)."""
+    try:
+        ec = e.getErrorClass()
+    except Exception:  # pragma: no cover - legacy exception shapes
+        ec = None
+    if ec is not None:
+        return ec == "UNABLE_TO_INFER_SCHEMA"
+    # error-class-less legacy shape: fall back to the message token
+    return "UNABLE_TO_INFER_SCHEMA" in str(e)
+
+
 def _band_cols(k: int, bands: int):
     """(band, bucket) structs, packing rows-per-band signature values
     into one int64 bucket — the same packing lsh_candidate_pairs uses
@@ -84,8 +102,21 @@ class DedupIndex:
     """
 
     def __init__(
-        self, spark: SparkSession, path: str, fs: LifecycleFS | None = None
+        self,
+        spark: SparkSession,
+        path: str,
+        fs: LifecycleFS | None = None,
+        gc_on_open: bool = False,
     ):
+        """Open an existing index.  Opening is READ-ONLY: stale-epoch
+        debris (crashed-compact staging or superseded dirs) is swept by
+        ``compact()`` / ``fsck(repair=True)``, or here with
+        ``gc_on_open=True`` — never by a plain open.  A destructive
+        default would strengthen the single-WRITER assumption to
+        single-process-ever: a probe-only open racing another process's
+        compact (between its staging writes and the pointer flip, or
+        right after the flip with a stale meta read) would rmtree
+        staged or live table dirs (ADVICE r10)."""
         self.spark = spark
         self.path = path
         self._fs = fs or LOCAL_FS
@@ -95,7 +126,8 @@ class DedupIndex:
         self.text_col = m["text_col"]
         self.id_col = m["id_col"]
         self.epoch = int(m.get("epoch", 0))
-        self._gc_stale_epochs()
+        if gc_on_open:
+            self._gc_stale_epochs()
 
     # -- epoch-versioned table dirs -------------------------------------
     #
@@ -110,8 +142,9 @@ class DedupIndex:
     # per-file manifests.  With the pointer flip, every crash window is
     # trivially safe: staged dirs are unreferenced until the flip,
     # the flip is atomic, and anything unreferenced is garbage the next
-    # open/compact sweeps (single-writer assumption, like the rest of
-    # the lifecycle layer).
+    # compact()/fsck(repair=True) sweeps (single-writer assumption,
+    # like the rest of the lifecycle layer; plain opens are read-only
+    # so probe-only processes never race a writer's staging).
 
     def _table_dir(self, name: str) -> str:
         suffix = "" if self.epoch == 0 else f".e{self.epoch}"
@@ -253,20 +286,31 @@ class DedupIndex:
     def _read_exact(self, id_type=None) -> DataFrame:
         try:
             return self.spark.read.parquet(self.exact_dir)
-        except AnalysisException:
-            if id_type is None or not self._fs.isdir(self.exact_dir):
+        except AnalysisException as e:
+            if (
+                id_type is None
+                or not _is_empty_table_error(e)
+                or not self._fs.isdir(self.exact_dir)
+            ):
                 # a MISSING table dir is corruption (deleted, or a
-                # legacy crash layout), not an empty index — failing
-                # loud beats silently accepting every duplicate
+                # legacy crash layout) and any analysis error other
+                # than schema-less-empty-dir (e.g. schema drift across
+                # appended files) is a DAMAGED table, not an empty
+                # index — failing loud beats silently accepting every
+                # duplicate
                 raise
             return self._exact_rows(self._empty_corpus(id_type))
 
     def _read_bands(self, id_type=None) -> DataFrame:
         try:
             return self.spark.read.parquet(self.bands_dir)
-        except AnalysisException:
-            if id_type is None or not self._fs.isdir(self.bands_dir):
-                raise  # missing dir = corruption, not an empty index
+        except AnalysisException as e:
+            if (
+                id_type is None
+                or not _is_empty_table_error(e)
+                or not self._fs.isdir(self.bands_dir)
+            ):
+                raise  # missing/damaged = corruption, not empty index
             return self._banded_rows(self._empty_corpus(id_type))
 
     # -- probing ------------------------------------------------------
@@ -439,7 +483,9 @@ class DedupIndex:
             report["exact_rows"] = n_rows
             report["duplicate_hash_backlog"] = n_rows - n_hashes
             report["bands_rows"] = self._read_bands().count()
-        except AnalysisException:
+        except AnalysisException as e:
+            if not _is_empty_table_error(e):
+                raise  # damaged table: an fsck must not report it fine
             # empty index (no data files yet) — structurally fine
             report["exact_rows"] = 0
             report["duplicate_hash_backlog"] = 0
@@ -472,12 +518,12 @@ class DedupIndex:
         try:
             exact = self.probe_exact_reads_min()
             bands = self._read_bands()
-        except AnalysisException:
-            if not (
+        except AnalysisException as e:
+            if not _is_empty_table_error(e) or not (
                 self._fs.isdir(self.exact_dir)
                 and self._fs.isdir(self.bands_dir)
             ):
-                raise  # missing table dir = corruption, fail loud
+                raise  # missing/damaged table dir = corruption, fail loud
             return  # empty index (no data files yet): nothing to compact
         new_epoch = self.epoch + 1
         tmp_e = os.path.join(self.path, f"exact.e{new_epoch}")

@@ -149,13 +149,36 @@ class HadoopFS(LifecycleFS):
     - checksums are disabled on checksum-wrapping filesystems (the
       Hadoop ``LocalFileSystem``) so lifecycle censuses never see stray
       ``.crc`` siblings.
-    """
+
+    Lifetime: each instance holds PRIVATE ``FileSystem.newInstance``
+    handles (one per scheme+authority), each with its own connection
+    pools (e.g. s3a's) — so REUSE one ``HadoopFS`` per session and
+    :meth:`close` it (or use it as a context manager) when done;
+    constructing a fresh one per operation leaks a handle per
+    construction for the JVM lifetime (ADVICE r10)."""
 
     def __init__(self, spark):
         self._jvm = spark._jvm
         self._gateway = spark.sparkContext._gateway
         self._conf = spark._jsc.hadoopConfiguration()
         self._fs_cache: dict = {}
+
+    def close(self) -> None:
+        """Close every private FileSystem handle this instance opened
+        (idempotent; the instance is reusable after — the next call
+        simply opens fresh handles)."""
+        handles, self._fs_cache = list(self._fs_cache.values()), {}
+        for fs in handles:
+            try:
+                fs.close()
+            except Exception:  # noqa: BLE001 — best-effort teardown
+                pass
+
+    def __enter__(self) -> "HadoopFS":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
     # -- plumbing -----------------------------------------------------------
 

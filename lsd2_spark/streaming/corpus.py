@@ -238,8 +238,14 @@ class StreamingDedupIndexWriter:
             F.col("exact_dup_of").isNull() & F.col("near_dup_of").isNull()
         )
         survivors = batch.join(clean.select(ic), ic, "left_semi")
-        # cut the multi-action plan once: written, indexed, and counted
-        survivors = survivors.localCheckpoint(eager=True)
+        # cut the multi-action plan once: written, indexed, and counted.
+        # Mode comes from the session conf (CONF_LINEAGE_CUT): "local"
+        # by default; long-lived streaming jobs on preemptible clusters
+        # set "reliable" once so a lost executor between the cut and
+        # the batch commit can't kill the query.
+        from lsd2_spark.operators.common import cut_lineage
+
+        survivors = cut_lineage(survivors, eager=True)
 
         # 3. accept: fence first (the marker must be durable BEFORE any
         #    index mutation, so every state where this batch's rows are

@@ -270,7 +270,9 @@ def test_string_ids_are_supported(spark, tmp_path):
 def test_compact_crash_before_pointer_flip_serves_old_epoch(spark, index):
     """A compact that crashed BEFORE the meta pointer flip leaves
     (possibly torn) next-epoch staging dirs that nothing references:
-    reopening serves the old epoch unchanged and sweeps the debris."""
+    reopening serves the old epoch unchanged, a PLAIN open is read-only
+    (it must not sweep — it could be racing another process's live
+    compact), and fsck(repair=True) sweeps the debris."""
     import os
 
     batch = _df(spark, [(97, "the quick brown fox jumps over the lazy dog near the river bank")])
@@ -283,6 +285,10 @@ def test_compact_crash_before_pointer_flip_serves_old_epoch(spark, index):
     assert reopened.epoch == 0
     after = sorted(map(tuple, reopened.probe(batch).collect()))
     assert after == before
+    # plain open left the (possibly another writer's) staging alone
+    assert os.path.exists(f"{index.path}/exact.e1")
+    assert os.path.exists(f"{index.path}/bands.e1")
+    reopened.fsck(repair=True)
     assert not os.path.exists(f"{index.path}/exact.e1")
     assert not os.path.exists(f"{index.path}/bands.e1")
 
@@ -316,11 +322,12 @@ def test_compact_crash_after_pointer_flip_serves_new_epoch(spark, index):
     assert os.path.isdir(f"{index.path}/exact")
     assert os.path.isdir(f"{index.path}/exact.e1")
 
-    reopened = DedupIndex(spark, index.path)
+    reopened = DedupIndex(spark, index.path, gc_on_open=True)
     assert reopened.epoch == 1
     after = sorted(map(tuple, reopened.probe(batch).collect()))
     assert after == before
-    assert not os.path.exists(f"{index.path}/exact")  # swept on reopen
+    # gc_on_open (the single-process deployment's opt-in) swept them
+    assert not os.path.exists(f"{index.path}/exact")
     assert not os.path.exists(f"{index.path}/bands")
     # the compact completed: duplicate hash rows collapsed
     per_hash = (

@@ -1,0 +1,142 @@
+"""Lineage-cut modes (operators/common.cut_lineage): the reliable
+checkpoint path for preemptible clusters (VERDICT r10 "What's wrong"
+#1), the persist mode for the curation funnel's survivor slice, the
+guard rails (reliable without a checkpoint dir; persist at a true-cut
+site), and result equality across modes end-to-end through the two
+compositions that consume the knob (curate_corpus, dedup_clusters)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lsd2_spark.operators.common import CONF_LINEAGE_CUT, cut_lineage
+from lsd2_spark.operators.curate import curate_corpus
+from lsd2_spark.operators.dedup import connected_components, dedup_clusters
+
+
+@pytest.fixture()
+def checkpoint_dir(spark, tmp_path):
+    """Point the context at a temp reliable-checkpoint dir; restore
+    after (other tests assume no dir is set)."""
+    prev = spark.sparkContext.getCheckpointDir()
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    yield str(tmp_path / "ckpt")
+    # pyspark has no unsetCheckpointDir; restore the previous one or
+    # leave the temp dir (harmless) if none was set before
+    if prev is not None:
+        spark.sparkContext.setCheckpointDir(prev)
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox likes to run with the lazy dog and that "
+            "habit seems to have made both of them quite happy together"),
+        (2, "the quick brown fox likes to run with the lazy dog and that "
+            "habit seems to have made both of them quite happy together"),
+        (3, "the quick brown fox likes to run with the lazy dog and that "
+            "habit seems to have made both of them very happy together"),
+        (4, "the cat is small"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_reliable_without_checkpoint_dir_fails_loud(spark):
+    if spark.sparkContext.getCheckpointDir() is not None:
+        pytest.skip("a checkpoint dir leaked from another test")
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="setCheckpointDir"):
+        cut_lineage(df, mode="reliable")
+
+
+def test_reliable_cut_writes_checkpoint_and_preserves_rows(
+    spark, checkpoint_dir
+):
+    df = spark.range(100).withColumn("x", F.col("id") * 2)
+    out = cut_lineage(df, mode="reliable")
+    assert sorted(r["x"] for r in out.collect()) == [2 * i for i in range(100)]
+    # blocks actually landed in the RELIABLE dir (the point: they
+    # survive executor loss, unlike localCheckpoint's executor blocks)
+    found = [
+        os.path.join(d, f)
+        for d, _, fs in os.walk(checkpoint_dir)
+        for f in fs
+    ]
+    assert found, "reliable checkpoint wrote nothing under the checkpoint dir"
+
+
+def test_persist_rejected_at_true_cut_sites(spark):
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="true plan cut"):
+        cut_lineage(df, mode="persist")  # allow_persist defaults False
+
+
+def test_session_conf_persist_downgrades_at_true_cut_sites(spark):
+    """A session-wide persist default must not break fixpoint sites —
+    they silently take the local cut instead."""
+    spark.conf.set(CONF_LINEAGE_CUT, "persist")
+    try:
+        out = cut_lineage(spark.range(5), mode=None)  # conf-driven
+        assert out.count() == 5
+    finally:
+        spark.conf.unset(CONF_LINEAGE_CUT)
+
+
+def test_bad_mode_rejected(spark):
+    with pytest.raises(ValueError, match="lineage-cut mode"):
+        cut_lineage(spark.range(1), mode="banana")
+
+
+def test_connected_components_reliable_equals_local(spark, checkpoint_dir):
+    verts = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5), (6, 7), (5, 6)], "id1 long, id2 long"
+    )
+    local = sorted(
+        map(tuple, connected_components(verts, edges, "id").collect())
+    )
+    rel = sorted(
+        map(
+            tuple,
+            connected_components(
+                verts, edges, "id", lineage_cut="reliable"
+            ).collect(),
+        )
+    )
+    assert rel == local
+    assert local == [
+        (0, 0), (1, 0), (2, 0), (3, 3), (4, 4), (5, 4), (6, 4), (7, 4)
+    ]
+
+
+@pytest.mark.parametrize("mode", ["reliable", "persist"])
+def test_curate_corpus_modes_equal_local(spark, checkpoint_dir, mode):
+    docs = _docs(spark)
+    ev = spark.createDataFrame([("the cat is small",)], "text string")
+
+    def run(m):
+        out = curate_corpus(
+            docs, eval_df=ev, min_words=10, fuzzy_min_jaccard=0.5,
+            lineage_cut=m,
+        ).select("doc_id", "drop_stage", "kept")
+        return sorted(map(tuple, out.collect()))
+
+    assert run(mode) == run("local")
+
+
+def test_dedup_clusters_reliable_equals_local(spark, checkpoint_dir):
+    docs = _docs(spark)
+    base = sorted(
+        map(tuple, dedup_clusters(docs, "text", "doc_id", min_jaccard=0.5).collect())
+    )
+    rel = sorted(
+        map(
+            tuple,
+            dedup_clusters(
+                docs, "text", "doc_id", min_jaccard=0.5, lineage_cut="reliable"
+            ).collect(),
+        )
+    )
+    assert rel == base
