@@ -890,20 +890,34 @@ register(
 # ---------------------------------------------------------------------------
 
 _WS_N = 20
+_CAP_N = 30
 
 
 def q58_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from lsd2_spark.operators.sampling import weighted_sample
+    """A-Res weighted reservoir + uniform per-source quota cap in ONE
+    gate row (merged former q58/q60 — same ``(doc_id, source, rank)``
+    per-source-sampling grain, tagged by ``variant``; the slot freed
+    gates the curation funnel, q74).  Operators stay separate."""
+    from lsd2_spark.operators.sampling import cap_per_stratum, weighted_sample
 
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "wt", F.length(F.col("text")).cast("double")
     )
-    out = weighted_sample(docs, "doc_id", "wt", _WS_N, strata_col="source")
-    return out.select(
-        "doc_id", "source",
+    ares = weighted_sample(docs, "doc_id", "wt", _WS_N, strata_col="source").select(
+        "doc_id",
+        "source",
         round6(F.col("priority")).alias("priority"),
         F.col("rnk").cast("int").alias("rnk"),
+        F.lit("ares").alias("variant"),
     )
+    cap = cap_per_stratum(docs, "doc_id", "source", _CAP_N).select(
+        "doc_id",
+        "source",
+        F.lit(None).cast("double").alias("priority"),
+        F.col("kept_rank").cast("int").alias("rnk"),
+        F.lit("cap").alias("variant"),
+    )
+    return ares.unionByName(cap)
 
 
 def _weighted_sample_oracle() -> str:
@@ -920,10 +934,19 @@ def _weighted_sample_oracle() -> str:
              ROW_NUMBER() OVER (PARTITION BY source
                                 ORDER BY priority DESC, doc_id ASC) AS rnk
       FROM w
+    ), c AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY {u} ASC, doc_id ASC) AS kept_rank
+      FROM documents
     )
     SELECT doc_id, source, FLOOR((priority) * 1000000.0 + 0.5) / 1000000.0 AS priority,
-           CAST(rnk AS INTEGER) AS rnk
+           CAST(rnk AS INTEGER) AS rnk, 'ares' AS variant
     FROM r WHERE rnk <= {_WS_N}
+    UNION ALL
+    SELECT doc_id, source, CAST(NULL AS DOUBLE) AS priority,
+           CAST(kept_rank AS INTEGER) AS rnk, 'cap' AS variant
+    FROM c WHERE kept_rank <= {_CAP_N}
     """
 
 
@@ -931,41 +954,10 @@ register("q58_weighted_sample", q58_weighted_sample, _weighted_sample_oracle())
 
 
 # ---------------------------------------------------------------------------
-# Q59 — normalized-text exact dedup: case/whitespace/punctuation
-# variants hash together.  Q60 — per-source corpus quota via the
-# deterministic uniform (over-represented-source guard).
+# (former q60 — per-source corpus quota via the deterministic uniform —
+# is merged into q58_weighted_sample above; its slot gates the batch
+# curation funnel, q74.)
 # ---------------------------------------------------------------------------
-
-
-_CAP_N = 30
-
-
-def q60_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from lsd2_spark.operators.sampling import cap_per_stratum
-
-    docs = load_table(spark, sf_dir, "documents")
-    return cap_per_stratum(docs, "doc_id", "source", _CAP_N).select(
-        "doc_id", "source", F.col("kept_rank").cast("int").alias("kept_rank")
-    )
-
-
-def _cap_oracle() -> str:
-    from lsd2_spark.operators.sampling import deterministic_uniform_sql
-
-    u = deterministic_uniform_sql("doc_id")
-    return f"""
-    WITH r AS (
-      SELECT doc_id, source,
-             ROW_NUMBER() OVER (PARTITION BY source
-                                ORDER BY {u} ASC, doc_id ASC) AS kept_rank
-      FROM documents
-    )
-    SELECT doc_id, source, CAST(kept_rank AS INTEGER) AS kept_rank
-    FROM r WHERE kept_rank <= {_CAP_N}
-    """
-
-
-register("q60_cap_per_source", q60_cap_per_source, _cap_oracle())
 
 
 # ---------------------------------------------------------------------------
@@ -1879,3 +1871,355 @@ def _q73_sql() -> str:
 
 
 register("q73_lm_score", q73_lm_score, _q73_sql())
+
+
+# ---------------------------------------------------------------------------
+# Q74 — the batch CURATION FUNNEL, gated end-to-end (VERDICT r10 next
+# item #1; slot freed by the q58/q60 merge).  curate_corpus composes
+# already-gated ingredients — clean_text (q70), the quality/lang profile
+# (q36), exact dedup (q30), banded-LSH fuzzy dedup (q32/q46), n-gram
+# decontamination (q63) — and this row certifies the COMPOSITION: the
+# full tagged frame (per-doc first-failure ``drop_stage`` + ``kept``,
+# null-verdict semantics for rows killed upstream, keep-best-quality
+# fuzzy canonicals, duplicates-of-contaminated-canonical policy) plus
+# the Gopher rule battery's metrics and flags (VERDICT item #8: the
+# battery columns are hash-pinned here, per-doc) and the funnel
+# report's stable six-row histogram, all in one gate row
+# (``kind`` = 'doc' | 'report').
+#
+# Corpus construction (identical in both engines): documents' text
+# ASCII-restricted (so clean_text's mojibake repair and NFC are
+# provable no-ops — the q70 trick), planted exact duplicates
+# (doc_id % 17 == 0 re-appended at doc_id + 1,000,000), and an eval set
+# overlapping the corpus (doc_id % 20 == 0 — the realistic benchmark-
+# leakage case), so every stage has victims: lang (docs without en
+# markers), quality (docs without 'the', the only Gopher stopword in
+# the generator's vocabulary, under min_stop_words=1), exact_dup (the
+# plants), fuzzy_dup (the corpus's natural near-duplicate density at
+# est-jaccard >= 0.75 — a NON-transitive threshold, so the CC fixpoint
+# does real merging), contaminated (eval members that survive to stage
+# D).  Because the corpus's own eval members usually die in the dedup
+# stages before reaching stage D, a second plant family GUARANTEES
+# contamination victims: probe docs (doc_id % 100 == 1, at
+# doc_id + 2,000,000) built from doc_id-unique tokens — so they pass
+# every row-local gate and form singleton fuzzy clusters (guaranteed
+# canonical) — ending in a sentinel 5-gram that is also an eval row;
+# and an exact COPY of each probe (doc_id + 2,500,000) that exercises
+# the duplicate-of-contaminated-canonical policy: the copy drops as
+# exact_dup while its canonical drops as contaminated.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_JACCARD = 0.75  # agree >= 6/8 rows: non-transitive, real CC
+_FUNNEL_CC_STEPS = 8  # oracle unroll cap (>= diameter; Spark runs to fixpoint)
+_FUNNEL_MIN_WORDS = 10
+_ASCII_SQL = "regexp_replace(text, '[^\\x00-\\x7f]', '', 'g')"
+_FUNNEL_SENTINEL = "cq1 cq2 cq3 cq4 cq5"  # the planted eval 5-gram
+
+#: the q74 battery surface: (column, spark type, duckdb type) — used to
+#: build both the doc-row projection and the report rows' typed nulls
+_FUNNEL_BATTERY = [
+    ("n_words", "bigint", "BIGINT"),
+    ("mean_word_len", "double", "DOUBLE"),
+    ("hash_word_ratio", "double", "DOUBLE"),
+    ("ellipsis_word_ratio", "double", "DOUBLE"),
+    ("bullet_line_frac", "double", "DOUBLE"),
+    ("ellipsis_line_frac", "double", "DOUBLE"),
+    ("alpha_word_frac", "double", "DOUBLE"),
+    ("n_stop_words", "int", "INTEGER"),
+    ("words_ok", "int", "INTEGER"),
+    ("word_len_ok", "int", "INTEGER"),
+    ("symbol_ok", "int", "INTEGER"),
+    ("bullet_ok", "int", "INTEGER"),
+    ("ellipsis_ok", "int", "INTEGER"),
+    ("alpha_ok", "int", "INTEGER"),
+    ("stop_ok", "int", "INTEGER"),
+    ("gopher_pass", "int", "INTEGER"),
+    ("stopword_share", "double", "DOUBLE"),
+    ("lexical_diversity", "double", "DOUBLE"),
+    ("quality", "double", "DOUBLE"),
+    ("bucket", "string", "VARCHAR"),
+    ("lang_pred", "string", "VARCHAR"),
+    ("lang_pass", "int", "INTEGER"),
+    ("quality_pass", "int", "INTEGER"),
+    ("exact_canonical", "int", "INTEGER"),
+    ("fuzzy_canonical", "int", "INTEGER"),
+    ("decontam_pass", "int", "INTEGER"),
+]
+
+
+def q74_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lsd2_spark.operators.curate import curate_corpus, curation_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), "[^\\x00-\\x7f]", "").alias("text"),
+    )
+    # contamination probes: doc_id-unique tokens (pass every row-local
+    # gate; singleton fuzzy clusters -> guaranteed canonical), sentinel
+    # 5-gram tail that is also an eval row
+    probe_text = F.concat_ws(
+        " ",
+        F.lit("the"),
+        *[
+            F.concat(F.lit("w"), F.col("doc_id").cast("string"), F.lit(ch))
+            for ch in "abcdefgh"
+        ],
+        F.lit(_FUNNEL_SENTINEL),
+    )
+    probes = base.filter(F.col("doc_id") % 100 == 1).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), probe_text.alias("text")
+    )
+    corpus = (
+        base.unionByName(
+            base.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(probes)
+        .unionByName(  # exact copies: duplicate-of-contaminated-canonical
+            probes.select((F.col("doc_id") + 500000).alias("doc_id"), "text")
+        )
+    )
+    ev = base.filter(F.col("doc_id") % 20 == 0).select("text").unionByName(
+        spark.createDataFrame([(_FUNNEL_SENTINEL,)], "text string")
+    )
+    tagged = curate_corpus(
+        corpus,
+        eval_df=ev,
+        languages=("en",),
+        min_words=_FUNNEL_MIN_WORDS,
+        fuzzy_min_jaccard=_FUNNEL_JACCARD,
+        bands=4,
+        decontam_n=5,
+        min_stop_words=1,  # 'the' is the generator vocabulary's only
+        # Gopher stopword; the paper's 2 would drop every document
+    )
+    docrows = tagged.select(
+        F.lit("doc").alias("kind"),
+        F.col("doc_id"),
+        *[F.col(c).cast(t).alias(c) for c, t, _ in _FUNNEL_BATTERY],
+        F.col("drop_stage"),
+        F.col("kept").cast("int").alias("kept"),
+        F.lit(None).cast("long").alias("docs"),
+    )
+    report = curation_report(tagged).select(
+        F.lit("report").alias("kind"),
+        F.lit(None).cast("long").alias("doc_id"),
+        *[F.lit(None).cast(t).alias(c) for c, t, _ in _FUNNEL_BATTERY],
+        F.col("stage").alias("drop_stage"),
+        F.lit(None).cast("int").alias("kept"),
+        F.col("docs").cast("long").alias("docs"),
+    )
+    return docrows.unionByName(report)
+
+
+def _q74_sql() -> str:
+    from lsd2_spark.operators.curate import FUNNEL_STAGES
+    from lsd2_spark.operators.quality_rules import GOPHER_STOPWORDS
+    from lsd2_spark.operators.text_normalize import strip_control_chars_sql
+
+    ws = r"[ \t\n\r\f]+"
+    trim = r"E' \t\n\r\f'"
+    ctext = strip_control_chars_sql(_ASCII_SQL)
+    gstops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    agree6 = int(_FUNNEL_JACCARD * _K)  # 0.75 * 8 = 6, exact
+    q_expr = "FLOOR((40.0 * diversity + 30.0 * stop_share + 30.0 * length_ok) * 1000000.0 + 0.5) / 1000000.0"
+    bucket_exprs = ", ".join(
+        f"mh{2*b} * {MOD} + mh{2*b+1} AS bucket{b}" for b in range(_K // 2)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {', '.join(f'mh{i}' for i in range(_K))}, {b} AS band, bucket{b} AS bucket FROM fsig"
+        for b in range(_K // 2)
+    )
+    ngrams = (
+        "unnest(list_transform(range(1, greatest(len(t) - 3, 1)), "
+        "i -> array_to_string(list_slice(t, i, i + 4), ' ')))"
+    )
+    probe_sql = (
+        "'the ' || "
+        + " || ".join(
+            f"'w' || CAST(doc_id AS VARCHAR) || '{ch} '" for ch in "abcdefgh"
+        )
+        + f" || '{_FUNNEL_SENTINEL}'"
+    )
+    cc_steps, prev = [], "fl0"
+    for i in range(1, _FUNNEL_CC_STEPS + 1):
+        cc_steps.append(f"""
+    fl{i} AS MATERIALIZED (
+      SELECT l.v, LEAST(l.lbl, COALESCE(m.nl, l.lbl)) AS lbl
+      FROM {prev} l LEFT JOIN (
+        SELECT e.a, MIN(p.lbl) AS nl FROM fe e JOIN {prev} p ON p.v = e.b GROUP BY e.a
+      ) m ON m.a = l.v
+    )""")
+        prev = f"fl{i}"
+    null_battery = ",\n           ".join(
+        f"CAST(NULL AS {d}) AS {c}" for c, _, d in _FUNNEL_BATTERY
+    )
+    stage_values = ", ".join(f"('{s}')" for s in FUNNEL_STAGES + ["kept"])
+    return f"""
+    WITH corpus AS MATERIALIZED (
+      SELECT doc_id, {ctext} AS text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, {ctext} AS text
+      FROM documents WHERE doc_id % 17 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, {probe_sql} AS text
+      FROM documents WHERE doc_id % 100 = 1
+      UNION ALL
+      SELECT doc_id + 2500000 AS doc_id, {probe_sql} AS text
+      FROM documents WHERE doc_id % 100 = 1
+    ), t AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, '{ws}'), x -> x <> '') AS gtoks,
+             regexp_split_to_array(text, '{ws}') AS qtoks,
+             regexp_split_to_array(lower(text), '{ws}') AS ltoks,
+             list_filter(string_split(text, chr(10)), l -> trim(l, {trim}) <> '') AS lines
+      FROM corpus
+    ), m AS MATERIALIZED (
+      SELECT doc_id, text,
+             len(gtoks) AS n_words,
+             length(regexp_replace(text, '{ws}', '', 'g')) AS word_chars,
+             len(regexp_extract_all(text, '#')) AS n_hash,
+             len(regexp_extract_all(text, '\\.\\.\\.')) + len(regexp_extract_all(text, '…')) AS n_ell,
+             len(lines) AS n_lines,
+             len(list_filter(lines, l -> substr(trim(l, {trim}), 1, 1) IN ('-', '*', '•'))) AS bullet_lines,
+             len(list_filter(lines, l -> ends_with(trim(l, {trim}), '...') OR ends_with(trim(l, {trim}), '…'))) AS ell_lines,
+             len(list_filter(gtoks, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+             len(list_intersect(list_distinct(list_transform(gtoks, x -> lower(x))), [{gstops}])) AS n_stop,
+             CAST(len(list_filter(qtoks, x -> x IN ({_STOP_SQL}))) AS DOUBLE) / len(qtoks) AS stop_share,
+             CAST(len(list_distinct(qtoks)) AS DOUBLE) / len(qtoks) AS diversity,
+             CASE WHEN len(qtoks) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END AS length_ok,
+             {_hit_cols}
+      FROM t
+    ), v AS MATERIALIZED (
+      SELECT doc_id, text,
+             CAST(n_words AS BIGINT) AS n_words,
+             CASE WHEN n_words > 0 THEN {round6_sql('CAST(word_chars AS DOUBLE) / n_words')} END AS mean_word_len,
+             CASE WHEN n_words > 0 THEN {round6_sql('CAST(n_hash AS DOUBLE) / n_words')} END AS hash_word_ratio,
+             CASE WHEN n_words > 0 THEN {round6_sql('CAST(n_ell AS DOUBLE) / n_words')} END AS ellipsis_word_ratio,
+             CASE WHEN n_words > 0 AND n_lines > 0 THEN {round6_sql('CAST(bullet_lines AS DOUBLE) / n_lines')} END AS bullet_line_frac,
+             CASE WHEN n_words > 0 AND n_lines > 0 THEN {round6_sql('CAST(ell_lines AS DOUBLE) / n_lines')} END AS ellipsis_line_frac,
+             CASE WHEN n_words > 0 THEN {round6_sql('CAST(alpha_words AS DOUBLE) / n_words')} END AS alpha_word_frac,
+             CAST(n_stop AS INTEGER) AS n_stop_words,
+             (n_words > 0 AND n_words BETWEEN {_FUNNEL_MIN_WORDS} AND 100000) AS words_ok,
+             (n_words > 0 AND CAST(word_chars AS DOUBLE) / n_words >= 3.0
+                          AND CAST(word_chars AS DOUBLE) / n_words <= 10.0) AS word_len_ok,
+             (n_words > 0 AND CAST(n_hash AS DOUBLE) / n_words <= 0.1
+                          AND CAST(n_ell AS DOUBLE) / n_words <= 0.1) AS symbol_ok,
+             (n_words > 0 AND n_lines > 0 AND CAST(bullet_lines AS DOUBLE) / n_lines <= 0.9) AS bullet_ok,
+             (n_words > 0 AND n_lines > 0 AND CAST(ell_lines AS DOUBLE) / n_lines <= 0.3) AS ellipsis_ok,
+             (n_words > 0 AND CAST(alpha_words AS DOUBLE) / n_words >= 0.8) AS alpha_ok,
+             (n_words > 0 AND n_stop >= 1) AS stop_ok,
+             (n_words > 0 AND n_words BETWEEN {_FUNNEL_MIN_WORDS} AND 100000
+              AND CAST(word_chars AS DOUBLE) / n_words >= 3.0
+              AND CAST(word_chars AS DOUBLE) / n_words <= 10.0
+              AND CAST(n_hash AS DOUBLE) / n_words <= 0.1
+              AND CAST(n_ell AS DOUBLE) / n_words <= 0.1
+              AND n_lines > 0 AND CAST(bullet_lines AS DOUBLE) / n_lines <= 0.9
+              AND CAST(ell_lines AS DOUBLE) / n_lines <= 0.3
+              AND CAST(alpha_words AS DOUBLE) / n_words >= 0.8
+              AND n_stop >= 1) AS gopher_pass,
+             {round6_sql('stop_share')} AS stopword_share,
+             {round6_sql('diversity')} AS lexical_diversity,
+             {q_expr} AS quality,
+             CASE WHEN {q_expr} >= 60 THEN 'good'
+                  WHEN {q_expr} >= 30 THEN 'ok'
+                  ELSE 'spam' END AS bucket,
+             {_label} AS lang_pred,
+             ({_label}) = 'en' AS lang_pass,
+             (n_words > 0 AND n_words BETWEEN {_FUNNEL_MIN_WORDS} AND 100000
+              AND CAST(word_chars AS DOUBLE) / n_words >= 3.0
+              AND CAST(word_chars AS DOUBLE) / n_words <= 10.0
+              AND CAST(n_hash AS DOUBLE) / n_words <= 0.1
+              AND CAST(n_ell AS DOUBLE) / n_words <= 0.1
+              AND n_lines > 0 AND CAST(bullet_lines AS DOUBLE) / n_lines <= 0.9
+              AND CAST(ell_lines AS DOUBLE) / n_lines <= 0.3
+              AND CAST(alpha_words AS DOUBLE) / n_words >= 0.8
+              AND n_stop >= 1) AS quality_pass
+      FROM m
+    ), surv AS MATERIALIZED (
+      SELECT doc_id, text, quality FROM v WHERE quality_pass AND lang_pass
+    ), exact AS MATERIALIZED (
+      SELECT doc_id,
+             doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS exact_canonical
+      FROM surv
+    ), esurv AS MATERIALIZED (
+      SELECT s.doc_id, s.text, s.quality
+      FROM surv s JOIN exact e USING (doc_id) WHERE e.exact_canonical
+    ), ftoks AS (
+      SELECT doc_id, unnest(list_distinct(regexp_split_to_array(text, '{ws}'))) AS tok
+      FROM esurv
+    ), fhash AS (
+      SELECT doc_id, {_TOKH_SQL} AS h FROM ftoks
+    ), fsig0 AS (
+      SELECT doc_id, {_mh_aggs} FROM fhash GROUP BY doc_id
+    ), fsig AS MATERIALIZED (
+      SELECT *, {bucket_exprs} FROM fsig0
+    ), fbanded AS MATERIALIZED ({band_union}),
+    fcand AS MATERIALIZED (
+      SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+      FROM fbanded l JOIN fbanded r
+        ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+      WHERE CAST(({_agree}) AS DOUBLE) / {float(_K)} >= {_FUNNEL_JACCARD}
+    ), fe AS MATERIALIZED (
+      SELECT id1 AS a, id2 AS b FROM fcand
+      UNION ALL
+      SELECT id2 AS a, id1 AS b FROM fcand
+    ), fl0 AS MATERIALIZED (
+      SELECT doc_id AS v, CAST(doc_id AS BIGINT) AS lbl FROM esurv
+    ),{','.join(cc_steps)},
+    fbest AS MATERIALIZED (
+      SELECT l.v AS doc_id,
+             ROW_NUMBER() OVER (PARTITION BY l.lbl
+                                ORDER BY s.quality DESC, l.v ASC) AS rn
+      FROM {prev} l JOIN esurv s ON s.doc_id = l.v
+    ), fuzzy AS MATERIALIZED (
+      SELECT doc_id, rn = 1 AS fuzzy_canonical FROM fbest
+    ), fsurv AS MATERIALIZED (
+      SELECT s.doc_id, s.text FROM esurv s
+      JOIN fuzzy f USING (doc_id) WHERE f.fuzzy_canonical
+    ), evng AS MATERIALIZED (
+      SELECT DISTINCT {ngrams} AS ngram
+      FROM (SELECT regexp_split_to_array(lower({_ASCII_SQL}), '{ws}') AS t
+            FROM documents WHERE doc_id % 20 = 0
+            UNION ALL
+            SELECT regexp_split_to_array('{_FUNNEL_SENTINEL}', '{ws}') AS t)
+    ), trng AS (
+      SELECT doc_id, {ngrams} AS ngram
+      FROM (SELECT doc_id, regexp_split_to_array(lower(text), '{ws}') AS t FROM fsurv)
+    ), hits AS MATERIALIZED (
+      SELECT DISTINCT trng.doc_id FROM trng JOIN evng USING (ngram)
+    ), dec AS MATERIALIZED (
+      SELECT f.doc_id, h.doc_id IS NULL AS decontam_pass
+      FROM fsurv f LEFT JOIN hits h ON h.doc_id = f.doc_id
+    ), final0 AS MATERIALIZED (
+      SELECT v.*, e.exact_canonical, f.fuzzy_canonical, d.decontam_pass,
+             CASE WHEN NOT v.lang_pass THEN 'lang'
+                  WHEN NOT v.quality_pass THEN 'quality'
+                  WHEN NOT e.exact_canonical THEN 'exact_dup'
+                  WHEN NOT f.fuzzy_canonical THEN 'fuzzy_dup'
+                  WHEN NOT COALESCE(d.decontam_pass, TRUE) THEN 'contaminated'
+             END AS drop_stage
+      FROM v LEFT JOIN exact e USING (doc_id)
+             LEFT JOIN fuzzy f USING (doc_id)
+             LEFT JOIN dec d USING (doc_id)
+    ), rep AS MATERIALIZED (
+      SELECT COALESCE(drop_stage, 'kept') AS stage, COUNT(*) AS docs
+      FROM final0 GROUP BY 1
+    )
+    SELECT 'doc' AS kind, doc_id,
+           {', '.join(f'CAST({c} AS {d}) AS {c}' for c, _, d in _FUNNEL_BATTERY)},
+           drop_stage, CAST(drop_stage IS NULL AS INTEGER) AS kept,
+           CAST(NULL AS BIGINT) AS docs
+    FROM final0
+    UNION ALL
+    SELECT 'report' AS kind, CAST(NULL AS BIGINT) AS doc_id,
+           {null_battery},
+           s.stage AS drop_stage, CAST(NULL AS INTEGER) AS kept,
+           CAST(COALESCE(r.docs, 0) AS BIGINT) AS docs
+    FROM (VALUES {stage_values}) s(stage) LEFT JOIN rep r ON r.stage = s.stage
+    """
+
+
+register("q74_curation_funnel", q74_curation_funnel, _q74_sql())

@@ -52,8 +52,7 @@ EXPECTED = [
     "q46_dedup_clusters",
     "q49_sample_and_split",  # merged former q49/q50 + temperature mixture
     "q57_kmv_distinct",  # merged former q57/q13 + KMV set algebra
-    "q58_weighted_sample",
-    "q60_cap_per_source",
+    "q58_weighted_sample",  # merged former q58/q60 (round 11)
     "q61_text_hygiene",  # merged former q61/q62
     "q63_decontaminate",
     "q64_pack_sequences",
@@ -70,6 +69,9 @@ EXPECTED = [
     "q71_html_text",
     "q72_bm25_topk",
     "q73_lm_score",
+    # round-11 addition: the batch curation funnel, end-to-end (slot
+    # freed by the q58/q60 merge)
+    "q74_curation_funnel",
 ]
 
 
