@@ -513,6 +513,62 @@ def main() -> None:
                 "text", "doc_id",
             ).count(),
         )
+
+        # composed-funnel density probe (VERDICT r10 item 3): the full
+        # batch curation funnel at 1x and 10x corpus with PER-STAGE
+        # drop counts, so stage-level scaling is attributable the way
+        # the standalone heavyweights' cand_ratio already is.  The 10x
+        # corpus is the realistic crawl-duplication shape — each doc
+        # plus 9 NEAR-copies (two replica-tag tokens appended, so
+        # replicas stay near-dups of each other and the language/
+        # quality gates still see the original text; the dedup probes'
+        # vowel transform would destroy every "the" and short-circuit
+        # the whole funnel at the lang gate).  Expected shape: the
+        # row-local battery is linear, fuzzy dedup (banded LSH + CC
+        # fixpoint over ~10-member clusters) dominates, nothing
+        # superlinear.  Eval set is drawn from each corpus's own text
+        # space (a fixed benchmark suite does not scale with the
+        # corpus).
+        from lsd2_spark.operators.curate import curate_corpus, curation_report
+
+        docs10_funnel = docs.crossJoin(F.broadcast(repl)).select(
+            (F.col("doc_id") * 10 + F.col("_rep")).alias("doc_id"),
+            F.when(F.col("_rep") == 0, F.col("text"))
+            .otherwise(
+                F.concat(
+                    F.col("text"),
+                    F.lit(" zz"), F.col("_rep").cast("string"), F.lit("a"),
+                    F.lit(" zz"), F.col("_rep").cast("string"), F.lit("b"),
+                )
+            )
+            .alias("text"),
+        )
+
+        def run_funnel(d):
+            tagged = curate_corpus(
+                d,
+                eval_df=d.orderBy("doc_id").limit(50).select("text"),
+                min_words=10,
+                min_stop_words=1,
+            )
+            return {
+                r["stage"]: int(r["docs"])
+                for r in curation_report(tagged).collect()
+            }
+
+        t0 = time.perf_counter()
+        funnel_1x = run_funnel(docs)
+        funnel_1x_dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        funnel_10x = run_funnel(docs10_funnel)
+        funnel_10x_dt = time.perf_counter() - t0
+        density["curation_funnel_x10"] = {
+            "base_sec": round(funnel_1x_dt, 3),
+            "x10_sec": round(funnel_10x_dt, 3),
+            "exec_ratio": round(funnel_10x_dt / max(funnel_1x_dt, 1e-9), 2),
+            "base_stages": funnel_1x,
+            "x10_stages": funnel_10x,
+        }
     except Exception as e:  # never let the probes break the artifact
         density["error"] = str(e)[:200]
 

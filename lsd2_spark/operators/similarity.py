@@ -450,11 +450,27 @@ def kmeans_centroids(
     return cents
 
 
+#: the ``n_bits="auto"`` density rule's target bucket population: at
+#: ~312 rows/bucket the rule reproduces the bench-measured operating
+#: points (5k rows -> 4 bits, 50k rows -> 7 bits, where the x10 probe
+#: recorded exec ratio 9.6 scaled vs 32.2 fixed-config).
+_AUTO_ROWS_PER_BUCKET = 312.5
+
+
+def _auto_bits(n_rows: int, n_tables: int) -> int:
+    import math
+
+    bits = int(round(math.log2(max(n_rows, 1) / _AUTO_ROWS_PER_BUCKET)))
+    # table tag is packed as (table << n_bits) into an int32 bucket id
+    cap = 30 - max(int(math.ceil(math.log2(max(n_tables, 1)))), 0)
+    return min(max(bits, 4), cap)
+
+
 def embedding_neardup_candidates(
     df: DataFrame,
     vec_col: str,
     id_col: str,
-    n_bits: int = 4,
+    n_bits: "int | str" = 4,
     n_tables: int = 16,
 ) -> DataFrame:
     """The pre-threshold candidate stage of
@@ -463,11 +479,28 @@ def embedding_neardup_candidates(
     because candidate volume (bucket-collision growth), not output-pair
     count, is what degrades first when the corpus densifies — the
     density probes and collision-bound regressions measure this stage
-    directly."""
+    directly.
+
+    ``n_bits="auto"`` applies the density rule the x10 probes measure:
+    hold per-bucket population ~constant (sign-LSH buckets are
+    2^n_bits per table, so densifying a corpus 10x wants +log2(10)≈3
+    bits; bench r9/r10 recorded exec ratio 32.2 at fixed bits vs 9.6
+    scaled).  Costs one count() job.  The recall caveat is the
+    standard LSH one and is deliberate: wider bits at fixed n_tables
+    cut per-pair collision probability (recall follows
+    1-(1-p^bits)^tables), and holding recall constant under
+    densification instead costs ~n^rho extra TABLES (Indyk-Motwani) —
+    pass explicit (n_bits, n_tables) when recall is the binding
+    constraint; the floor of 4 keeps small corpora at the measured
+    default."""
     spark = df.sparkSession
     dim = _probe_dim(df, vec_col)
     if dim is None:
         return spark.createDataFrame([], _PAIRS_SCHEMA)
+    if n_bits == "auto":
+        n_bits = _auto_bits(df.count(), n_tables)
+    elif not isinstance(n_bits, int):
+        raise ValueError(f"n_bits must be an int or 'auto', got {n_bits!r}")
     df = _spread(_valid_vectors(df, vec_col, dim))
     buckets_of = _bucket_udf(spark, df, vec_col, n_bits, n_tables, dim)
     tagged = df.select(
@@ -506,7 +539,7 @@ def embedding_neardup_pairs(
     vec_col: str,
     id_col: str,
     threshold: float = 0.4,
-    n_bits: int = 4,
+    n_bits: "int | str" = 4,
     n_tables: int = 16,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the dedup variant of the
@@ -514,7 +547,9 @@ def embedding_neardup_pairs(
     tables, self-join on the bucket id (id1 < id2, distinct,
     :func:`embedding_neardup_candidates`), score the surviving
     candidates with the exact cosine, and keep pairs at or above
-    ``threshold``.
+    ``threshold``.  ``n_bits="auto"`` scales the bucket width with
+    corpus density (see :func:`embedding_neardup_candidates` for the
+    rule and its recall tradeoff).
 
     100 TB shape: the self-join is a bucketed equi-join (one shuffle on
     the bucket id, AQE splits hot buckets) — never an all-pairs plan;

@@ -1995,6 +1995,9 @@ def q74_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_stop_words=1,  # 'the' is the generator vocabulary's only
         # Gopher stopword; the paper's 2 would drop every document
     )
+    # the doc-row and report branches both consume the tagged frame;
+    # Spark re-executes common subplans per branch, so materialize once
+    tagged = tagged.localCheckpoint(eager=False)
     docrows = tagged.select(
         F.lit("doc").alias("kind"),
         F.col("doc_id"),

@@ -198,3 +198,36 @@ def test_ngram_pair_count_estimate_and_unrestricted_warning(spark, caplog):
             ),
         )
     assert not any("WITHOUT candidates=" in r.message for r in caplog.records)
+
+
+def test_auto_bits_density_rule():
+    """n_bits='auto' reproduces the bench-measured operating points
+    (5k rows -> 4 bits, 50k -> 7), floors at 4, and respects the
+    int32 bucket-packing cap."""
+    from lsd2_spark.operators.similarity import _auto_bits
+
+    assert _auto_bits(5_000, 16) == 4
+    assert _auto_bits(50_000, 16) == 7
+    assert _auto_bits(10, 16) == 4  # floor: tiny corpora keep default
+    assert _auto_bits(500_000, 16) == 11  # +log2(10) per decade
+    assert _auto_bits(10**12, 16) == 26  # capped: (table << bits) fits int32
+
+
+def test_embedding_neardup_auto_bits_runs_and_respects_threshold(spark):
+    """The 'auto' path end-to-end: planted near-identical pair is
+    found, and an explicit bad n_bits value fails loud."""
+    import pytest
+    from lsd2_spark.operators.similarity import _auto_bits
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(32)
+    rows = [(0, [float(x) for x in base]), (1, [float(x) for x in base + 0.01])]
+    rows += [(i, [float(x) for x in rng.randn(32)]) for i in range(2, 200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = embedding_neardup_pairs(
+        df, "embedding", "vec_id", threshold=0.95, n_bits="auto"
+    ).toPandas()
+    assert (0, 1) in set(map(tuple, got[["id1", "id2"]].values))
+    assert (got["sim"] >= 0.95).all()
+    with pytest.raises(ValueError, match="auto"):
+        embedding_neardup_candidates(df, "embedding", "vec_id", n_bits="wide")

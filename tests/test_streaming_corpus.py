@@ -30,11 +30,21 @@ def _near(text: str) -> str:
     return " ".join(toks)
 
 
-@pytest.fixture()
-def seeded(spark, tmp_path):
+@pytest.fixture(params=["local", "hadoop"])
+def seeded(spark, tmp_path, request):
+    """The whole fence battery runs under BOTH LifecycleFS
+    implementations (VERDICT r10 item 7): every marker in this module —
+    high-water commit, two-phase inflight fence — routes through the
+    index's injected FS, and HadoopFS (driven against file:) is where
+    exactly-once meets non-POSIX semantics."""
+    fs = None
+    if request.param == "hadoop":
+        from lsd2_spark.sources.fs import HadoopFS
+
+        fs = HadoopFS(spark)
     idx = DedupIndex.build(
         _docs(spark, [(1, BASE[0]), (2, BASE[1])]), "text", "doc_id",
-        str(tmp_path / "idx"),
+        str(tmp_path / "idx"), fs=fs,
     )
     return idx, str(tmp_path / "accept")
 
@@ -232,3 +242,63 @@ def test_streaming_end_to_end(spark, seeded, tmp_path):
     w.run_available(str(tmp_path / "ckpt"))
     got = spark.read.parquet(os.path.join(accept, "batch_id=0"))
     assert sorted(r["doc_id"] for r in got.collect()) == [12]
+
+
+class _CrashOnPublish:
+    """LifecycleFS wrapper that raises BEFORE the n-th publish reaches
+    the inner FS — the legal crash state of an atomic publish is
+    'previous content intact', and this injects exactly that at every
+    marker write in turn."""
+
+    def __init__(self, inner, crash_on: int):
+        self._inner = inner
+        self._n = 0
+        self.crash_on = crash_on
+
+    def publish(self, path: str, text: str) -> None:
+        self._n += 1
+        if self._n == self.crash_on:
+            raise RuntimeError(f"injected crash before publish #{self._n}")
+        self._inner.publish(path, text)
+
+    def __getattr__(self, attr):
+        return getattr(self._inner, attr)
+
+
+@pytest.mark.parametrize("crash_on", [1, 2, 3])
+def test_fence_crash_at_every_marker_write_converges(spark, seeded, crash_on):
+    """Crash injection at EACH of the three marker publishes of a fresh
+    batch — inflight(accepted=false), the accepted=true flip, and the
+    high-water commit — under both FS implementations (the seeded
+    fixture's param).  After the crash, a plain re-run of the same
+    batch must converge to exactly the no-crash outcome: same accept
+    dir, same exactly-once semantics for the following batch."""
+    idx, accept = seeded
+    batch = _docs(spark, [(12, BASE[2]), (13, BASE[2] + " with a suffix")])
+
+    w = stream_dedup_into_index(None, idx, accept, threshold=0.5)
+    real_fs = idx._fs
+    idx._fs = _CrashOnPublish(real_fs, crash_on)
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            w._apply(batch, batch_id=0)
+    finally:
+        idx._fs = real_fs
+
+    # recovery: the replay of the same batch converges
+    w2 = stream_dedup_into_index(None, idx, accept, threshold=0.5)
+    w2._apply(batch, batch_id=0)
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(accept, "batch_id=0")).collect()
+    )
+    assert got == [12, 13]
+    # marker state is clean: committed hwm, no stale fence
+    assert w2._last_committed() == 0
+    assert not idx._fs.exists(os.path.join(idx.path, "_stream_inflight.json"))
+    # exactly-once holds for the next batch: an identical doc rejects,
+    # and the batch-0 signatures exist exactly once in the index
+    w2._apply(_docs(spark, [(20, BASE[2])]), batch_id=1)
+    assert spark.read.parquet(os.path.join(accept, "batch_id=1")).count() == 0
+    flags = idx.probe(_docs(spark, [(99, BASE[2])]), threshold=0.5).collect()[0]
+    assert flags["exact_dup_of"] == 12
