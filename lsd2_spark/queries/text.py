@@ -224,11 +224,44 @@ register("q32_neardup_pairs", q32_neardup_pairs, _Q32_SQL)
 _STOP_SQL = ", ".join(f"'{s}'" for s in text_analysis.STOPWORDS)
 
 
+def _code_text_col() -> "F.Column":
+    """The planted per-doc 'source file' the code battery runs on
+    (round 11, VERDICT item 8) — deterministic payloads derived from
+    doc_id so every StarCoder/The-Stack rule has victims AND the same
+    construction is replayed verbatim in the oracle: XML prolog
+    (doc_id%13), autogen header (%11), base64-class blob lines (%7 —
+    fails the blob-FRACTION rule while every line stays under the
+    length caps), digit-only lines (%17 — fails only the alpha rule),
+    the raw single-line salad (%5 — mean line length > 100), else the
+    one-token-per-line form that passes the whole battery."""
+    nlv = F.regexp_replace(F.col("text"), " ", "\n")
+    blob = F.repeat(F.concat(F.repeat(F.lit("Q"), 80), F.lit("\n")), 30)
+    did = F.col("doc_id")
+    return (
+        F.when(did % 13 == 0, F.concat(F.lit('<?xml version="1.0"?>'), F.lit("\n"), nlv))
+        .when(did % 11 == 0, F.concat(F.lit("x do not edit x"), F.lit("\n"), nlv))
+        .when(did % 7 == 0, F.concat(nlv, F.lit("\n"), blob))
+        .when(did % 17 == 0, F.repeat(F.lit("0123\n"), 40))
+        .when(did % 5 == 0, F.col("text"))
+        .otherwise(nlv)
+    )
+
+
 def q36_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text profile (quality + lang + token stats, the merged
+    former q35/q36/q37) WIDENED in round 11 with the StarCoder/The-
+    Stack code rule battery over a planted per-doc source file — the
+    battery's 7 metrics + 6 flags are hash-pinned here (same per-doc
+    grain; operator stays standalone in operators/code_rules.py)."""
+    from lsd2_spark.operators.code_rules import starcoder_code_flags
+
     docs = load_table(spark, sf_dir, "documents")
     prof = text_analysis.doc_profile(docs, "text", "doc_id")
     ts = text_analysis.token_stats(docs, "text", "doc_id")
-    return prof.join(ts, "doc_id")
+    code = starcoder_code_flags(
+        docs.select("doc_id", _code_text_col().alias("text")), "text", "doc_id"
+    )
+    return prof.join(ts, "doc_id").join(code, "doc_id")
 
 
 _Q35_COLS = f"""
@@ -251,10 +284,29 @@ _best = f"greatest({', '.join('hits_' + l for l in _langs)})"
 _label = "'und'"
 for _l in reversed(_langs):
     _label = f"CASE WHEN hits_{_l} = {_best} AND {_best} > 0 THEN '{_l}' ELSE {_label} END"
-register(
-    "q36_doc_profile",
-    q36_doc_profile,
-    f"""
+def _q36_sql() -> str:
+    from lsd2_spark.operators.code_rules import _BLOB, AUTOGEN_MARKERS
+
+    nlv = "regexp_replace(text, ' ', chr(10), 'g')"
+    ct_case = f"""CASE
+               WHEN doc_id % 13 = 0 THEN '<?xml version="1.0"?>' || chr(10) || {nlv}
+               WHEN doc_id % 11 = 0 THEN 'x do not edit x' || chr(10) || {nlv}
+               WHEN doc_id % 7 = 0 THEN {nlv} || chr(10) || repeat(repeat('Q', 80) || chr(10), 30)
+               WHEN doc_id % 17 = 0 THEN repeat('0123' || chr(10), 40)
+               WHEN doc_id % 5 = 0 THEN text
+               ELSE {nlv} END"""
+    autogen = " OR ".join(f"contains(header, '{m}')" for m in AUTOGEN_MARKERS)
+    trimset = "' ' || chr(9) || chr(13) || chr(10) || chr(12) || chr(65279)"
+    ht = "n_chars > 0"
+    line_ok = f"({ht} AND mean_ll <= 100.0 AND max_ll <= 1000)"
+    alpha_ok = f"({ht} AND CAST(alpha_chars AS DOUBLE) / n_chars >= 0.25)"
+    not_autogen = f"({ht} AND NOT ({autogen}))"
+    blob_ok = (
+        f"({ht} AND CAST(n_chars - blob_removed AS DOUBLE) / n_chars <= 0.5"
+        f" AND longest_blob <= 1024)"
+    )
+    not_xml = f"({ht} AND NOT is_xml)"
+    return f"""
     WITH t AS (
       SELECT doc_id,
              regexp_split_to_array(text, '[ \\t\\n\\r\\f]+') AS toks,
@@ -267,6 +319,40 @@ register(
              CASE WHEN len(toks) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END AS length_ok,
              {_hit_cols}
       FROM t
+    ), cdoc AS (
+      SELECT doc_id, {ct_case} AS ct FROM documents
+    ), craw AS (
+      SELECT doc_id, ct, length(ct) AS n_chars,
+             string_split(ct, chr(10)) AS lines
+      FROM cdoc
+    ), cm AS MATERIALIZED (
+      SELECT doc_id, n_chars,
+             len(lines) AS n_lines,
+             CAST(list_sum(list_transform(lines, l -> length(l))) AS DOUBLE) / len(lines) AS mean_ll,
+             list_max(list_transform(lines, l -> length(l))) AS max_ll,
+             length(regexp_replace(ct, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+             length(regexp_replace(ct, '{_BLOB}', '', 'g')) AS blob_removed,
+             COALESCE(list_max(list_transform(regexp_extract_all(ct, '{_BLOB}'), b -> length(b))), 0) AS longest_blob,
+             lower(array_to_string(list_slice(lines, 1, 5), chr(10))) AS header,
+             substr(trim(ct, {trimset}), 1, 5) = '<?xml' AS is_xml,
+             length(regexp_replace(ct, '<[^>]*>', '', 'g')) AS visible_chars
+      FROM craw
+    ), code AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(n_lines AS BIGINT) AS n_lines,
+             CASE WHEN {ht} THEN {round6_sql('mean_ll')} END AS mean_line_len,
+             CAST(max_ll AS BIGINT) AS max_line_len,
+             CASE WHEN {ht} THEN {round6_sql('CAST(alpha_chars AS DOUBLE) / n_chars')} END AS alpha_frac,
+             CASE WHEN {ht} THEN {round6_sql('CAST(n_chars - blob_removed AS DOUBLE) / n_chars')} END AS blob_frac,
+             CAST(longest_blob AS BIGINT) AS longest_blob_run,
+             CASE WHEN {ht} THEN {round6_sql('CAST(visible_chars AS DOUBLE) / n_chars')} END AS visible_text_frac,
+             {line_ok} AS line_len_ok,
+             {alpha_ok} AS alpha_ok,
+             {not_autogen} AS not_autogen,
+             {blob_ok} AS blob_ok,
+             {not_xml} AS not_xml,
+             ({line_ok} AND {alpha_ok} AND {not_autogen} AND {blob_ok} AND {not_xml}) AS code_pass
+      FROM cm
     )
     SELECT m.doc_id,
            FLOOR((stop_share) * 1000000.0 + 0.5) / 1000000.0 AS stopword_share,
@@ -277,10 +363,17 @@ register(
                 ELSE 'spam' END AS bucket,
            {', '.join('hits_' + l for l in _langs)},
            {_label} AS lang_pred,
-           {_Q35_COLS}
+           {_Q35_COLS},
+           c.n_lines, c.mean_line_len, c.max_line_len, c.alpha_frac,
+           c.blob_frac, c.longest_blob_run, c.visible_text_frac,
+           c.line_len_ok, c.alpha_ok, c.not_autogen, c.blob_ok, c.not_xml,
+           c.code_pass
     FROM m JOIN documents d ON d.doc_id = m.doc_id
-    """,
-)
+           JOIN code c ON c.doc_id = m.doc_id
+    """
+
+
+register("q36_doc_profile", q36_doc_profile, _q36_sql())
 
 
 # ---------------------------------------------------------------------------
