@@ -102,13 +102,20 @@ def curate_corpus(
     the session conf (:data:`~lsd2_spark.operators.common.
     CONF_LINEAGE_CUT`) once per job.
     """
+    from lsd2_spark.operators.common import spread_partitions
     from lsd2_spark.operators.dedup import dedup_clusters
     from lsd2_spark.operators.quality_rules import gopher_quality_flags
     from lsd2_spark.operators.text_analysis import _lang_cols, _quality_cols
     from lsd2_spark.operators.text_normalize import clean_text
 
     # --- stage A: every row-local verdict in one fused projection ----
-    cleaned = clean_text(docs, text_col, fix_encoding=fix_encoding)
+    # spread first: a small single-file corpus arrives as ONE partition
+    # and the whole fused Arrow battery would run single-threaded
+    # (measured 19.4 -> 12.9 s warm at sf0.1); a no-op at scale, where
+    # the input already has many partitions
+    cleaned = clean_text(
+        spread_partitions(docs), text_col, fix_encoding=fix_encoding
+    )
     if not fix_encoding:
         cleaned = cleaned.withColumn("mojibake_fixed", F.lit(False))
     tagged = gopher_quality_flags(
