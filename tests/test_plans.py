@@ -119,17 +119,23 @@ def test_per_stratum_topk_gets_window_group_limit(spark):
 
 
 def test_curation_queries_prune_scans(spark):
-    """q30 (dedup variants) reads only (doc_id, text); q60 only
-    (doc_id, source)."""
+    """q30 (dedup variants) reads only (doc_id, text); q58's cap half
+    (the merged former q60) still never reads text for its quota scan
+    — the union's two branches prune independently."""
     plan = _plan(spark, "q30_dedup_variants")
     read = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "doc_id" in read and "text" in read
     assert "source" not in read and "lang" not in read, read
 
-    plan = _plan(spark, "q60_cap_per_source")
-    read = plan.split("ReadSchema:")[1].splitlines()[0]
-    assert "doc_id" in read and "source" in read
-    assert "text" not in read, read
+    plan = _plan(spark, "q58_weighted_sample")
+    reads = [
+        part.splitlines()[0] for part in plan.split("ReadSchema:")[1:]
+    ]
+    # one branch (A-Res) needs text for the weight; the cap branch
+    # must scan only (doc_id, source)
+    assert any(
+        "doc_id" in r and "source" in r and "text" not in r for r in reads
+    ), reads
 
 
 def test_round9_gate_query_plan_shapes(spark):
@@ -206,3 +212,17 @@ def test_round10_gate_query_plan_shapes(spark):
     # trainers' 1-row scalar attachments are the only nested-loop joins
     # and are broadcast-side, never a CartesianProduct)
     assert plans["q73_lm_score"].count("BroadcastHashJoin") >= 2
+
+
+def test_q74_funnel_plan_shape(spark):
+    """The funnel gate keeps the composition's audited scale shape: no
+    cartesian products or nested-loop joins anywhere (the fuzzy stage
+    is the banded LSH equi-join, decontam is a broadcast-able n-gram
+    equi-join), and no row-at-a-time Python (the only Python is
+    clean_text's single fused Arrow pass per branch)."""
+    df = all_queries()["q74_curation_funnel"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
