@@ -791,6 +791,25 @@ def main() -> None:
         extras["curation_funnel"] = round(time.perf_counter() - t0, 3)
         extras["curation_funnel_kept"] = funnel.get("kept", 0)
 
+        # the same funnel under lineage_cut="reliable" (checkpoints to
+        # a job dir instead of executor-local blocks — the preemptible-
+        # cluster configuration): measures the documented tradeoff
+        # instead of arguing it
+        ck = tempfile.mkdtemp(prefix="lsd2_ckpt_")
+        try:
+            spark.sparkContext.setCheckpointDir(ck)
+            t0 = time.perf_counter()
+            tagged_r = curate_corpus(
+                docs, eval_df=ev_funnel, min_words=10, min_stop_words=1,
+                lineage_cut="reliable",
+            )
+            curation_report(tagged_r).collect()
+            extras["curation_funnel_reliable"] = round(
+                time.perf_counter() - t0, 3
+            )
+        finally:
+            shutil.rmtree(ck, ignore_errors=True)
+
         # topic-diversity sampling: k-means (farthest-point seeding,
         # n_clusters scans of the cached sample) + per-cluster quota
         from lsd2_spark.operators.sampling import cluster_balanced_sample
