@@ -298,14 +298,20 @@ def _q36_sql() -> str:
     autogen = " OR ".join(f"contains(header, '{m}')" for m in AUTOGEN_MARKERS)
     trimset = "' ' || chr(9) || chr(13) || chr(10) || chr(12) || chr(65279)"
     ht = "n_chars > 0"
-    line_ok = f"({ht} AND mean_ll <= 100.0 AND max_ll <= 1000)"
-    alpha_ok = f"({ht} AND CAST(alpha_chars AS DOUBLE) / n_chars >= 0.25)"
-    not_autogen = f"({ht} AND NOT ({autogen}))"
+    # COALESCE(..., FALSE): the operator's flags are total (False on
+    # null/empty text) while a bare SQL AND over a NULL n_chars yields
+    # NULL; the integer metrics below are CASE-gated for the same
+    # reason (the operator NULLs them where has_text is false — an
+    # ungated CAST forks int64-vs-float64 between the engines' pandas
+    # output on corpora with empty documents)
+    line_ok = f"COALESCE({ht} AND mean_ll <= 100.0 AND max_ll <= 1000, FALSE)"
+    alpha_ok = f"COALESCE({ht} AND CAST(alpha_chars AS DOUBLE) / n_chars >= 0.25, FALSE)"
+    not_autogen = f"COALESCE({ht} AND NOT ({autogen}), FALSE)"
     blob_ok = (
-        f"({ht} AND CAST(n_chars - blob_removed AS DOUBLE) / n_chars <= 0.5"
-        f" AND longest_blob <= 1024)"
+        f"COALESCE({ht} AND CAST(n_chars - blob_removed AS DOUBLE) / n_chars <= 0.5"
+        f" AND longest_blob <= 1024, FALSE)"
     )
-    not_xml = f"({ht} AND NOT is_xml)"
+    not_xml = f"COALESCE({ht} AND NOT is_xml, FALSE)"
     return f"""
     WITH t AS (
       SELECT doc_id,
@@ -339,12 +345,12 @@ def _q36_sql() -> str:
       FROM craw
     ), code AS MATERIALIZED (
       SELECT doc_id,
-             CAST(n_lines AS BIGINT) AS n_lines,
+             CASE WHEN {ht} THEN CAST(n_lines AS BIGINT) END AS n_lines,
              CASE WHEN {ht} THEN {round6_sql('mean_ll')} END AS mean_line_len,
-             CAST(max_ll AS BIGINT) AS max_line_len,
+             CASE WHEN {ht} THEN CAST(max_ll AS BIGINT) END AS max_line_len,
              CASE WHEN {ht} THEN {round6_sql('CAST(alpha_chars AS DOUBLE) / n_chars')} END AS alpha_frac,
              CASE WHEN {ht} THEN {round6_sql('CAST(n_chars - blob_removed AS DOUBLE) / n_chars')} END AS blob_frac,
-             CAST(longest_blob AS BIGINT) AS longest_blob_run,
+             CASE WHEN {ht} THEN CAST(longest_blob AS BIGINT) END AS longest_blob_run,
              CASE WHEN {ht} THEN {round6_sql('CAST(visible_chars AS DOUBLE) / n_chars')} END AS visible_text_frac,
              {line_ok} AS line_len_ok,
              {alpha_ok} AS alpha_ok,
