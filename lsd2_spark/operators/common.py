@@ -52,7 +52,14 @@ def cut_lineage(
       executors re-read instead of killing the job.  Requires
       ``spark.sparkContext.setCheckpointDir(...)`` first; point it at
       the same object store the catalog's LifecycleFS targets.  Costs
-      one distributed write+read per cut.
+      one distributed write+read per cut (measured ~7% on the sf0.1
+      curation funnel — bench ``curation_funnel_reliable``).
+      Lifecycle note: Spark does NOT delete checkpoint files when the
+      DataFrame is garbage-collected unless
+      ``spark.cleaner.referenceTracking.cleanCheckpoints=true``; for
+      iterative cuts (the CC fixpoint writes one checkpoint per round)
+      either enable that cleaner or point the dir at a per-job path
+      removed when the job ends / TTL'd by the store.
     - ``"persist"`` — ``MEMORY_AND_DISK`` cache: KEEPS lineage (lost
       blocks recompute — safest on preemptible clusters, zero extra
       I/O when nothing fails) but is NOT a plan cut, so it is invalid
