@@ -282,6 +282,105 @@ def main() -> None:
     except Exception as e:  # never let the probe break the artifact
         x10 = {"error": str(e)[:200]}
 
+    # crossmatch SKEW probe (VERDICT r11 #8): crossmatch_x10 scales
+    # density uniformly; the adversarial case is ONE dense cell (the
+    # globular-cluster shape).  The cogroup kernel is one pandas task
+    # per cell — NOT AQE-splittable — so the structural mitigation is
+    # the COVERAGE MAP: planning the dense region at a finer order
+    # splits the hot cell into up to 4^Δorder kernel tasks (the
+    # density-adaptive ingest partition map produces exactly such maps;
+    # max_cell_order_for(dthresh) caps how fine the plan may go).
+    # This probe plants a blob with ~50x the uniform per-cell density
+    # in one order-2 cell and measures the same match under (a) the
+    # uniform coarse map and (b) a map refined to order 4 under the
+    # hot cell only — the committed evidence that the adaptive map is
+    # the skew lever.
+    xskew = {}
+    try:
+        import lsd2_spark.healpix as hpx
+        from lsd2_spark.operators.crossmatch import (
+            crossmatch_dataframes,
+            max_cell_order_for,
+        )
+        from lsd2_spark.queries.spatial import (
+            XMATCH_DTHRESH,
+            XMATCH_K,
+            _XMATCH_ORDER,
+        )
+
+        left_u = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+            F.col("c_custkey").alias("left_id"),
+            derive_ra(F.col("c_custkey")).alias("ra"),
+            derive_dec(F.col("c_custkey")).alias("dec"),
+        )
+        right_u = spark.read.parquet(f"{SF_DIR}/part.parquet").select(
+            F.col("p_partkey").alias("right_id"),
+            derive_ra(F.col("p_partkey")).alias("ra"),
+            derive_dec(F.col("p_partkey")).alias("dec"),
+        )
+        n_l = left_u.count()
+        import numpy as _np
+
+        hot_ra, hot_dec = 45.0, 10.0
+        hot_pix = int(hpx.ang2pix(_XMATCH_ORDER, _np.array([hot_ra]),
+                                  _np.array([hot_dec]))[0])
+        # ~50x the uniform per-cell population, jittered a few degrees
+        # around the blob center (order-2 pixels are ~15 deg wide)
+        n_blob = max(50 * n_l // hpx.npix(_XMATCH_ORDER), 500)
+
+        def blob(id_base):
+            return spark.range(n_blob).select(
+                (F.col("id") + id_base).alias("bid"),
+                (F.lit(hot_ra) + (F.hash(F.col("id")) % 1000) / 250.0
+                 ).alias("ra"),
+                (F.lit(hot_dec) + (F.hash(F.col("id") + 7) % 1000) / 250.0
+                 ).alias("dec"),
+            )
+
+        left_s = left_u.unionByName(
+            blob(2_000_000_000).withColumnRenamed("bid", "left_id")
+        )
+        right_s = right_u.unionByName(
+            blob(3_000_000_000).withColumnRenamed("bid", "right_id")
+        )
+        coarse = {_XMATCH_ORDER: list(range(hpx.npix(_XMATCH_ORDER)))}
+        fine_order = min(_XMATCH_ORDER + 2, max_cell_order_for(XMATCH_DTHRESH))
+        d_ord = fine_order - _XMATCH_ORDER
+        refined = {
+            _XMATCH_ORDER: [
+                p for p in range(hpx.npix(_XMATCH_ORDER)) if p != hot_pix
+            ],
+            fine_order: list(
+                range(hot_pix << (2 * d_ord), (hot_pix + 1) << (2 * d_ord))
+            ),
+        }
+
+        def run(cov):
+            t0 = time.perf_counter()
+            n = crossmatch_dataframes(
+                left_s, right_s, cov, cov,
+                l_ra="ra", l_dec="dec", l_id="left_id",
+                r_ra="ra", r_dec="dec", r_id="right_id",
+                n_neighbors=XMATCH_K, dthresh=XMATCH_DTHRESH,
+                left_name="l", right_name="r",
+            ).count()
+            return round(time.perf_counter() - t0, 3), int(n)
+
+        coarse_sec, coarse_pairs = run(coarse)
+        refined_sec, refined_pairs = run(refined)
+        xskew = {
+            "blob_rows_per_side": int(n_blob),
+            "hot_pix_order": _XMATCH_ORDER,
+            "refined_to_order": fine_order,
+            "coarse_sec": coarse_sec,
+            "refined_sec": refined_sec,
+            "refined_speedup": round(coarse_sec / max(refined_sec, 1e-9), 2),
+            "pairs_equal": coarse_pairs == refined_pairs,
+            "pairs": coarse_pairs,
+        }
+    except Exception as e:  # never let the probe break the artifact
+        xskew = {"error": str(e)[:200]}
+
     # 10x density probes for the dedup/ANN heavyweights (VERDICT r7
     # item 5): replicate the inputs 10x with a per-replica text/vector
     # transform that PRESERVES each replica's internal duplicate
@@ -544,10 +643,44 @@ def main() -> None:
             .alias("text"),
         )
 
+        # stage-D (decontamination) signal at 10x (VERDICT r11 #5):
+        # organic contamination victims are near-copies of each other,
+        # so at 10x they merge into fuzzy clusters and die UPSTREAM —
+        # the probe was certifying stage D's scaling with 2 rows.
+        # Plant q74-style guaranteed victims: doc_id-unique tokens
+        # (singleton fuzzy clusters -> canonical) ending in a sentinel
+        # 5-gram that the eval set also contains.  doc_id % 100 == 1
+        # picks ~1% of each corpus, so the planted victim count itself
+        # scales 10x with the corpus (5 -> 50).
+        from lsd2_spark.queries.text import _FUNNEL_SENTINEL
+        probe_sentinel = _FUNNEL_SENTINEL  # the q74-proven planted eval 5-gram
+        probe_text = F.concat_ws(
+            " ",
+            F.lit("the"),
+            *[
+                F.concat(F.lit("w"), F.col("doc_id").cast("string"), F.lit(ch))
+                for ch in "abcdefgh"
+            ],
+            F.lit(probe_sentinel),
+        )
+
+        def plant_probes(d):
+            probes = d.filter(F.col("doc_id") % 100 == 1).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                probe_text.alias("text"),
+            )
+            return d.unionByName(probes)
+
         def run_funnel(d):
+            ev = (
+                d.orderBy("doc_id").limit(50).select("text")
+                .unionByName(
+                    spark.createDataFrame([(probe_sentinel,)], "text string")
+                )
+            )
             tagged = curate_corpus(
-                d,
-                eval_df=d.orderBy("doc_id").limit(50).select("text"),
+                plant_probes(d),
+                eval_df=ev,
                 min_words=10,
                 min_stop_words=1,
             )
@@ -568,6 +701,69 @@ def main() -> None:
             "exec_ratio": round(funnel_10x_dt / max(funnel_1x_dt, 1e-9), 2),
             "base_stages": funnel_1x,
             "x10_stages": funnel_10x,
+        }
+
+        # CC skew probe (VERDICT r11 #3): the adversarial crawl shape
+        # is ONE boilerplate mega-cluster holding ~10% of the corpus
+        # (the x10 funnel probe caps components at 10 members, which
+        # never stresses the fixpoint).  Rewrite 10% of docs to a
+        # shared 40-token template + a doc-unique slug (pairwise
+        # jaccard ~0.95 — a near-CLIQUE under LSH banding), then
+        # measure edge volume, FIXPOINT ROUND COUNT, and wall against
+        # the uniform corpus.  Min-label propagation needs diameter
+        # rounds; the claim this probe certifies (documented at
+        # connected_components) is that a mega-cluster is dense, so
+        # its diameter — and the round count — stays flat while only
+        # per-round edge volume grows.
+        boiler = " ".join(f"tpl{i:02d}" for i in range(40))
+
+        def cc_probe(d):
+            edges = ddp.lsh_candidate_pairs(d, "text", "doc_id").filter(
+                F.col("jaccard_est") >= _CC_THRESHOLD
+            )
+            t0 = time.perf_counter()
+            n_edges = edges.count()
+            stats: dict = {}
+            cc = ddp.connected_components(
+                d.select("doc_id"), edges, "doc_id", stats=stats
+            )
+            biggest = (
+                cc.groupBy("cluster_id")
+                .count()
+                .agg(F.max("count").alias("m"))
+                .first()["m"]
+            )
+            return {
+                "sec": round(time.perf_counter() - t0, 3),
+                "edges": int(n_edges),
+                "rounds": stats.get("rounds"),
+                "converged": stats.get("converged"),
+                "max_component": int(biggest or 0),
+            }
+
+        docs_mega = docs.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat_ws(
+                    " ",
+                    F.lit(boiler),
+                    F.concat(F.lit("slug"), F.col("doc_id").cast("string")),
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        cc_uniform, cc_mega = cc_probe(docs), cc_probe(docs_mega)
+        density["cc_skew"] = {
+            "uniform": cc_uniform,
+            "mega_cluster_10pct": cc_mega,
+            # wall growth of the skewed shape vs uniform (rounds should
+            # stay flat; only per-round edge volume grows) — named
+            # exec_ratio so the compact headline carries it
+            "exec_ratio": round(
+                cc_mega["sec"] / max(cc_uniform["sec"], 1e-9), 2
+            ),
         }
     except Exception as e:  # never let the probes break the artifact
         density["error"] = str(e)[:200]
@@ -808,6 +1004,10 @@ def main() -> None:
                 time.perf_counter() - t0, 3
             )
         finally:
+            # unset BEFORE deleting the dir: under the "auto" conf
+            # default a lingering checkpoint dir would flip every
+            # later bench section's cuts to reliable
+            spark.sparkContext.setCheckpointDir(None)
             shutil.rmtree(ck, ignore_errors=True)
 
         # topic-diversity sampling: k-means (farthest-point seeding,
@@ -834,15 +1034,89 @@ def main() -> None:
         "repeats": REPEATS,
         "streaming": streaming,
         "crossmatch_x10": x10,
+        "crossmatch_skew": xskew,
         "density_x10": density,
         "semdedup_recall": semdedup_recall,
         "extras": extras,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
-    os.write(real_stdout, (json.dumps(result) + "\n").encode())
+    # The FULL result outgrew the driver's 2,000-byte stdout capture
+    # window (BENCH_r10/r11 recorded parsed:null against a 4.8 KB
+    # line), so stdout gets a compact headline (size-asserted < 1,800
+    # bytes in tests/test_bench_headline.py) and the full detail goes
+    # to a sidecar file + stderr.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_local_detail.json"),
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(result, f)
+            f.write("\n")
+    except OSError as e:
+        print(f"bench: could not write detail file {detail_path}: {e}",
+              file=sys.stderr)
+    print(json.dumps(result), file=sys.stderr)
+    line = json.dumps(compact_headline(result)) + "\n"
+    os.write(real_stdout, line.encode())
     os.close(real_stdout)
     spark.stop()
+
+
+def compact_headline(result: dict) -> dict:
+    """The ONE-line stdout artifact, sized for the driver's 2,000-byte
+    capture window: total + per-query MIN-of-repeats (the load-robust
+    number round-over-round comparisons read) + one scalar per scale
+    probe.  Everything else (medians, per-stage breakdowns, extras,
+    recall curves) lives in the detail sidecar this function's caller
+    writes next to bench.py."""
+    # min-of-repeats where sampled; single-run entries (catalog ingest
+    # and pruned cone live only in the median dict) fall through
+    qmin = dict(result.get("queries") or {})
+    qmin.update(result.get("queries_min") or {})
+    probes = {}
+    for name, d in (result.get("density_x10") or {}).items():
+        if isinstance(d, dict) and "exec_ratio" in d:
+            probes[name.replace("_x10", "")] = d["exec_ratio"]
+    xm = result.get("crossmatch_x10") or {}
+    if "exec_sec" in xm:
+        probes["crossmatch"] = xm["exec_sec"]
+    xs = result.get("crossmatch_skew") or {}
+    if "refined_speedup" in xs:
+        probes["xmatch_skew_speedup"] = xs["refined_speedup"]
+    out = {
+        "metric": result["metric"],
+        "value": round(sum(qmin.values()), 3),
+        "unit": result["unit"],
+        "sf": result["sf"],
+        "stat": f"min_of_{result.get('repeats', '?')}",
+        "queries": qmin,
+        "probe_ratios": probes,
+        "detail": "BENCH_local_detail.json",
+    }
+    streaming = result.get("streaming") or {}
+    if "min_rows_per_sec" in streaming:
+        out["streaming_rows_per_sec"] = streaming["min_rows_per_sec"]
+    extras = result.get("extras") or {}
+    for k in ("curation_funnel", "curation_funnel_reliable"):
+        if k in extras:
+            out[k] = extras[k]
+    # hard budget: the line must parse even if a future round doubles
+    # the query list — shed the lowest-priority sections before ever
+    # exceeding the driver's capture window
+    for victim in ("curation_funnel_reliable", "curation_funnel",
+                   "probe_ratios"):
+        if len(json.dumps(out)) <= 1800:
+            break
+        out.pop(victim, None)
+    if len(json.dumps(out)) > 1800:  # queries dict itself outgrew it
+        out["queries"] = dict(
+            sorted(out["queries"].items(), key=lambda kv: -kv[1])[:30]
+        )
+        out["queries_truncated_to_slowest"] = 30
+    return out
 
 
 if __name__ == "__main__":

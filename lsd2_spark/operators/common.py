@@ -2,16 +2,24 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import logging
+
+from pyspark.sql import DataFrame, SparkSession
+
+log = logging.getLogger(__name__)
 
 #: Session-level default for :func:`cut_lineage` — set
 #: ``spark.conf.set(CONF_LINEAGE_CUT, "reliable")`` once per job to move
 #: every lineage cut in the package (curation funnel, CC fixpoint,
 #: streaming corpus, catalog rebalance) onto reliable checkpoints
-#: without threading a parameter through each call site.
+#: without threading a parameter through each call site.  The default
+#: is ``"auto"``: reliable whenever the session has a checkpoint
+#: directory, local otherwise — so on a real cluster the one line
+#: ``spark.sparkContext.setCheckpointDir(<job store>)`` makes the
+#: executor-loss-safe flavor the zero-config choice everywhere.
 CONF_LINEAGE_CUT = "spark.lsd2.lineageCut"
 
-_CUT_MODES = ("local", "reliable", "persist")
+_CUT_MODES = ("auto", "local", "reliable", "persist")
 
 
 def spread_partitions(df: DataFrame) -> DataFrame:
@@ -29,6 +37,59 @@ def spread_partitions(df: DataFrame) -> DataFrame:
     return df
 
 
+def resolve_cut_mode(
+    spark: SparkSession,
+    mode: str | None = None,
+    allow_persist: bool = False,
+) -> str:
+    """Resolve the lineage-cut mode :func:`cut_lineage` will use —
+    ``"local"``, ``"reliable"``, or ``"persist"`` — applying the
+    session conf default, the ``"auto"`` rule (reliable iff a
+    checkpoint directory is set), and the true-cut downgrade of a
+    session-wide ``"persist"``.  Exposed so iterative callers that
+    manage checkpoint-file lifecycle (:func:`~lsd2_spark.operators.
+    dedup.connected_components`) can learn the resolved flavor up
+    front and pass it back explicitly."""
+    explicit = mode is not None
+    if mode is None:
+        mode = spark.conf.get(CONF_LINEAGE_CUT, "auto")
+        if mode not in _CUT_MODES:
+            raise ValueError(
+                f"{CONF_LINEAGE_CUT}={mode!r}: expected one of {_CUT_MODES}"
+            )
+    if mode not in _CUT_MODES:
+        raise ValueError(f"lineage-cut mode must be one of {_CUT_MODES}, got {mode!r}")
+    has_dir = spark.sparkContext.getCheckpointDir() is not None
+    if mode == "persist" and not allow_persist:
+        if explicit:
+            raise ValueError(
+                "this call site requires a true plan cut (iterative "
+                "fixpoint or self-overwrite); use mode='local' or "
+                "'reliable'"
+            )
+        # session-wide persist was chosen FOR executor-loss robustness;
+        # downgrade to the executor-loss-safe real cut when the session
+        # can take one, and say so either way — a silent downgrade to
+        # 'local' would defeat the user's stated safety intent
+        fallback = "reliable" if has_dir else "local"
+        log.warning(
+            "%s='persist' is not a plan cut at this call site; "
+            "downgrading to %r%s",
+            CONF_LINEAGE_CUT,
+            fallback,
+            (
+                ""
+                if has_dir
+                else " (executor-loss FATAL — set a checkpoint dir to "
+                "get the 'reliable' downgrade instead)"
+            ),
+        )
+        mode = fallback
+    if mode == "auto":
+        mode = "reliable" if has_dir else "local"
+    return mode
+
+
 def cut_lineage(
     df: DataFrame,
     mode: str | None = None,
@@ -36,10 +97,15 @@ def cut_lineage(
     allow_persist: bool = False,
 ) -> DataFrame:
     """Materialize ``df`` so downstream stages neither recompute it nor
-    grow its plan.  Three modes, picked per call or once per session
+    grow its plan.  Modes, picked per call or once per session
     via ``spark.conf.set(CONF_LINEAGE_CUT, ...)`` (``mode=None`` reads
-    the conf; the conf's default is ``"local"``):
+    the conf; the conf's default is ``"auto"``):
 
+    - ``"auto"`` (conf default) — ``"reliable"`` when the session has a
+      checkpoint directory (``spark.sparkContext.setCheckpointDir``),
+      ``"local"`` otherwise: the safe flavor is the zero-config choice
+      on clusters that configured a job store, and local mode keeps
+      the fast path.
     - ``"local"`` — ``localCheckpoint``: truncates lineage, stores
       blocks on EXECUTOR storage only.  Fastest, and the right default
       on static clusters/local mode — but NOT executor-loss-safe: on a
@@ -54,12 +120,17 @@ def cut_lineage(
       the same object store the catalog's LifecycleFS targets.  Costs
       one distributed write+read per cut (measured ~7% on the sf0.1
       curation funnel — bench ``curation_funnel_reliable``).
-      Lifecycle note: Spark does NOT delete checkpoint files when the
+      Lifecycle: Spark does NOT delete checkpoint files when the
       DataFrame is garbage-collected unless
-      ``spark.cleaner.referenceTracking.cleanCheckpoints=true``; for
-      iterative cuts (the CC fixpoint writes one checkpoint per round)
-      either enable that cleaner or point the dir at a per-job path
-      removed when the job ends / TTL'd by the store.
+      ``spark.cleaner.referenceTracking.cleanCheckpoints=true``.
+      Iterative callers in this package MANAGE the files themselves —
+      the CC fixpoint deletes round N−1's checkpoint via
+      :func:`remove_checkpoint_file` as soon as round N materializes,
+      so the dir holds at most two rounds at any instant (pytest-
+      pinned in tests/test_lineage_cut.py) — but the FINAL cut of any
+      operator stays on disk for as long as its DataFrame may be read;
+      point the dir at a per-job path removed when the job ends, or
+      enable the cleaner conf, to reclaim those.
     - ``"persist"`` — ``MEMORY_AND_DISK`` cache: KEEPS lineage (lost
       blocks recompute — safest on preemptible clusters, zero extra
       I/O when nothing fails) but is NOT a plan cut, so it is invalid
@@ -74,19 +145,7 @@ def cut_lineage(
     a nine-stage corpus build died 9.5 min into analysis; with the cut
     it runs in 96 s) — and composed pipelines want each macro-stage
     computed once, not re-derived by every downstream action."""
-    explicit = mode is not None
-    if mode is None:
-        mode = df.sparkSession.conf.get(CONF_LINEAGE_CUT, "local")
-    if mode not in _CUT_MODES:
-        raise ValueError(f"lineage-cut mode must be one of {_CUT_MODES}, got {mode!r}")
-    if mode == "persist" and not allow_persist:
-        if explicit:
-            raise ValueError(
-                "this call site requires a true plan cut (iterative "
-                "fixpoint or self-overwrite); use mode='local' or "
-                "'reliable'"
-            )
-        mode = "local"  # session-wide persist default: downgrade to a real cut
+    mode = resolve_cut_mode(df.sparkSession, mode, allow_persist=allow_persist)
     if mode == "persist":
         from pyspark.storagelevel import StorageLevel
 
@@ -101,3 +160,37 @@ def cut_lineage(
             )
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
+
+
+def checkpoint_file_of(df: DataFrame) -> str | None:
+    """The reliable-checkpoint directory backing ``df`` (a DataFrame
+    returned by ``df.checkpoint()`` / ``cut_lineage(mode='reliable')``),
+    or None when the frame is not reliably checkpointed.  Reads the
+    checkpointed RDD off the ``LogicalRDD`` plan node — internal API,
+    so any shape surprise degrades to None (callers then simply skip
+    file management; nothing breaks)."""
+    try:
+        opt = df._jdf.queryExecution().analyzed().rdd().getCheckpointFile()
+        return opt.get() if opt.isDefined() else None
+    except Exception:
+        return None
+
+
+def remove_checkpoint_file(spark: SparkSession, uri: str) -> bool:
+    """Recursively delete one checkpoint directory through the Hadoop
+    FileSystem API (works on any URI the checkpoint dir can point at —
+    ``file://``/HDFS/``s3a://``/``abfss://``).  Iterative operators
+    call this on round N−1's files as soon as round N materializes:
+    the old blocks are unreferenced (min-label monotonicity — nothing
+    re-reads a superseded round), and without deletion a long fixpoint
+    writes one corpus-scale checkpoint per round into the job store.
+    Best-effort: failure logs and returns False rather than failing
+    the job over cleanup."""
+    try:
+        jvm = spark.sparkContext._jvm
+        path = jvm.org.apache.hadoop.fs.Path(uri)
+        fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        return bool(fs.delete(path, True))
+    except Exception as e:
+        log.warning("could not delete checkpoint files at %s: %s", uri, e)
+        return False

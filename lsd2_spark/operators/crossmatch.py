@@ -336,7 +336,20 @@ def crossmatch_dataframes(
     ``exclude_same_id`` drops candidate pairs whose left and right ids
     are equal (self-match mode).  ``debug=True`` truncates the cell
     plan to its first 5 cells for a fast smoke run (reference
-    catalog.py:175-177)."""
+    catalog.py:175-177).
+
+    Cell skew: the cogroup emits ONE Arrow kernel task per join cell,
+    and AQE cannot split it (FlatMapCoGroupsInPandas is not a join
+    exchange, so skew-join rewriting does not apply) — a globular-
+    cluster-density cell serializes on one task.  The structural lever
+    is the COVERAGE MAP: pass ``hips_left``/``hips_right`` that cover
+    dense regions at a finer order (the density-adaptive ingest
+    partition map produces exactly such maps), and
+    :func:`align_join_cells` plans at the finer of the two sides —
+    capped at :func:`max_cell_order_for`, so halos stay valid —
+    splitting the hot cell into ``4^Δorder`` kernel tasks with
+    identical results (bench ``crossmatch_skew`` pins the speedup and
+    the pair-set equality)."""
     assert n_neighbors >= 1 and 0 < dthresh <= hpx.min_pixwidth(0), (
         "dthresh must be positive and below the base-pixel width"
     )

@@ -453,8 +453,10 @@ class DedupIndex:
         """Consistency report for the on-disk index (the DedupIndex
         twin of the catalog's fsck): current epoch, whether both live
         table dirs exist, any orphan epoch dirs (debris of a crashed
-        compact — swept automatically on open/compact, or here with
-        ``repair=True``), row counts, and the duplicate-hash backlog
+        compact — plain opens are READ-ONLY and never sweep them;
+        sweeps happen only via ``compact()``, ``fsck(repair=True)``,
+        or opening with ``gc_on_open=True``), row counts, and the
+        duplicate-hash backlog
         (rows `compact()` would collapse; they cost bytes, never
         correctness — probes aggregate min per hash)."""
         import re

@@ -497,11 +497,15 @@ def embedding_neardup_candidates(
     dim = _probe_dim(df, vec_col)
     if dim is None:
         return spark.createDataFrame([], _PAIRS_SCHEMA)
+    df = _valid_vectors(df, vec_col, dim)
     if n_bits == "auto":
+        # count AFTER the validity filter: null/ragged-vector rows never
+        # land in a bucket, so they must not inflate the density
+        # estimate (and the count job scans only what buckets will see)
         n_bits = _auto_bits(df.count(), n_tables)
     elif not isinstance(n_bits, int):
         raise ValueError(f"n_bits must be an int or 'auto', got {n_bits!r}")
-    df = _spread(_valid_vectors(df, vec_col, dim))
+    df = _spread(df)
     buckets_of = _bucket_udf(spark, df, vec_col, n_bits, n_tables, dim)
     tagged = df.select(
         F.col(id_col).alias("_id"),

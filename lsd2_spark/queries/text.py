@@ -2096,7 +2096,11 @@ def q74_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the doc-row and report branches both consume the tagged frame;
     # Spark re-executes common subplans per branch, so materialize once
-    tagged = tagged.localCheckpoint(eager=False)
+    # — through cut_lineage so the session's lineage-cut conf (auto/
+    # reliable on real clusters) governs this site like every other
+    from lsd2_spark.operators.common import cut_lineage
+
+    tagged = cut_lineage(tagged, eager=False)
     docrows = tagged.select(
         F.lit("doc").alias("kind"),
         F.col("doc_id"),
@@ -2145,8 +2149,13 @@ def _q74_sql() -> str:
         )
         + f" || '{_FUNNEL_SENTINEL}'"
     )
+    # unroll one step PAST the cap: min-label propagation is monotone,
+    # so fl{N+1} = fl{N} is exactly "fl{N} is the fixpoint" — the
+    # convergence CTE below turns a too-shallow unroll into an explicit
+    # CC_UNCONVERGED failure row instead of a silent spurious hash
+    # mismatch against the Spark side (which runs to fixpoint)
     cc_steps, prev = [], "fl0"
-    for i in range(1, _FUNNEL_CC_STEPS + 1):
+    for i in range(1, _FUNNEL_CC_STEPS + 2):
         cc_steps.append(f"""
     fl{i} AS MATERIALIZED (
       SELECT l.v, LEAST(l.lbl, COALESCE(m.nl, l.lbl)) AS lbl
@@ -2321,6 +2330,15 @@ def _q74_sql() -> str:
            s.stage AS drop_stage, CAST(NULL AS INTEGER) AS kept,
            CAST(COALESCE(r.docs, 0) AS BIGINT) AS docs
     FROM (VALUES {stage_values}) s(stage) LEFT JOIN rep r ON r.stage = s.stage
+    UNION ALL
+    SELECT 'CC_UNCONVERGED_AFTER_{_FUNNEL_CC_STEPS}_ROUNDS' AS kind,
+           CAST(cnt AS BIGINT) AS doc_id, {null_battery},
+           CAST(NULL AS VARCHAR) AS drop_stage, CAST(NULL AS INTEGER) AS kept,
+           CAST(NULL AS BIGINT) AS docs
+    FROM (SELECT COUNT(*) AS cnt
+          FROM {prev} a JOIN fl{_FUNNEL_CC_STEPS} b
+            ON a.v = b.v AND a.lbl <> b.lbl)
+    WHERE cnt > 0
     """
 
 

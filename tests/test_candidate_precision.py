@@ -231,3 +231,49 @@ def test_embedding_neardup_auto_bits_runs_and_respects_threshold(spark):
     assert (got["sim"] >= 0.95).all()
     with pytest.raises(ValueError, match="auto"):
         embedding_neardup_candidates(df, "embedding", "vec_id", n_bits="wide")
+
+
+def test_auto_bits_ignores_invalid_vector_rows(spark):
+    """ADVICE r11: the auto density rule must size buckets from the
+    rows that actually LAND in buckets — null/ragged vectors are
+    filtered before bucketing, so a corpus that is mostly nulls keeps
+    the small-corpus bit width (here 5k valid rows -> 4 bits even with
+    45k null rows attached; the unfiltered count would pick 7)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(11)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(5000),
+            "embedding": [
+                [float(x) for x in rng.randn(8)] for _ in range(5000)
+            ],
+        }
+    )
+    valid = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    nulls = spark.range(45_000).select(
+        (F.col("id") + 1_000_000).alias("vec_id"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+    )
+    corpus = valid.unionByName(nulls)
+    auto = sorted(
+        map(
+            tuple,
+            embedding_neardup_candidates(
+                corpus, "embedding", "vec_id", n_bits="auto", n_tables=4
+            ).collect(),
+        )
+    )
+    explicit4 = sorted(
+        map(
+            tuple,
+            embedding_neardup_candidates(
+                corpus, "embedding", "vec_id", n_bits=4, n_tables=4
+            ).collect(),
+        )
+    )
+    assert auto == explicit4 and auto, (
+        "auto bits diverged from the 5k-valid-row operating point — "
+        "the density estimate is seeing filtered-out rows"
+    )

@@ -12,7 +12,11 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from lsd2_spark.operators.common import CONF_LINEAGE_CUT, cut_lineage
+from lsd2_spark.operators.common import (
+    CONF_LINEAGE_CUT,
+    cut_lineage,
+    resolve_cut_mode,
+)
 from lsd2_spark.operators.curate import curate_corpus
 from lsd2_spark.operators.dedup import connected_components, dedup_clusters
 
@@ -24,10 +28,10 @@ def checkpoint_dir(spark, tmp_path):
     prev = spark.sparkContext.getCheckpointDir()
     spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
     yield str(tmp_path / "ckpt")
-    # pyspark has no unsetCheckpointDir; restore the previous one or
-    # leave the temp dir (harmless) if none was set before
-    if prev is not None:
-        spark.sparkContext.setCheckpointDir(prev)
+    # restore EXACTLY: under the "auto" conf default a lingering
+    # checkpoint dir would flip every later test's cuts to reliable
+    # (setCheckpointDir(None) unsets — Option(null) is None scalaside)
+    spark.sparkContext.setCheckpointDir(prev)
 
 
 def _docs(spark):
@@ -87,6 +91,83 @@ def test_session_conf_persist_downgrades_at_true_cut_sites(spark):
 def test_bad_mode_rejected(spark):
     with pytest.raises(ValueError, match="lineage-cut mode"):
         cut_lineage(spark.range(1), mode="banana")
+
+
+def test_auto_resolves_local_without_checkpoint_dir(spark):
+    if spark.sparkContext.getCheckpointDir() is not None:
+        pytest.skip("a checkpoint dir leaked from another test")
+    assert resolve_cut_mode(spark, "auto") == "local"
+    assert resolve_cut_mode(spark, None) == "local"  # conf default IS auto
+
+
+def test_auto_resolves_reliable_with_checkpoint_dir(spark, checkpoint_dir):
+    assert resolve_cut_mode(spark, "auto") == "reliable"
+    assert resolve_cut_mode(spark, None) == "reliable"
+    # and a conf-default cut actually lands files in the reliable dir
+    out = cut_lineage(spark.range(20), mode=None)
+    assert out.count() == 20
+    found = [f for _, _, fs in os.walk(checkpoint_dir) for f in fs]
+    assert found, "auto+checkpoint-dir cut did not write reliable files"
+
+
+def test_session_persist_downgrades_to_reliable_with_dir(
+    spark, checkpoint_dir, caplog
+):
+    """ADVICE r11: a session-wide persist (chosen FOR executor-loss
+    robustness) must downgrade to the executor-loss-SAFE real cut when
+    one is available, and must say so."""
+    spark.conf.set(CONF_LINEAGE_CUT, "persist")
+    try:
+        import logging
+
+        with caplog.at_level(logging.WARNING, "lsd2_spark.operators.common"):
+            assert resolve_cut_mode(spark, None) == "reliable"
+        assert any("downgrading" in r.message for r in caplog.records)
+    finally:
+        spark.conf.unset(CONF_LINEAGE_CUT)
+
+
+def test_session_persist_downgrade_to_local_warns(spark, caplog):
+    if spark.sparkContext.getCheckpointDir() is not None:
+        pytest.skip("a checkpoint dir leaked from another test")
+    spark.conf.set(CONF_LINEAGE_CUT, "persist")
+    try:
+        import logging
+
+        with caplog.at_level(logging.WARNING, "lsd2_spark.operators.common"):
+            assert resolve_cut_mode(spark, None) == "local"
+        assert any("executor-loss FATAL" in r.message for r in caplog.records)
+    finally:
+        spark.conf.unset(CONF_LINEAGE_CUT)
+
+
+def test_cc_fixpoint_checkpoint_files_stay_bounded(spark, checkpoint_dir):
+    """VERDICT r11 #2: the CC fixpoint deletes round N-1's reliable
+    checkpoint as soon as round N materializes — a long fixpoint must
+    hold <= 2 rounds of files in the job store, not one corpus-scale
+    snapshot per round."""
+    n = 9  # a chain 0-1-...-8: diameter forces ~n rounds
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id1 long, id2 long"
+    )
+    stats: dict = {}
+    out = connected_components(
+        verts, edges, "id", lineage_cut="reliable", stats=stats
+    )
+    labels = sorted(map(tuple, out.collect()))
+    assert labels == [(i, 0) for i in range(n)]  # one component, min label
+    assert stats["converged"] and stats["rounds"] >= 4, stats
+    rdd_dirs = [
+        d
+        for root, dirs, _ in os.walk(checkpoint_dir)
+        for d in dirs
+        if d.startswith("rdd-")
+    ]
+    assert len(rdd_dirs) <= 2, (
+        f"{stats['rounds']} fixpoint rounds left {len(rdd_dirs)} checkpoint "
+        f"dirs on disk — per-round cleanup is not happening: {rdd_dirs}"
+    )
 
 
 def test_connected_components_reliable_equals_local(spark, checkpoint_dir):
