@@ -2343,3 +2343,113 @@ def _q74_sql() -> str:
 
 
 register("q74_curation_funnel", q74_curation_funnel, _q74_sql())
+
+
+# ---------------------------------------------------------------------------
+# Q75 — ExactSubstr repeated-substring scrubbing
+# (operators/substring_dedup.py): the Lee et al. 2022 duplication mode
+# that document-level dedup misses — long spans repeated VERBATIM
+# inside otherwise-distinct documents.  The query plants the realistic
+# victim shape on top of the organic corpus: a licence-boilerplate
+# prefix welded onto 10% of documents (every variant shares the same
+# 12-token header AND duplicates its source document's entire text),
+# then scrubs every duplicated >=8-token window except its globally
+# first occurrence and returns the rebuilt text + removal accounting.
+# The Spark plan is one window-key shuffle (groupBy over token
+# windows) + one per-document window-function interval merge + an
+# array rebuild — no Python anywhere; the DuckDB oracle replays the
+# identical semantics with window functions over the gram strings
+# (grouping by the gram itself, where Spark keys the shuffle by
+# xxhash64(gram) — identical up to 2^-64 collisions).
+
+_ES_L = 8  # ExactSubstr window length (tokens)
+_ES_BOILER = " ".join(f"lic{i:02d}" for i in range(12))
+
+
+def q75_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lsd2_spark.operators.substring_dedup import remove_repeated_spans
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 3).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat_ws(" ", F.lit(_ES_BOILER), F.col("text")).alias("text"),
+        )
+    )
+    out = remove_repeated_spans(corpus, "text", "doc_id", min_tokens=_ES_L)
+    return out.select(
+        "doc_id",
+        "clean_text",
+        F.col("n_tokens_removed").cast("int").alias("n_tokens_removed"),
+        F.col("n_spans").cast("int").alias("n_spans"),
+    )
+
+
+def _q75_sql() -> str:
+    ws = r"[ \t\n\r\f]+"
+    L = _ES_L
+    return f"""
+    WITH corpus AS MATERIALIZED (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, '{_ES_BOILER} ' || text AS text
+      FROM documents WHERE doc_id % 10 = 3
+    ), t AS MATERIALIZED (
+      SELECT doc_id, text, regexp_split_to_array(text, '{ws}') AS toks
+      FROM corpus
+    ), win AS MATERIALIZED (
+      SELECT doc_id, s AS start,
+             array_to_string(list_slice(toks, s, s + {L - 1}), ' ') AS gram
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - {L} + 2)) AS s
+            FROM t WHERE len(toks) >= {L})
+    ), marked AS MATERIALIZED (
+      SELECT doc_id, start,
+             COUNT(*) OVER (PARTITION BY gram) AS n,
+             ROW_NUMBER() OVER (PARTITION BY gram
+                                ORDER BY doc_id, start) AS rn
+      FROM win
+    ), removable AS MATERIALIZED (
+      SELECT doc_id, start FROM marked WHERE n > 1 AND rn > 1
+    ), spans AS MATERIALIZED (
+      SELECT doc_id, MIN(start) AS s, MAX(start) + {L} AS e
+      FROM (SELECT doc_id, start,
+                   SUM(CASE WHEN prev IS NULL OR start - prev > {L}
+                            THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY start
+                           ROWS UNBOUNDED PRECEDING) AS sid
+            FROM (SELECT doc_id, start,
+                         LAG(start) OVER (PARTITION BY doc_id
+                                          ORDER BY start) AS prev
+                  FROM removable))
+      GROUP BY doc_id, sid
+    ), agg AS MATERIALIZED (
+      SELECT doc_id, CAST(SUM(e - s) AS INTEGER) AS removed,
+             CAST(COUNT(*) AS INTEGER) AS n_spans
+      FROM spans GROUP BY doc_id
+    ), tok_pos AS (
+      SELECT doc_id, i, toks[i] AS tok
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+            FROM t)
+    ), kept AS (
+      SELECT p.doc_id, p.i, p.tok
+      FROM tok_pos p
+      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = p.doc_id
+                          AND p.i >= s.s AND p.i < s.e)
+    ), rebuilt AS MATERIALIZED (
+      SELECT doc_id, COALESCE(string_agg(tok, ' ' ORDER BY i), '') AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CASE WHEN a.n_spans IS NOT NULL
+                THEN COALESCE(r.clean_text, '')
+                ELSE c.text END AS clean_text,
+           COALESCE(a.removed, 0) AS n_tokens_removed,
+           COALESCE(a.n_spans, 0) AS n_spans
+    FROM corpus c
+    LEFT JOIN agg a USING (doc_id)
+    LEFT JOIN rebuilt r USING (doc_id)
+    """
+
+
+register("q75_exact_substr", q75_exact_substr, _q75_sql())
