@@ -178,7 +178,7 @@ def main() -> None:
         # re-ingest instead of no-opping.
         from lsd2_spark.catalog import Catalog
 
-        stream_walls = []
+        stream_walls, stream_append_secs = [], []
         for i in range(3):
             rdir = f"{tmp}/scat{i}"
             shutil.copytree(f"{tmp}/cat", rdir)
@@ -192,6 +192,9 @@ def main() -> None:
             t0 = time.perf_counter()
             writer.run_available(f"{tmp}/ckpt{i}")
             stream_walls.append(time.perf_counter() - t0)
+            stream_append_secs.append(
+                round(sum(b["append_sec"] for b in writer.batch_stats), 3)
+            )
         stream_dt = sorted(stream_walls)[len(stream_walls) // 2]
         # reported under "streaming", NOT summed into the headline
         # total, so round-over-round totals stay comparable with the
@@ -206,6 +209,15 @@ def main() -> None:
             "wall_sec": round(stream_dt, 3),
             "rows_per_sec": round(n_stream_rows / stream_dt, 1),
             "min_rows_per_sec": round(n_stream_rows / min(stream_walls), 1),
+            # per-run catalog-append wall vs total: the remainder is
+            # Structured Streaming scheduling/IO overhead — the split
+            # that makes round-over-round drift attributable (code
+            # cost moves append_sec; machine noise moves both)
+            "append_sec_runs": stream_append_secs,
+            "overhead_sec_runs": [
+                round(w - a, 3)
+                for w, a in zip(stream_walls, stream_append_secs)
+            ],
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -376,13 +376,27 @@ def test_stream_into_catalog_incremental_ingest(spark, tmp_path):
         .parquet(str(inbox / "*.parquet"))
     )
     writer = sev.stream_into_catalog(stream, cat)
+    import time as _time
+
+    t0 = _time.perf_counter()
     writer.run_available(str(tmp_path / "ckpt"))
+    wall = _time.perf_counter() - t0
 
     got = writer.catalog
     assert got.meta.n_sources == 3800
     assert got.df().count() == 3800
     all_sids = set(got.df().select("sid").toPandas()["sid"])
     assert all_sids == set(range(3800))
+    # per-batch breakdown recorded (the bench reads it to split append
+    # cost from Structured Streaming overhead), and a VERY conservative
+    # throughput floor — 10-30x headroom over idle-box numbers, so it
+    # only trips on an order-of-magnitude regression (e.g. an O(n^2)
+    # slip in the append path), never on machine load
+    assert [b["batch_id"] for b in writer.batch_stats] == [0, 1]
+    assert all(0 < b["append_sec"] < 30 for b in writer.batch_stats), (
+        writer.batch_stats
+    )
+    assert wall < 120, f"800 rows / 2 micro-batches took {wall:.0f}s"
 
 
 def test_stream_into_catalog_crash_mid_batch_restarts_exactly_once(spark, tmp_path):
