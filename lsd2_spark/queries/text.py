@@ -2366,7 +2366,7 @@ _ES_L = 8  # ExactSubstr window length (tokens)
 _ES_BOILER = " ".join(f"lic{i:02d}" for i in range(12))
 
 
-def q75_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q75_substr_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lsd2_spark.operators.substring_dedup import remove_repeated_spans
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -2452,4 +2452,56 @@ def _q75_sql() -> str:
     """
 
 
-register("q75_exact_substr", q75_exact_substr, _q75_sql())
+# MERGED into the q67 gate row (the gate surface is pinned at exactly
+# 50 rows — COVERAGE.md merge discipline; a 51st registration would be
+# silently truncated from the driver artifact).  q67_line_dedup below
+# re-registers itself as the union of the line-dedup and exact-substr
+# parts, replacing its round-9 single-part registration.
+
+
+def q67_line_and_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged gate row (round 12): CCNet line/paragraph dedup (the
+    original q67) UNION the ExactSubstr repeated-span scrub — both are
+    sub-document repeated-content removal with text rebuild, the same
+    grain, disambiguated by ``kind``."""
+    line = q67_line_dedup(spark, sf_dir)
+    sub = _q75_substr_part(spark, sf_dir)
+    return line.select(
+        F.lit("line").alias("kind"),
+        "doc_id",
+        "clean_text",
+        "n_lines",
+        "n_lines_removed",
+        "n_chars_removed",
+        F.lit(None).cast("int").alias("n_tokens_removed"),
+        F.lit(None).cast("int").alias("n_spans"),
+    ).unionByName(
+        sub.select(
+            F.lit("substr").alias("kind"),
+            "doc_id",
+            "clean_text",
+            F.lit(None).cast("long").alias("n_lines"),
+            F.lit(None).cast("long").alias("n_lines_removed"),
+            F.lit(None).cast("long").alias("n_chars_removed"),
+            "n_tokens_removed",
+            "n_spans",
+        )
+    )
+
+
+_Q67_MERGED_SQL = f"""
+    SELECT 'line' AS kind, q.doc_id, q.clean_text,
+           q.n_lines, q.n_lines_removed, q.n_chars_removed,
+           CAST(NULL AS INTEGER) AS n_tokens_removed,
+           CAST(NULL AS INTEGER) AS n_spans
+    FROM ({_Q67_SQL}) q
+    UNION ALL
+    SELECT 'substr' AS kind, s.doc_id, s.clean_text,
+           CAST(NULL AS BIGINT) AS n_lines,
+           CAST(NULL AS BIGINT) AS n_lines_removed,
+           CAST(NULL AS BIGINT) AS n_chars_removed,
+           s.n_tokens_removed, s.n_spans
+    FROM ({_q75_sql()}) s
+    """
+
+register("q67_line_dedup", q67_line_and_substr_dedup, _Q67_MERGED_SQL)
