@@ -262,13 +262,17 @@ class StreamingCatalogWriter:
         self._compact_every = max(1, int(compact_every))
         self._applied = 0
         #: per-applied-batch wall breakdown, appended by ``_apply``
-        #: (foreachBatch runs on the driver, so plain list appends are
+        #: (foreachBatch runs on the driver, so plain appends are
         #: safe): ``{"batch_id", "append_sec", "rebalance_sec",
         #: "compact_sec"}``.  The bench reads this to separate catalog-
         #: append cost from Structured Streaming scheduling overhead —
         #: without the split, round-over-round throughput drift is
-        #: unattributable (VERDICT r11 "What's wrong" #4).
-        self.batch_stats: list[dict] = []
+        #: unattributable (VERDICT r11 "What's wrong" #4).  Bounded
+        #: (last 10k batches) so a long-lived stream cannot grow driver
+        #: memory without limit.
+        from collections import deque
+
+        self.batch_stats: "deque[dict]" = deque(maxlen=10_000)
 
     def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
         import time
