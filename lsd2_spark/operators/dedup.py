@@ -318,6 +318,7 @@ def dedup_clusters(
     bands: int = 4,
     score_col: str | None = None,
     lineage_cut: str | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """End-to-end fuzzy dedup: LSH candidate pairs → jaccard threshold
     → connected components (run to fixpoint; ``n_steps`` caps the
@@ -331,13 +332,17 @@ def dedup_clusters(
     with ``text_analysis.quality_score``).  The score path adds one
     partial-aggregable max per cluster — same shuffle count.
     ``lineage_cut`` picks the CC fixpoint's per-round checkpoint
-    flavor — ``"local"`` (default) or ``"reliable"`` for preemptible
-    clusters (see :func:`connected_components`)."""
+    flavor (see :func:`connected_components`; the ``"auto"`` default
+    resolves to reliable whenever a checkpoint dir is set).
+    ``stats``, if given, receives the fixpoint's ``rounds``/
+    ``converged`` — log it in production so an approaching ``n_steps``
+    cap is visible before it warns."""
     edges = lsh_candidate_pairs(df, text_col, id_col, bands).filter(
         F.col("jaccard_est") >= min_jaccard
     )
     cc = connected_components(
-        df.select(id_col), edges, id_col, n_steps, lineage_cut=lineage_cut
+        df.select(id_col), edges, id_col, n_steps, lineage_cut=lineage_cut,
+        stats=stats,
     )
     if score_col is None:
         return cc.select(

@@ -2120,7 +2120,12 @@ def q74_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docrows.unionByName(report)
 
 
-def _q74_sql() -> str:
+def _q74_sql(steps: int = _FUNNEL_CC_STEPS) -> str:
+    """``steps`` parameterizes the oracle's CC unroll depth (the gate
+    registers the default).  Exposed so tests can prove the
+    convergence guard FIRES: with ``steps=0`` the check compares fl1
+    against the initial labels, which differ on any corpus with at
+    least one fuzzy edge, so the CC_UNCONVERGED row must appear."""
     from lsd2_spark.operators.curate import FUNNEL_STAGES
     from lsd2_spark.operators.quality_rules import GOPHER_STOPWORDS
     from lsd2_spark.operators.text_normalize import strip_control_chars_sql
@@ -2155,7 +2160,7 @@ def _q74_sql() -> str:
     # CC_UNCONVERGED failure row instead of a silent spurious hash
     # mismatch against the Spark side (which runs to fixpoint)
     cc_steps, prev = [], "fl0"
-    for i in range(1, _FUNNEL_CC_STEPS + 2):
+    for i in range(1, steps + 2):
         cc_steps.append(f"""
     fl{i} AS MATERIALIZED (
       SELECT l.v, LEAST(l.lbl, COALESCE(m.nl, l.lbl)) AS lbl
@@ -2331,12 +2336,12 @@ def _q74_sql() -> str:
            CAST(COALESCE(r.docs, 0) AS BIGINT) AS docs
     FROM (VALUES {stage_values}) s(stage) LEFT JOIN rep r ON r.stage = s.stage
     UNION ALL
-    SELECT 'CC_UNCONVERGED_AFTER_{_FUNNEL_CC_STEPS}_ROUNDS' AS kind,
+    SELECT 'CC_UNCONVERGED_AFTER_{steps}_ROUNDS' AS kind,
            CAST(cnt AS BIGINT) AS doc_id, {null_battery},
            CAST(NULL AS VARCHAR) AS drop_stage, CAST(NULL AS INTEGER) AS kept,
            CAST(NULL AS BIGINT) AS docs
     FROM (SELECT COUNT(*) AS cnt
-          FROM {prev} a JOIN fl{_FUNNEL_CC_STEPS} b
+          FROM {prev} a JOIN fl{steps} b
             ON a.v = b.v AND a.lbl <> b.lbl)
     WHERE cnt > 0
     """

@@ -212,12 +212,16 @@ def test_dedup_clusters_reliable_equals_local(spark, checkpoint_dir):
     base = sorted(
         map(tuple, dedup_clusters(docs, "text", "doc_id", min_jaccard=0.5).collect())
     )
+    stats: dict = {}
     rel = sorted(
         map(
             tuple,
             dedup_clusters(
-                docs, "text", "doc_id", min_jaccard=0.5, lineage_cut="reliable"
+                docs, "text", "doc_id", min_jaccard=0.5,
+                lineage_cut="reliable", stats=stats,
             ).collect(),
         )
     )
     assert rel == base
+    # the observability passthrough reaches the fixpoint
+    assert stats["converged"] and stats["rounds"] >= 1

@@ -136,3 +136,24 @@ def test_load_table_leaves_session_conf_alone_and_memoizes_probe(
     assert [r["e"] for r in df2.select(
         F.col("ts").cast("long").alias("e")).orderBy("e").collect()
     ] == [m // 1_000_000 for m in micros]
+
+
+def test_q74_oracle_convergence_guard_fires_and_is_silent_when_converged(duck):
+    """ADVICE r11: the q74 oracle unrolls its CC fixpoint to a fixed
+    depth while Spark runs to convergence — a too-shallow unroll must
+    surface as an explicit failure row, not a spurious hash mismatch.
+    With steps=0 the guard compares round 1 against the initial labels
+    (different on any corpus with >= 1 fuzzy edge), so the
+    CC_UNCONVERGED row MUST appear; at the registered depth it must
+    not (the sf0.001 corpus converges, as every gate run proves)."""
+    from lsd2_spark.queries.text import _q74_sql
+
+    shallow = duck.execute(_q74_sql(steps=0)).df()
+    guard = shallow[shallow["kind"].str.startswith("CC_UNCONVERGED")]
+    assert len(guard) == 1, "steps=0 must trip the convergence guard"
+    assert int(guard["doc_id"].iloc[0]) > 0  # count of diverged labels
+
+    full = duck.execute(_q74_sql()).df()
+    assert not full["kind"].str.startswith("CC_UNCONVERGED").any()
+    # and the guard row is the ONLY difference in row count
+    assert len(shallow) >= len(full)
