@@ -333,19 +333,24 @@ def main() -> None:
         n_l = left_u.count()
         import numpy as _np
 
-        hot_ra, hot_dec = 45.0, 10.0
-        hot_pix = int(hpx.ang2pix(_XMATCH_ORDER, _np.array([hot_ra]),
-                                  _np.array([hot_dec]))[0])
-        # ~50x the uniform per-cell population, jittered a few degrees
-        # around the blob center (order-2 pixels are ~15 deg wide)
+        hot_pix = int(hpx.ang2pix(_XMATCH_ORDER, _np.array([45.0]),
+                                  _np.array([10.0]))[0])
+        # center the blob on the PIXEL center (not an arbitrary point)
+        # and keep the signed hash jitter within ±2.5° so the dense
+        # mass stays inside the one ~15°-wide order-2 cell the probe
+        # exists to stress — spillover into neighbors would dilute the
+        # adversarial shape and understate the refined-map lever
+        hot_ra = float(hpx.pix2ang(_XMATCH_ORDER, _np.array([hot_pix]))[0][0])
+        hot_dec = float(hpx.pix2ang(_XMATCH_ORDER, _np.array([hot_pix]))[1][0])
+        # ~50x the uniform per-cell population
         n_blob = max(50 * n_l // hpx.npix(_XMATCH_ORDER), 500)
 
         def blob(id_base):
             return spark.range(n_blob).select(
                 (F.col("id") + id_base).alias("bid"),
-                (F.lit(hot_ra) + (F.hash(F.col("id")) % 1000) / 250.0
+                (F.lit(hot_ra) + (F.hash(F.col("id")) % 1000) / 400.0
                  ).alias("ra"),
-                (F.lit(hot_dec) + (F.hash(F.col("id") + 7) % 1000) / 250.0
+                (F.lit(hot_dec) + (F.hash(F.col("id") + 7) % 1000) / 400.0
                  ).alias("dec"),
             )
 
@@ -369,17 +374,29 @@ def main() -> None:
 
         def run(cov):
             t0 = time.perf_counter()
-            n = crossmatch_dataframes(
+            out = crossmatch_dataframes(
                 left_s, right_s, cov, cov,
                 l_ra="ra", l_dec="dec", l_id="left_id",
                 r_ra="ra", r_dec="dec", r_id="right_id",
                 n_neighbors=XMATCH_K, dthresh=XMATCH_DTHRESH,
                 left_name="l", right_name="r",
-            ).count()
-            return round(time.perf_counter() - t0, 3), int(n)
+            )
+            # ONE action: count + an order-independent checksum of the
+            # (left_id, right_id) PAIR SET — a refinement defect that
+            # swaps which neighbors are emitted while keeping the
+            # count identical must not pass as "equal results".
+            # bit_xor, not sum: ANSI mode overflows a long sum of 2^63-
+            # range hashes, and xor is order-independent without it
+            row = out.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(l_left_id, r_right_id))").alias(
+                    "chk"
+                ),
+            ).first()
+            return round(time.perf_counter() - t0, 3), int(row["n"]), row["chk"]
 
-        coarse_sec, coarse_pairs = run(coarse)
-        refined_sec, refined_pairs = run(refined)
+        coarse_sec, coarse_pairs, coarse_chk = run(coarse)
+        refined_sec, refined_pairs, refined_chk = run(refined)
         xskew = {
             "blob_rows_per_side": int(n_blob),
             "hot_pix_order": _XMATCH_ORDER,
@@ -387,7 +404,8 @@ def main() -> None:
             "coarse_sec": coarse_sec,
             "refined_sec": refined_sec,
             "refined_speedup": round(coarse_sec / max(refined_sec, 1e-9), 2),
-            "pairs_equal": coarse_pairs == refined_pairs,
+            "pairs_equal": (coarse_pairs == refined_pairs)
+            and (coarse_chk == refined_chk),
             "pairs": coarse_pairs,
         }
     except Exception as e:  # never let the probe break the artifact
@@ -1071,13 +1089,13 @@ def main() -> None:
         print(f"bench: could not write detail file {detail_path}: {e}",
               file=sys.stderr)
     print(json.dumps(result), file=sys.stderr)
-    line = json.dumps(compact_headline(result)) + "\n"
+    line = json.dumps(compact_headline(result, detail_path)) + "\n"
     os.write(real_stdout, line.encode())
     os.close(real_stdout)
     spark.stop()
 
 
-def compact_headline(result: dict) -> dict:
+def compact_headline(result: dict, detail_path: str | None = None) -> dict:
     """The ONE-line stdout artifact, sized for the driver's 2,000-byte
     capture window: total + per-query MIN-of-repeats (the load-robust
     number round-over-round comparisons read) + one scalar per scale
@@ -1092,9 +1110,11 @@ def compact_headline(result: dict) -> dict:
     for name, d in (result.get("density_x10") or {}).items():
         if isinstance(d, dict) and "exec_ratio" in d:
             probes[name.replace("_x10", "")] = d["exec_ratio"]
+    # named *_sec / *_speedup so seconds and speedups are never read as
+    # the dimensionless x10 growth ratios that fill the rest of the dict
     xm = result.get("crossmatch_x10") or {}
     if "exec_sec" in xm:
-        probes["crossmatch"] = xm["exec_sec"]
+        probes["crossmatch_sec"] = xm["exec_sec"]
     xs = result.get("crossmatch_skew") or {}
     if "refined_speedup" in xs:
         probes["xmatch_skew_speedup"] = xs["refined_speedup"]
@@ -1106,7 +1126,9 @@ def compact_headline(result: dict) -> dict:
         "stat": f"min_of_{result.get('repeats', '?')}",
         "queries": qmin,
         "probe_ratios": probes,
-        "detail": "BENCH_local_detail.json",
+        "detail": os.path.basename(detail_path)
+        if detail_path
+        else "BENCH_local_detail.json",
     }
     streaming = result.get("streaming") or {}
     if "min_rows_per_sec" in streaming:

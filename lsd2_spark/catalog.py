@@ -1212,11 +1212,20 @@ class Catalog:
         # lineage cut: the dynamic overwrite below writes into the
         # same neighbor/ tree some candidates were read from — truncate
         # the lineage so the write doesn't read its own output path.
-        # Flavor from the session conf (local default; "reliable" on
-        # preemptible clusters — see operators/common.cut_lineage).
-        from lsd2_spark.operators.common import cut_lineage
+        # Flavor from the session conf ("auto": reliable iff a
+        # checkpoint dir is set — see operators/common.cut_lineage);
+        # the cut is consumed entirely by this halo rewrite, so a
+        # reliable checkpoint is deleted once the rewrite lands (a
+        # stream with auto_rebalance would otherwise leave one
+        # snapshot per rebalance in the job store).
+        from lsd2_spark.operators.common import (
+            checkpoint_file_of,
+            cut_lineage,
+            remove_checkpoint_file,
+        )
 
         cands = cut_lineage(cands.dropDuplicates([meta.id_kw]))
+        halo_ckpt = checkpoint_file_of(cands)
 
         child_hips: dict[int, list[int]] = {}
         for o2, cp in child_cells:
@@ -1255,6 +1264,8 @@ class Catalog:
             self._fs.rmtree(
                 f"{self.path}/neighbor/Norder={o}/Dir={int(_dir_value(p))}/Npix={p}"
             )
+        if halo_ckpt is not None:  # rewrite landed; the cut is dead
+            remove_checkpoint_file(spark, halo_ckpt)
 
     def rebalance(
         self, threshold: int | None = None, max_order: int = 11

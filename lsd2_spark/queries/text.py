@@ -2397,7 +2397,12 @@ def _q75_sql() -> str:
     WITH corpus AS MATERIALIZED (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 1000000 AS doc_id, '{_ES_BOILER} ' || text AS text
+      -- concat_ws twin: Spark SKIPS null/absent args, so a NULL text
+      -- yields the bare boilerplate (no trailing separator), while
+      -- '||' would propagate the NULL and fork the engines
+      SELECT doc_id + 1000000 AS doc_id,
+             CASE WHEN text IS NULL THEN '{_ES_BOILER}'
+                  ELSE '{_ES_BOILER} ' || text END AS text
       FROM documents WHERE doc_id % 10 = 3
     ), t AS MATERIALIZED (
       SELECT doc_id, text, regexp_split_to_array(text, '{ws}') AS toks

@@ -239,13 +239,22 @@ class StreamingDedupIndexWriter:
         )
         survivors = batch.join(clean.select(ic), ic, "left_semi")
         # cut the multi-action plan once: written, indexed, and counted.
-        # Mode comes from the session conf (CONF_LINEAGE_CUT): "local"
-        # by default; long-lived streaming jobs on preemptible clusters
-        # set "reliable" once so a lost executor between the cut and
-        # the batch commit can't kill the query.
-        from lsd2_spark.operators.common import cut_lineage
+        # Mode comes from the session conf (CONF_LINEAGE_CUT): "auto"
+        # resolves to "reliable" whenever the job set a checkpoint dir,
+        # so a lost executor between the cut and the batch commit can't
+        # kill the query; "local" otherwise.  The cut is batch-scoped —
+        # once the batch commits, nothing re-reads it — so a reliable
+        # checkpoint is DELETED after commit: without that, a long-
+        # lived stream writes one corpus-scale snapshot per micro-batch
+        # into the job store and never reclaims any.
+        from lsd2_spark.operators.common import (
+            checkpoint_file_of,
+            cut_lineage,
+            remove_checkpoint_file,
+        )
 
         survivors = cut_lineage(survivors, eager=True)
+        batch_ckpt = checkpoint_file_of(survivors)
 
         # 3. accept: fence first (the marker must be durable BEFORE any
         #    index mutation, so every state where this batch's rows are
@@ -274,6 +283,10 @@ class StreamingDedupIndexWriter:
         self.index.update(survivors)
         self.stats.append((int(batch_id), int(n_in), int(survivors.count())))
         self._commit(batch_id)
+        # the batch is committed — its checkpoint blocks are dead; free
+        # the job store before the next micro-batch
+        if batch_ckpt is not None:
+            remove_checkpoint_file(survivors.sparkSession, batch_ckpt)
 
     # -- drivers ---------------------------------------------------------
 

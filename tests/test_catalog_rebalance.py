@@ -348,3 +348,32 @@ def test_rebalance_threshold_zero_raises(spark, tmp_path):
         cat.rebalance(threshold=0)
     with pytest.raises(ValueError, match="threshold"):
         cat.rebalance(threshold=-5)
+
+
+def test_rebalance_reliable_cuts_are_reclaimed(spark, tmp_path):
+    """Round-12: under the "auto" lineage-cut default a session with a
+    checkpoint dir makes the halo-rebuild cut a RELIABLE checkpoint;
+    it is consumed entirely by the rewrite, so rebalance must delete
+    it — an auto_rebalance stream would otherwise leave one snapshot
+    per rebalance in the job store."""
+    import os as _os
+
+    cat = _build_over(spark, tmp_path, "rbrc")
+    job_ckpt = str(tmp_path / "jobstore")
+    prev = spark.sparkContext.getCheckpointDir()
+    spark.sparkContext.setCheckpointDir(job_ckpt)
+    try:
+        cat2 = cat.rebalance(threshold=700)
+    finally:
+        spark.sparkContext.setCheckpointDir(prev)
+    assert cat2.fsck()["consistent"]
+    assert cat2.df().count() == cat.meta.n_sources
+    leftovers = [
+        d
+        for _, dirs, _ in _os.walk(job_ckpt)
+        for d in dirs
+        if d.startswith("rdd-")
+    ]
+    assert leftovers == [], (
+        f"rebalance left reliable checkpoints behind: {leftovers}"
+    )

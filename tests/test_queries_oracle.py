@@ -157,3 +157,40 @@ def test_q74_oracle_convergence_guard_fires_and_is_silent_when_converged(duck):
     assert not full["kind"].str.startswith("CC_UNCONVERGED").any()
     # and the guard row is the ONLY difference in row count
     assert len(shallow) >= len(full)
+
+
+def test_q75_substr_oracle_handles_null_text_documents(spark, tmp_path):
+    """Engine-fork regression (round-12 review): Spark concat_ws SKIPS
+    a NULL text when building the boilerplate variant while SQL '||'
+    would propagate it — the oracle uses a CASE twin.  The shipped sf
+    dirs have zero NULL texts, so this pins the fork on a crafted
+    corpus where two of three docs are NULL."""
+    import duckdb
+    import pandas as pd
+
+    from lsd2_spark.queries.text import _q75_sql, _q75_substr_part
+    from tests.oracle_harness import canonical_hash
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [3, 13, 23],
+            "text": [
+                None,
+                "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+                None,
+            ],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = _q75_substr_part(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.execute(_q75_sql()).df()
+    assert len(got) == len(want) == 6  # 3 docs + 3 boilerplate variants
+    assert canonical_hash(got) == canonical_hash(want)
+    # the NULL-text variants reduce to the bare boilerplate, which is
+    # itself repeated across variants — spans must exist on exactly one
+    null_variants = got[got.doc_id.isin([1000003, 1000023])]
+    assert (null_variants.n_spans > 0).sum() == 1

@@ -302,3 +302,51 @@ def test_fence_crash_at_every_marker_write_converges(spark, seeded, crash_on):
     assert spark.read.parquet(os.path.join(accept, "batch_id=1")).count() == 0
     flags = idx.probe(_docs(spark, [(99, BASE[2])]), threshold=0.5).collect()[0]
     assert flags["exact_dup_of"] == 12
+
+
+def test_streaming_reliable_cuts_are_reclaimed_after_commit(spark, tmp_path):
+    """Round-12: under the "auto" lineage-cut default, a session with a
+    checkpoint dir makes every per-batch survivor cut a RELIABLE
+    checkpoint — and since the cut is batch-scoped, the writer must
+    delete it after the batch commits.  Without reclamation a long
+    stream writes one corpus-scale snapshot per micro-batch into the
+    job store and never frees any."""
+    idx = DedupIndex.build(
+        _docs(spark, [(1, BASE[0]), (2, BASE[1])]), "text", "doc_id",
+        str(tmp_path / "idx"),
+    )
+    accept = str(tmp_path / "accept")
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    _docs(spark, [(10, BASE[2])]).coalesce(1).write.parquet(
+        str(inbox / "f0.parquet")
+    )
+    _docs(spark, [(11, BASE[2] + " extra tail tokens here")]).coalesce(
+        1
+    ).write.parquet(str(inbox / "f1.parquet"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{inbox}/*.parquet")
+    )
+    job_ckpt = str(tmp_path / "jobstore")
+    prev = spark.sparkContext.getCheckpointDir()
+    spark.sparkContext.setCheckpointDir(job_ckpt)
+    try:
+        w = stream_dedup_into_index(stream, idx, accept, threshold=0.5)
+        w.run_available(str(tmp_path / "squery_ckpt"))
+    finally:
+        spark.sparkContext.setCheckpointDir(prev)
+    # both batches committed; doc 10 accepted in batch 0
+    got = spark.read.parquet(os.path.join(accept, "batch_id=0"))
+    assert [r["doc_id"] for r in got.collect()] == [10]
+    # every batch-scoped reliable checkpoint was reclaimed
+    leftovers = [
+        d
+        for _, dirs, _ in os.walk(job_ckpt)
+        for d in dirs
+        if d.startswith("rdd-")
+    ]
+    assert leftovers == [], (
+        f"committed batches left reliable checkpoints behind: {leftovers}"
+    )
