@@ -66,6 +66,7 @@ def curate_corpus(
     decontam_hashed: bool = False,
     fix_encoding: bool = True,
     lineage_cut: str | None = None,
+    stats: dict | None = None,
     **gopher_kwargs,
 ) -> DataFrame:
     """Tag every document with the full curation funnel's verdicts.
@@ -92,7 +93,9 @@ def curate_corpus(
     collected on the driver.
 
     ``lineage_cut`` picks how the survivor slice (and the fuzzy CC
-    fixpoint) materialize: ``"local"`` (default — localCheckpoint,
+    fixpoint) materialize: the ``"auto"`` default resolves to
+    ``"reliable"`` whenever the session has a checkpoint dir and
+    ``"local"`` otherwise; ``"local"`` (localCheckpoint,
     fastest, executor-loss-FATAL on preemptible clusters),
     ``"reliable"`` (``.checkpoint()`` into the job's checkpoint dir —
     survives executor loss; call ``setCheckpointDir`` first), or
@@ -101,6 +104,10 @@ def curate_corpus(
     needs a true cut and runs its rounds on localCheckpoint).  Or set
     the session conf (:data:`~lsd2_spark.operators.common.
     CONF_LINEAGE_CUT`) once per job.
+
+    ``stats``, if given, receives the fuzzy-dedup fixpoint's
+    ``cc_rounds``/``cc_converged`` — log it in production so an
+    approaching round cap is visible before it warns.
     """
     from lsd2_spark.operators.common import spread_partitions
     from lsd2_spark.operators.dedup import dedup_clusters
@@ -165,6 +172,7 @@ def curate_corpus(
     exact_survivors = survivors.join(
         exact_flag.filter("exact_canonical").select(id_col), id_col
     )
+    cc_stats: dict = {}
     fuzzy = dedup_clusters(
         exact_survivors,
         text_col,
@@ -174,7 +182,11 @@ def curate_corpus(
         score_col="quality",
         # the CC fixpoint needs a TRUE plan cut; persist isn't one
         lineage_cut=None if lineage_cut == "persist" else lineage_cut,
+        stats=cc_stats,
     ).select(id_col, (F.col("is_canonical") == 1).alias("fuzzy_canonical"))
+    if stats is not None:
+        stats["cc_rounds"] = cc_stats.get("rounds")
+        stats["cc_converged"] = cc_stats.get("converged")
 
     # --- stage D: decontamination over fuzzy survivors (broadcast) ---
     if eval_df is not None:

@@ -106,9 +106,14 @@ def test_keep_best_quality_wins_fuzzy_cluster(spark):
     docs = spark.createDataFrame(
         [(7, degraded), (8, GOOD)], "doc_id long, text string"
     )
-    out = curate_corpus(docs, min_words=10, fuzzy_min_jaccard=0.5)
+    stats: dict = {}
+    out = curate_corpus(
+        docs, min_words=10, fuzzy_min_jaccard=0.5, stats=stats
+    )
     got = {r["doc_id"]: r["drop_stage"] for r in out.collect()}
     assert got == {7: "fuzzy_dup", 8: None}
+    # the observability passthrough reaches the fuzzy CC fixpoint
+    assert stats["cc_converged"] and stats["cc_rounds"] >= 1
 
 
 def test_no_eval_df_disables_decontam(spark):
