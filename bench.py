@@ -1145,11 +1145,17 @@ def compact_headline(result: dict, detail_path: str | None = None) -> dict:
         if len(json.dumps(out)) <= 1800:
             break
         out.pop(victim, None)
-    if len(json.dumps(out)) > 1800:  # queries dict itself outgrew it
+    keep = 30
+    while len(json.dumps(out)) > 1800 and keep >= 3:
+        # queries dict itself outgrew the budget: keep the slowest N
         out["queries"] = dict(
-            sorted(out["queries"].items(), key=lambda kv: -kv[1])[:30]
+            sorted(out["queries"].items(), key=lambda kv: -kv[1])[:keep]
         )
-        out["queries_truncated_to_slowest"] = 30
+        out["queries_truncated_to_slowest"] = keep
+        keep //= 2
+    if len(json.dumps(out)) > 1800:  # pathological keys/sf string
+        out["queries"] = {}
+        out["queries_truncated_to_slowest"] = 0
     return out
 
 

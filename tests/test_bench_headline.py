@@ -122,3 +122,52 @@ def test_compact_line_is_single_json_line(bench_mod):
     assert "\n" not in line
     parsed = json.loads(line)
     assert parsed["metric"] == "headline_query_wall_time"
+
+
+def test_compact_line_budget_holds_for_arbitrary_results(bench_mod):
+    """Property: whatever bench.py grows into, the stdout line stays
+    inside the driver's capture window and keeps the contract keys."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    name = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz_0123456789", min_size=1, max_size=40
+    )
+    secs = st.floats(
+        min_value=0.0, max_value=99999.0, allow_nan=False, allow_infinity=False
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        queries=st.dictionaries(name, secs, max_size=80),
+        probes=st.dictionaries(
+            name,
+            st.fixed_dictionaries({"exec_ratio": secs, "base_sec": secs}),
+            max_size=40,
+        ),
+        sf=st.one_of(secs, st.text(max_size=60)),
+    )
+    def check(queries, probes, sf):
+        result = {
+            "metric": "headline_query_wall_time",
+            "value": 1.0,
+            "unit": "sec",
+            "queries": queries,
+            "queries_min": {k: round(v, 3) for k, v in queries.items()},
+            "sf": sf,
+            "repeats": 3,
+            "density_x10": probes,
+            "extras": {"curation_funnel": 1.0},
+            "streaming": {"min_rows_per_sec": 1.0},
+        }
+        line = json.dumps(bench_mod.compact_headline(result))
+        # STRICT: the shedding loop halves the kept-queries count and
+        # finally empties the dict, so no input shape can exceed the
+        # window (an sf string is bounded at 60 here; real sf is a
+        # float or a short path)
+        assert len(line.encode()) <= 1800
+        parsed = json.loads(line)
+        for key in ("metric", "value", "unit", "queries", "sf"):
+            assert key in parsed
+
+    check()
