@@ -225,3 +225,20 @@ def test_dedup_clusters_reliable_equals_local(spark, checkpoint_dir):
     assert rel == base
     # the observability passthrough reaches the fixpoint
     assert stats["converged"] and stats["rounds"] >= 1
+
+
+def test_checkpoint_helpers_degrade_gracefully(spark):
+    """The lifecycle helpers are best-effort by contract: a frame that
+    is not reliably checkpointed yields None (callers skip file
+    management), and deleting a nonexistent URI returns False instead
+    of raising — cleanup must never fail a job."""
+    from lsd2_spark.operators.common import (
+        checkpoint_file_of,
+        remove_checkpoint_file,
+    )
+
+    plain = spark.range(5)
+    assert checkpoint_file_of(plain) is None
+    local = plain.localCheckpoint(eager=True)
+    assert checkpoint_file_of(local) is None  # local cut: blocks, no files
+    assert remove_checkpoint_file(spark, "file:///nonexistent/ckpt/rdd-999") is False
