@@ -1222,10 +1222,14 @@ class Catalog:
             checkpoint_file_of,
             cut_lineage,
             remove_checkpoint_file,
+            resolve_cut_mode,
         )
 
-        cands = cut_lineage(cands.dropDuplicates([meta.id_kw]))
-        halo_ckpt = checkpoint_file_of(cands)
+        halo_cut_mode = resolve_cut_mode(spark)
+        cands = cut_lineage(cands.dropDuplicates([meta.id_kw]), mode=halo_cut_mode)
+        halo_ckpt = checkpoint_file_of(
+            cands, expect_reliable=(halo_cut_mode == "reliable")
+        )
 
         child_hips: dict[int, list[int]] = {}
         for o2, cp in child_cells:

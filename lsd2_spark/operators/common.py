@@ -21,6 +21,18 @@ CONF_LINEAGE_CUT = "spark.lsd2.lineageCut"
 
 _CUT_MODES = ("auto", "local", "reliable", "persist")
 
+# once-per-session warning registry: both warnings below fire on paths
+# that recur per micro-batch / per fixpoint round, and a long-lived
+# stream would otherwise emit the identical line for every batch for
+# the query's lifetime
+_warned_once: set[str] = set()
+
+
+def _warn_once(key: str, msg: str, *args) -> None:
+    if key not in _warned_once:
+        _warned_once.add(key)
+        log.warning(msg, *args)
+
 
 def spread_partitions(df: DataFrame) -> DataFrame:
     """Ensure enough input partitions to parallelize downstream
@@ -72,9 +84,11 @@ def resolve_cut_mode(
         # can take one, and say so either way — a silent downgrade to
         # 'local' would defeat the user's stated safety intent
         fallback = "reliable" if has_dir else "local"
-        log.warning(
+        _warn_once(
+            f"persist-downgrade-{fallback}",
             "%s='persist' is not a plan cut at this call site; "
-            "downgrading to %r%s",
+            "downgrading to %r%s (warning once per session — applies "
+            "to every subsequent cut under this conf)",
             CONF_LINEAGE_CUT,
             fallback,
             (
@@ -162,18 +176,36 @@ def cut_lineage(
     return df.localCheckpoint(eager=eager)
 
 
-def checkpoint_file_of(df: DataFrame) -> str | None:
+def checkpoint_file_of(df: DataFrame, expect_reliable: bool = False) -> str | None:
     """The reliable-checkpoint directory backing ``df`` (a DataFrame
     returned by ``df.checkpoint()`` / ``cut_lineage(mode='reliable')``),
     or None when the frame is not reliably checkpointed.  Reads the
     checkpointed RDD off the ``LogicalRDD`` plan node — internal API,
     so any shape surprise degrades to None (callers then simply skip
-    file management; nothing breaks)."""
+    file management; nothing breaks).
+
+    Callers that just took a RELIABLE cut pass ``expect_reliable=True``:
+    a None then means the internal plan walk broke (Spark Connect, a
+    plan-shape change in a version bump) and every checkpoint-file
+    reclamation in the package is silently off — the job store grows by
+    one corpus-scale snapshot per round/batch.  That degradation is
+    best-effort by design, but it must be DIAGNOSABLE, so it logs a
+    once-per-session warning instead of staying silent."""
     try:
         opt = df._jdf.queryExecution().analyzed().rdd().getCheckpointFile()
-        return opt.get() if opt.isDefined() else None
+        got = opt.get() if opt.isDefined() else None
     except Exception:
-        return None
+        got = None
+    if got is None and expect_reliable:
+        _warn_once(
+            "checkpoint-file-unresolvable",
+            "could not resolve the checkpoint file of a reliably-"
+            "checkpointed DataFrame (internal plan walk failed — Spark "
+            "Connect or a plan-shape change?); per-round/per-batch "
+            "checkpoint reclamation is DISABLED for this session and "
+            "the checkpoint directory will grow until the job ends",
+        )
+    return got
 
 
 def remove_checkpoint_file(spark: SparkSession, uri: str) -> bool:

@@ -222,10 +222,26 @@ def connected_components(
     fixpoint converges in ~3 rounds regardless of cluster SIZE; per-
     round work is |edges| (one equi-join + partial-agg min), never
     |component|².  The shape that would need many rounds is a long
-    CHAIN of near-dups each similar only to its neighbors — atypical
-    for boilerplate (measured: the probe's mega-cluster converges in
-    the same round count as the uniform corpus), and the ``n_steps``
-    cap warns loudly rather than under-merge if one ever appears.
+    CHAIN of near-dups each similar only to its neighbors (measured by
+    the bench ``cc_chain`` probe: rounds = diameter + 1 exactly — a
+    diameter-24 path converges in 25 rounds; capped at ``n_steps=8``
+    it stops unconverged with the corpus split into 9 under-merged
+    fragments and the RuntimeWarning below fired).
+
+    Upgrade decision (recorded with the cc_chain/cc_skew data): stay
+    on min-label propagation with the loud cap rather than move to
+    hash-to-min / star-contraction (O(log n) rounds, Kiveris et al.
+    "Connected Components in MapReduce and Beyond", SoCC'14).  The
+    dense shapes real near-dup corpora produce converge in 2-3 rounds
+    (cc_skew: the 10%-of-corpus mega-cluster takes the SAME rounds as
+    the uniform corpus) where the alternation's doubled shuffles per
+    round would cost more than they save; a >50-diameter chain needs
+    50 docs each similar ONLY to its two neighbors — a measured-zero
+    occurrence in the organic corpus (largest component 1,370 members,
+    fixpoint ≤ 3 rounds) — and if one ever appears the cap converts it
+    to a warning plus a raised ``n_steps``, not silent wrongness.
+    Revisit if a real corpus ever warns here with rounds tracking
+    diameter.
 
     ``stats``, if given, is filled with ``{"rounds": int, "converged":
     bool}`` — the probe/observability hook (the ``cc_skew`` bench
@@ -285,7 +301,7 @@ def connected_components(
             # above); round N-1's files are now unreferenced — delete
             # them so the job store holds <= 2 rounds, not one
             # corpus-scale snapshot per round
-            cur = checkpoint_file_of(stepped)
+            cur = checkpoint_file_of(stepped, expect_reliable=True)
             if prev_ckpt_file and prev_ckpt_file != cur:
                 remove_checkpoint_file(spark, prev_ckpt_file)
             prev_ckpt_file = cur

@@ -195,6 +195,83 @@ def complete_left_cover(
     return sorted(set(out))
 
 
+def refine_hot_cells(
+    hips: dict[int, list[int]],
+    kpix1: np.ndarray,
+    counts1: np.ndarray,
+    kpix2: np.ndarray,
+    counts2: np.ndarray,
+    order_k: int,
+    max_pairs_per_cell: float,
+    max_cell_order: int,
+) -> dict[int, list[int]]:
+    """Split coverage-map cells whose PROJECTED cross-match pair count
+    exceeds ``max_pairs_per_cell`` — the automatic form of the skew
+    lever the bench ``crossmatch_skew`` probe measured by hand (a
+    hand-refined map under a 50x-density hot cell was a 3.3x wall win
+    with identical pair sets, BENCH_r12_local.json).
+
+    The cogroup cross-match kernel is one pandas task per cell and NOT
+    AQE-splittable, so a dense cell (globular-cluster shape) serializes
+    one huge task; the structural fix is planning that region at a
+    finer order, which this does from the same plan-sized density
+    histograms the adaptive ingest map is built from.
+
+    ``kpix1/counts1`` and ``kpix2/counts2`` are sparse ``order_k``
+    histograms of the two sides (``sky_histogram`` collected — pixel
+    counts, never rows).  A cell's projected kernel work is
+    ``rows1_in_cell * rows2_in_cell`` (the kNN kernel's worst case);
+    any cell over the bound is replaced by its four children — ALL
+    four, occupied or not, so sky coverage is exactly preserved (empty
+    children cost one empty kernel task at most; dropping them would
+    re-open the boundary-coverage hole ``complete_left_cover`` exists
+    to close).  Splitting recurses until the bound holds or the cell
+    reaches ``min(max_cell_order, order_k)`` — never finer than the
+    match-radius scale (``max_cell_order_for(dthresh)``) and never
+    below histogram resolution (a sub-histogram split would be blind).
+
+    Driver-side over plan-sized tables, like everything in this
+    module; the output is a coverage map in the same ``{order:
+    [pix]}`` shape the cross-match planner consumes.
+    """
+    cap = min(max_cell_order, order_k)
+
+    def rollups(kpix, counts):
+        kpix = np.asarray(kpix, dtype=np.int64)
+        counts = np.asarray(counts, dtype=np.int64)
+        per: dict[int, dict[int, int]] = {order_k: dict(zip(kpix.tolist(), counts.tolist()))}
+        for o in range(order_k - 1, -1, -1):
+            agg: dict[int, int] = {}
+            for p, c in per[o + 1].items():
+                agg[p >> 2] = agg.get(p >> 2, 0) + c
+            per[o] = agg
+        return per
+
+    per1, per2 = rollups(kpix1, counts1), rollups(kpix2, counts2)
+
+    def subtree(per: dict[int, dict[int, int]], o: int, p: int) -> int:
+        if o <= order_k:
+            return per[o].get(p, 0)
+        # finer than the histogram: the caller capped splits at
+        # order_k, but the INPUT map may already carry finer cells —
+        # attribute the ancestor's count (conservative upper bound)
+        return per[order_k].get(p >> (2 * (o - order_k)), 0)
+
+    out: list[tuple[int, int]] = []
+    stack = [(o, p) for o in sorted(hips) for p in hips[o]]
+    while stack:
+        o, p = stack.pop()
+        pairs = subtree(per1, o, p) * subtree(per2, o, p)
+        if pairs > max_pairs_per_cell and o < cap:
+            stack.extend((o + 1, (p << 2) + i) for i in range(4))
+        else:
+            out.append((o, p))
+    refined: dict[int, list[int]] = {}
+    for o, p in sorted(out):
+        refined.setdefault(o, []).append(p)
+    return refined
+
+
 def cell_assignment_tables(cells: list[tuple[int, int]]) -> dict[int, np.ndarray]:
     """Group join cells by order → sorted pixel arrays, for per-order
     row assignment (row joins on ang2pix at that order)."""

@@ -180,8 +180,8 @@ def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
@@ -196,7 +196,7 @@ register(
     f"""
     SELECT {_dsum('l_extendedprice*l_discount')} AS revenue
     FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
       AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
     """,
 )
@@ -589,8 +589,8 @@ register(
 
 def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1994-01-01"))
-        & (F.col("o_orderdate") < F.lit("1994-10-01"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
     )
     li = load_table(spark, sf_dir, "lineitem")
     late = orders.join(
@@ -612,7 +612,7 @@ register(
     """
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
     FROM orders
-    WHERE o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1994-10-01'
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-10-01'
       AND EXISTS (
         SELECT 1 FROM lineitem
         WHERE l_orderkey = o_orderkey
@@ -626,8 +626,10 @@ register(
 # ---------------------------------------------------------------------------
 # Q22 — idle high-balance customers (TPC-H Q22 shape adapted: scalar
 # subquery for the positive-balance average + NOT EXISTS anti-join,
-# grouped by market segment).  The scalar average broadcasts; the anti
-# join is one shuffle.
+# grouped by market segment).  "Idle" = no orders on/after 1999-01-01:
+# the generator gives every customer at least one order overall, so the
+# no-orders-ever form would be vacuously empty at every scale factor.
+# The scalar average broadcasts; the anti join is one shuffle.
 # ---------------------------------------------------------------------------
 
 
@@ -643,7 +645,8 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
         F.col("c_acctbal") > F.col("_avg_bal")
     )
-    idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    recent = orders.filter(F.col("o_orderdate") >= F.lit("1999-01-01"))
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
     return idle.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("numcust"),
         dsum(F.col("c_acctbal")).alias("totacctbal"),
@@ -661,7 +664,9 @@ register(
            {_dsum("c_acctbal")} AS totacctbal
     FROM customer, avg_bal
     WHERE c_acctbal > a
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= DATE '1999-01-01')
     GROUP BY c_mktsegment
     """,
 )

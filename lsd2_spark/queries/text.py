@@ -2046,6 +2046,15 @@ _FUNNEL_BATTERY = [
 ]
 
 
+# Synthetic-variant doc_id offset for q74/q75's planted corpora.  A
+# 2^40-scale constant (not 1e6): organic doc_ids grow with the scale
+# factor, and an offset inside their range would collide variant ids
+# with organic docs — remove_repeated_spans rebuilds per input ROW
+# while the DuckDB oracle groups by doc_id, so a collision is a real
+# engine fork, not just a confusing id.  2^40 > any plausible corpus.
+_VARIANT_OFF = 1 << 40
+
+
 def q74_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lsd2_spark.operators.curate import curate_corpus, curation_report
 
@@ -2067,17 +2076,17 @@ def q74_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_FUNNEL_SENTINEL),
     )
     probes = base.filter(F.col("doc_id") % 100 == 1).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"), probe_text.alias("text")
+        (F.col("doc_id") + 2 * _VARIANT_OFF).alias("doc_id"), probe_text.alias("text")
     )
     corpus = (
         base.unionByName(
             base.filter(F.col("doc_id") % 17 == 0).select(
-                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+                (F.col("doc_id") + _VARIANT_OFF).alias("doc_id"), "text"
             )
         )
         .unionByName(probes)
         .unionByName(  # exact copies: duplicate-of-contaminated-canonical
-            probes.select((F.col("doc_id") + 500000).alias("doc_id"), "text")
+            probes.select((F.col("doc_id") + _VARIANT_OFF).alias("doc_id"), "text")
         )
     )
     ev = base.filter(F.col("doc_id") % 20 == 0).select("text").unionByName(
@@ -2177,13 +2186,13 @@ def _q74_sql(steps: int = _FUNNEL_CC_STEPS) -> str:
     WITH corpus AS MATERIALIZED (
       SELECT doc_id, {ctext} AS text FROM documents
       UNION ALL
-      SELECT doc_id + 1000000 AS doc_id, {ctext} AS text
+      SELECT doc_id + {_VARIANT_OFF} AS doc_id, {ctext} AS text
       FROM documents WHERE doc_id % 17 = 0
       UNION ALL
-      SELECT doc_id + 2000000 AS doc_id, {probe_sql} AS text
+      SELECT doc_id + {2 * _VARIANT_OFF} AS doc_id, {probe_sql} AS text
       FROM documents WHERE doc_id % 100 = 1
       UNION ALL
-      SELECT doc_id + 2500000 AS doc_id, {probe_sql} AS text
+      SELECT doc_id + {3 * _VARIANT_OFF} AS doc_id, {probe_sql} AS text
       FROM documents WHERE doc_id % 100 = 1
     ), t AS (
       SELECT doc_id, text,
@@ -2377,7 +2386,7 @@ def _q75_substr_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.unionByName(
         docs.filter(F.col("doc_id") % 10 == 3).select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            (F.col("doc_id") + _VARIANT_OFF).alias("doc_id"),
             F.concat_ws(" ", F.lit(_ES_BOILER), F.col("text")).alias("text"),
         )
     )
@@ -2400,7 +2409,7 @@ def _q75_sql() -> str:
       -- concat_ws twin: Spark SKIPS null/absent args, so a NULL text
       -- yields the bare boilerplate (no trailing separator), while
       -- '||' would propagate the NULL and fork the engines
-      SELECT doc_id + 1000000 AS doc_id,
+      SELECT doc_id + {_VARIANT_OFF} AS doc_id,
              CASE WHEN text IS NULL THEN '{_ES_BOILER}'
                   ELSE '{_ES_BOILER} ' || text END AS text
       FROM documents WHERE doc_id % 10 = 3

@@ -251,10 +251,14 @@ class StreamingDedupIndexWriter:
             checkpoint_file_of,
             cut_lineage,
             remove_checkpoint_file,
+            resolve_cut_mode,
         )
 
-        survivors = cut_lineage(survivors, eager=True)
-        batch_ckpt = checkpoint_file_of(survivors)
+        cut_mode = resolve_cut_mode(survivors.sparkSession)
+        survivors = cut_lineage(survivors, mode=cut_mode, eager=True)
+        batch_ckpt = checkpoint_file_of(
+            survivors, expect_reliable=(cut_mode == "reliable")
+        )
 
         # 3. accept: fence first (the marker must be durable BEFORE any
         #    index mutation, so every state where this batch's rows are

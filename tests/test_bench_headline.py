@@ -48,6 +48,22 @@ def _fat_result() -> dict:
         }
         for i in range(12)
     }
+    density["cc_skew"] = {
+        "wall_ratio": 10.44,
+        "rounds_flat": True,
+        "uniform": {"rounds": 3, "edges": 1_029_581},
+        "mega_cluster_10pct": {"rounds": 3, "edges": 925_831},
+    }
+    density["cc_chain"] = {
+        "d6": {"diameter": 6, "rounds": 7, "converged": True},
+        "d24": {"diameter": 24, "rounds": 25, "converged": True},
+        "capped_d24_steps8": {
+            "rounds": 8,
+            "converged": False,
+            "cap_warned": True,
+            "n_clusters": 17,
+        },
+    }
     return {
         "metric": "headline_query_wall_time",
         "value": 4444.444,
@@ -63,6 +79,21 @@ def _fat_result() -> dict:
             "rows_per_sec": 1700.0,
         },
         "crossmatch_x10": {"exec_sec": 44.46, "plan_sec": 1.2, "pairs": 1},
+        "crossmatch_skew": {
+            "refined_speedup": 33.34,
+            "auto_speedup": 33.31,
+            "auto_pairs_equal": True,
+            "auto_plan_sec": 12.3,
+            "coarse_sec": 100.0,
+        },
+        "calibration": {
+            "cpu_sec_min": 11.234,
+            "cpu_sec_runs": [11.3, 11.4, 11.5],
+            "shuffle_sec_min": 11.1,
+            "normalized_min": {
+                f"q{i:02d}_{'z' * 18}": 123.45 for i in range(8)
+            },
+        },
         "density_x10": density,
         "semdedup_recall": {"per_nprobe": {str(i): {"sec": 1} for i in range(8)}},
         "extras": {
@@ -83,9 +114,15 @@ def _real_shaped_result() -> dict:
     queries = {f"q{i:02d}_{'x' * 16}": 123.456 for i in range(32)}
     fat["queries"] = queries
     fat["queries_min"] = {k: 122.333 for k in queries}
+    # real probe names are 9-26 chars (lsh_pairs ... embedding_
+    # neardup_scaledbits); 18-char names x 9 probes is fatter than the
+    # real mix while keeping the no-shed property the test pins
     fat["density_x10"] = {
-        k: v for k, v in list(fat["density_x10"].items())[:9]
+        f"probe_{i}_{'y' * 8}_x10": fat["density_x10"]["probe_0_" + "y" * 18 + "_x10"]
+        for i in range(9)
     }
+    fat["density_x10"]["cc_skew"] = _fat_result()["density_x10"]["cc_skew"]
+    fat["density_x10"]["cc_chain"] = _fat_result()["density_x10"]["cc_chain"]
     return fat
 
 
@@ -112,9 +149,19 @@ def test_compact_line_has_driver_contract_keys(bench_mod):
     assert all(v == 122.333 for v in compact["queries"].values())
     assert compact["value"] == pytest.approx(32 * 122.333, abs=0.01)
     # at the real shape nothing is shed: every probe keeps one scalar
-    assert len(compact["probe_ratios"]) == 10  # 9 density + crossmatch
+    # (9 density exec_ratios + crossmatch_sec + 2 skew speedups +
+    # auto_pairs_equal + cc_rounds_flat + 2 cc_chain scalars)
+    assert len(compact["probe_ratios"]) == 16
+    assert compact["probe_ratios"]["cc_rounds_flat"] is True
+    assert compact["probe_ratios"]["cc_chain_cap_warns"] is True
+    assert compact["probe_ratios"]["cc_chain_d24_rounds"] == 25
+    assert compact["probe_ratios"]["xmatch_auto_pairs_equal"] is True
     assert compact["streaming_rows_per_sec"] == 1758.3
     assert compact["curation_funnel"] == 144.823
+    # calibration load discriminators present (normalized per-query
+    # quotients are derivable: queries[q] / cal_cpu_min)
+    assert compact["cal_cpu_min"] == 11.234
+    assert compact["cal_shuffle_min"] == 11.1
 
 
 def test_compact_line_is_single_json_line(bench_mod):

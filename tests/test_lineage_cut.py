@@ -134,9 +134,25 @@ def test_session_persist_downgrade_to_local_warns(spark, caplog):
     try:
         import logging
 
+        from lsd2_spark.operators import common as C
+
+        # the downgrade warning is once-per-session (ADVICE r12 #3: a
+        # stream calling cut_lineage per micro-batch must not emit the
+        # identical line for the query's lifetime) — reset the
+        # registry so this test observes the first firing
+        C._warned_once.clear()
         with caplog.at_level(logging.WARNING, "lsd2_spark.operators.common"):
             assert resolve_cut_mode(spark, None) == "local"
-        assert any("executor-loss FATAL" in r.message for r in caplog.records)
+            n_first = sum(
+                "executor-loss FATAL" in r.message for r in caplog.records
+            )
+            # second resolve under the same conf: no repeat warning
+            assert resolve_cut_mode(spark, None) == "local"
+        assert n_first == 1
+        assert (
+            sum("executor-loss FATAL" in r.message for r in caplog.records)
+            == 1
+        )
     finally:
         spark.conf.unset(CONF_LINEAGE_CUT)
 

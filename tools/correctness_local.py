@@ -11,8 +11,15 @@ here, diffing the recorded hashes against the driver's tells which
 side moved (Spark result, oracle result, or the driver's hasher).
 
 Usage:
-    python tools/correctness_local.py [sf_dir] [out.json]
+    python tools/correctness_local.py [sf_dir] [out.json] [--reliable]
 Defaults: /root/testdata/sf0.01, stdout.
+
+--reliable sets a SparkContext checkpoint directory before any query
+runs, which flips every `cut_lineage(mode="auto")` site in the engine
+from local persist cuts to RELIABLE checkpoint cuts — the default mode
+on a real cluster (operators/common.py:40).  Running the full 50-query
+battery under it proves hash parity is mode-independent end-to-end,
+not only in the funnel-equality unit test.
 """
 
 from __future__ import annotations
@@ -23,8 +30,10 @@ import time
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out_path = sys.argv[2] if len(sys.argv) > 2 else None
+    argv = [a for a in sys.argv[1:] if a != "--reliable"]
+    reliable = "--reliable" in sys.argv[1:]
+    sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
+    out_path = argv[1] if len(argv) > 1 else None
 
     sys.path.insert(0, ".")
     import duckdb
@@ -40,6 +49,12 @@ def main() -> None:
         .appName("correctness-local")
         .getOrCreate()
     )
+    ckpt_dir = None
+    if reliable:
+        import tempfile
+
+        ckpt_dir = tempfile.mkdtemp(prefix="lsd2-reliable-gate-")
+        spark.sparkContext.setCheckpointDir(ckpt_dir)
     con = duck_connection(sf_dir)
 
     qs, osql = entry.queries(), entry.oracle_sql()
@@ -47,6 +62,7 @@ def main() -> None:
         "sf_dir": sf_dir,
         "duckdb_version": duckdb.__version__,
         "spark_version": spark.version,
+        "cut_mode": "reliable" if reliable else "local",
         "queries": {},
     }
     n_ok = 0
@@ -90,6 +106,10 @@ def main() -> None:
     else:
         print(blob)
     spark.stop()
+    if ckpt_dir:
+        import shutil
+
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
