@@ -1981,6 +1981,7 @@ class Catalog:
         other_columns: list[str] | None = None,
         evaluate_margins: bool = True,
         exclude_self: bool = False,
+        max_pairs_per_cell: float | None = None,
         debug: bool = False,
     ) -> DataFrame:
         from lsd2_spark.operators.crossmatch import crossmatch_catalogs
@@ -1995,5 +1996,5 @@ class Catalog:
             self, other, n_neighbors=n_neighbors, dthresh=dthresh,
             columns=columns, other_columns=other_columns,
             evaluate_margins=evaluate_margins, exclude_self=exclude_self,
-            debug=debug,
+            max_pairs_per_cell=max_pairs_per_cell, debug=debug,
         )

@@ -329,6 +329,7 @@ def crossmatch_dataframes(
     right_cols: list[str] | None = None,
     evaluate_margins: bool = True,
     exclude_same_id: bool = False,
+    max_pairs_per_cell: float | None = None,
     debug: bool = False,
 ) -> DataFrame:
     """kNN spatial join of two DataFrames with known sky coverage maps.
@@ -349,7 +350,17 @@ def crossmatch_dataframes(
     capped at :func:`max_cell_order_for`, so halos stay valid —
     splitting the hot cell into ``4^Δorder`` kernel tasks with
     identical results (bench ``crossmatch_skew`` pins the speedup and
-    the pair-set equality)."""
+    the pair-set equality).
+
+    ``max_pairs_per_cell`` opts into AUTOMATIC hot-cell refinement
+    when the coverage maps themselves are coarse: the planner measures
+    both sides' density at the plan cap order (one histogram pass per
+    side — the opt-in's cost) and splits any plan cell whose projected
+    kernel work (rows_left x rows_right) exceeds the bound, via
+    :func:`~lsd2_spark.plans.partition_map.refine_hot_cells`.  Results
+    are pair-set identical (bench ``crossmatch_skew`` ``auto_*``
+    fields); splits never exceed ``max_cell_order_for(dthresh)``, so
+    halos stay valid by the same argument as above."""
     assert n_neighbors >= 1 and 0 < dthresh <= hpx.min_pixwidth(0), (
         "dthresh must be positive and below the base-pixel width"
     )
@@ -368,6 +379,30 @@ def crossmatch_dataframes(
         )
 
     cells = crossmatch_cells_plan(hips_left, hips_right, dthresh)
+    if max_pairs_per_cell is not None and cells:
+        from lsd2_spark.operators.histogram import sky_histogram
+        from lsd2_spark.plans.partition_map import refine_hot_cells
+
+        kj = max_cell_order_for(dthresh)
+
+        def _hist(df, ra, dec):
+            rows = sky_histogram(df, ra, dec, kj).collect()
+            return (
+                np.array([r["pix"] for r in rows], dtype=np.int64),
+                np.array([r["cnt"] for r in rows], dtype=np.int64),
+            )
+
+        (kl, cl), (kr, cr) = _hist(left, l_ra, l_dec), _hist(right, r_ra, r_dec)
+        hips_cells: dict[int, list[int]] = {}
+        for o, p in cells:
+            hips_cells.setdefault(o, []).append(p)
+        refined = refine_hot_cells(
+            hips_cells, kl, cl, kr, cr,
+            order_k=kj,
+            max_pairs_per_cell=max_pairs_per_cell,
+            max_cell_order=kj,
+        )
+        cells = sorted((o, p) for o in refined for p in refined[o])
     if debug and len(cells) > 5:
         warnings.warn("debug=True: truncating the plan to 5 cells", stacklevel=2)
         cells = cells[:5]
@@ -401,6 +436,7 @@ def crossmatch_catalogs(
     other_columns: list[str] | None = None,
     evaluate_margins: bool = True,
     exclude_self: bool = False,
+    max_pairs_per_cell: float | None = None,
     debug: bool = False,
 ) -> DataFrame:
     """Catalog-level cross-match (reference catalog.py:144-253).
@@ -409,6 +445,8 @@ def crossmatch_catalogs(
     (the reference's unimplemented ``_2``-suffix TODO,
     catalog.py:227-228): identical ids are excluded from the
     neighbor lists and the right side gets a ``_2`` name suffix.
+    ``max_pairs_per_cell`` opts into automatic hot-cell plan
+    refinement (see :func:`crossmatch_dataframes`).
     """
     m1, m2 = cat1.meta, cat2.meta
     drop = ["Norder", "Dir", "Npix", "_ID"]
@@ -432,5 +470,6 @@ def crossmatch_catalogs(
         right_name=rname,
         evaluate_margins=evaluate_margins,
         exclude_same_id=exclude_self,
+        max_pairs_per_cell=max_pairs_per_cell,
         debug=debug,
     )

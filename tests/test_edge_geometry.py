@@ -213,3 +213,23 @@ def test_crossmatch_hot_cell_skew(spark, tmp_path):
     nearest = partner["sid"].to_numpy()[d.argmin(axis=1)]
     got_sorted = got.sort_values("hotl_sid")
     assert (got_sorted["hotr_sid"].to_numpy() == nearest).all()
+
+    # opt-in AUTOMATIC hot-cell refinement (VERDICT r12 #5): a tight
+    # pair bound must split the dense region's plan cell and return
+    # the IDENTICAL pair set — same rows, same neighbors, same dists
+    auto = c1.cross_match(
+        c2, n_neighbors=1, dthresh=0.05, max_pairs_per_cell=1e4
+    ).toPandas()
+    assert len(auto) == len(got)
+    auto_sorted = auto.sort_values("hotl_sid")
+    assert (auto_sorted["hotr_sid"].to_numpy()
+            == got_sorted["hotr_sid"].to_numpy()).all()
+    np.testing.assert_allclose(
+        auto_sorted["_DIST"].to_numpy(), got_sorted["_DIST"].to_numpy()
+    )
+    # the refinement actually split: the dense block spans more result
+    # cells than under the unrefined plan
+    assert (
+        auto[["hips_k", "hips_pix"]].drop_duplicates().shape[0]
+        > got[["hips_k", "hips_pix"]].drop_duplicates().shape[0]
+    )

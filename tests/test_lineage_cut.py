@@ -258,3 +258,30 @@ def test_checkpoint_helpers_degrade_gracefully(spark):
     local = plain.localCheckpoint(eager=True)
     assert checkpoint_file_of(local) is None  # local cut: blocks, no files
     assert remove_checkpoint_file(spark, "file:///nonexistent/ckpt/rdd-999") is False
+
+
+def test_checkpoint_file_unresolvable_warns_once(spark, caplog):
+    """ADVICE r12 #1: when a caller EXPECTED a reliable checkpoint but
+    the internal plan walk yields None, every reclamation path in the
+    package is silently off — the degradation stays best-effort but
+    must announce itself, once per session, so the resumed job-store
+    growth is diagnosable."""
+    import logging
+
+    from lsd2_spark.operators import common as C
+
+    C._warned_once.clear()
+    plain = spark.range(5)  # not checkpointed: the walk yields None
+    with caplog.at_level(logging.WARNING, "lsd2_spark.operators.common"):
+        assert C.checkpoint_file_of(plain, expect_reliable=True) is None
+        assert C.checkpoint_file_of(plain, expect_reliable=True) is None
+    warned = [
+        r for r in caplog.records if "reclamation is DISABLED" in r.message
+    ]
+    assert len(warned) == 1
+    # the silent form (expect_reliable unset) stays silent
+    caplog.clear()
+    C._warned_once.clear()
+    with caplog.at_level(logging.WARNING, "lsd2_spark.operators.common"):
+        assert C.checkpoint_file_of(plain) is None
+    assert not caplog.records

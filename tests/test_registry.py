@@ -96,6 +96,58 @@ def test_registration_puts_similarity_first():
     ]
 
 
+# Gate rows whose result is a single scalar-aggregate row BY DESIGN —
+# the only queries allowed below the 2-row floor.  Everything else must
+# match real data at sf0.01: round 12's post-mortem found q04 green at
+# 0 rows because its date window fell outside the generator's
+# 1995-2001 span, i.e. the gate had never run that operator on data.
+SCALAR_SINGLETONS = {
+    "q06_revenue_forecast": 1,  # single SUM() scalar (over ~1.2k matched rows)
+}
+ROW_FLOOR = 2
+
+
+def _latest_hash_artifact(suffix):
+    import glob
+    import os
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    paths = glob.glob(os.path.join(root, f"CORRECTNESS_r*_{suffix}_hashes.json"))
+    assert paths, f"no CORRECTNESS_r*_{suffix}_hashes.json artifact committed"
+
+    def round_no(p):
+        m = re.search(r"_r(\d+)_", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    return max(paths, key=round_no)
+
+
+def test_gate_rows_match_real_data_at_both_sfs():
+    """Every gate row must have matched >= ROW_FLOOR result rows in the
+    committed hash artifacts at BOTH sf0.01 and sf0.1 (scalar-aggregate
+    exceptions listed above).  A green-but-empty gate row certifies an
+    operator the gate never ran on data — this makes that class of
+    vacuous vector structurally impossible instead of judge-found."""
+    import json
+
+    for suffix in ("sf001", "sf01"):
+        path = _latest_hash_artifact(suffix)
+        with open(path) as f:
+            art = json.load(f)
+        rows = art["queries"]
+        missing = set(EXPECTED) - set(rows)
+        assert not missing, f"{path}: gate queries missing from artifact: {missing}"
+        thin = {
+            q: r["spark_rows"]
+            for q, r in rows.items()
+            if r["spark_rows"] < SCALAR_SINGLETONS.get(q, ROW_FLOOR)
+        }
+        assert not thin, f"{path}: gate rows below the row floor: {thin}"
+        red = {q: r.get("status") for q, r in rows.items() if r.get("match") is False}
+        assert not red, f"{path}: gate rows with hash mismatch: {red}"
+
+
 def test_every_oracle_runs_under_vanilla_duckdb():
     """A driver-side DuckDB swap must not break oracle parsing: every
     oracle must PREPARE (parse + bind + plan) on a fresh, extension-free
