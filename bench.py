@@ -91,7 +91,11 @@ def main() -> None:
 
     def _cal_cpu() -> float:
         t0 = time.perf_counter()
-        spark.range(100_000_000).select(F.sum(F.xxhash64("id"))).collect()
+        # bit_xor, not sum: ANSI mode overflows a long sum of 2^63-
+        # range hashes (same lesson as the probe checksums)
+        spark.range(100_000_000).select(
+            F.expr("bit_xor(xxhash64(id))")
+        ).collect()
         return time.perf_counter() - t0
 
     def _cal_shuffle() -> float:
@@ -417,27 +421,38 @@ def main() -> None:
         }
 
         def run(cov):
-            t0 = time.perf_counter()
-            out = crossmatch_dataframes(
-                left_s, right_s, cov, cov,
-                l_ra="ra", l_dec="dec", l_id="left_id",
-                r_ra="ra", r_dec="dec", r_id="right_id",
-                n_neighbors=XMATCH_K, dthresh=XMATCH_DTHRESH,
-                left_name="l", right_name="r",
-            )
-            # ONE action: count + an order-independent checksum of the
-            # (left_id, right_id) PAIR SET — a refinement defect that
-            # swaps which neighbors are emitted while keeping the
-            # count identical must not pass as "equal results".
-            # bit_xor, not sum: ANSI mode overflows a long sum of 2^63-
-            # range hashes, and xor is order-independent without it
-            row = out.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.expr("bit_xor(xxhash64(l_left_id, r_right_id))").alias(
-                    "chk"
-                ),
-            ).first()
-            return round(time.perf_counter() - t0, 3), int(row["n"]), row["chk"]
+            # MIN of 2 trials per arm: a shared long-lived bench JVM
+            # showed 6x run-to-run swing on the refined arm (GC /
+            # Python-worker state), which read as "the lever stopped
+            # working" — the min is the number the lever claim needs
+            walls = []
+            n = chk = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                out = crossmatch_dataframes(
+                    left_s, right_s, cov, cov,
+                    l_ra="ra", l_dec="dec", l_id="left_id",
+                    r_ra="ra", r_dec="dec", r_id="right_id",
+                    n_neighbors=XMATCH_K, dthresh=XMATCH_DTHRESH,
+                    left_name="l", right_name="r",
+                )
+                # ONE action: count + an order-independent checksum of
+                # the (left_id, right_id) PAIR SET — a refinement
+                # defect that swaps which neighbors are emitted while
+                # keeping the count identical must not pass as "equal
+                # results".  bit_xor, not sum: ANSI mode overflows a
+                # long sum of 2^63-range hashes, and xor is order-
+                # independent without it
+                row = out.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.expr(
+                        "bit_xor(xxhash64(l_left_id, r_right_id))"
+                    ).alias("chk"),
+                ).first()
+                walls.append(round(time.perf_counter() - t0, 3))
+                assert n is None or (n, chk) == (int(row["n"]), row["chk"])
+                n, chk = int(row["n"]), row["chk"]
+            return min(walls), n, chk
 
         coarse_sec, coarse_pairs, coarse_chk = run(coarse)
         refined_sec, refined_pairs, refined_chk = run(refined)
