@@ -106,9 +106,24 @@ def _ang2pix_kernel(order: pd.Series, ra: pd.Series, dec: pd.Series) -> pd.Serie
     return out
 
 
-def ang2pix_udf(order: int, ra: Column, dec: Column) -> Column:
-    """(ra, dec) degrees → nested HEALPix pixel at ``order``, as a Column."""
-    return _ang2pix_kernel(F.lit(int(order)), ra, dec)
+# same kernel, marked non-deterministic: the function is pure, but the
+# marking stops the optimizer pushing inferred join-key constraints
+# (IsNotNull(pix)) below the projection — which would evaluate the
+# Arrow kernel twice per row, once for the pushed filter and once for
+# the output (guide-§4.4 pattern, observed on both q21 assign sides)
+_ang2pix_kernel_nd = _ang2pix_kernel.asNondeterministic()
+
+
+def ang2pix_udf(
+    order: int, ra: Column, dec: Column, deterministic: bool = True
+) -> Column:
+    """(ra, dec) degrees → nested HEALPix pixel at ``order``, as a Column.
+
+    ``deterministic=False`` uses the non-deterministic-marked kernel —
+    identical values, but the optimizer may not duplicate or reorder
+    the evaluation; pass it when the pixel feeds a join key."""
+    kern = _ang2pix_kernel if deterministic else _ang2pix_kernel_nd
+    return kern(F.lit(int(order)), ra, dec)
 
 
 def ang2pix_col(order: int, ra, dec) -> Column:

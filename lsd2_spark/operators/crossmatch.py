@@ -124,7 +124,11 @@ def _assign(df: DataFrame, ra_col: str, dec_col: str, tables, dthresh: float) ->
             "_c_dec double, _c_rad double, _primary int",
         )
     )
-    pixk = ang2pix_udf(kmax, F.col(ra_col), F.col(dec_col))
+    # deterministic=False: the pixel feeds the broadcast-join key, and
+    # the inferred IsNotNull(pix) constraint would otherwise be pushed
+    # below this projection, running the Arrow pixelization twice per
+    # row on every assign side (observed in the q21 plan)
+    pixk = ang2pix_udf(kmax, F.col(ra_col), F.col(dec_col), deterministic=False)
     if len(orders) == 1:
         # single-order plan: no probe explode, and the order column can
         # stay out of the join key (it is constant; the broadcast table

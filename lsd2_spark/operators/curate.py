@@ -138,34 +138,44 @@ def curate_corpus(
         F.col("lang_pred").isin(*languages) if languages else F.lit(True),
     ).withColumn("quality_pass", F.col("gopher_pass"))
 
-    # Materialize the survivor slice ONCE (id, text, quality — the
-    # narrow frame every shuffle stage feeds on).  The funnel's stages
-    # assemble as four independent join branches, and Spark does not
-    # dedupe common subplans across branches — unmaterialized, the
-    # whole stage-A Arrow pass and the exact-dedup window re-execute
-    # per branch (measured 22 -> 12 s warm at sf0.1).  At scale this
-    # is the standard iterative-pipeline trade: storage for the gated
-    # corpus vs recomputing the row-local battery 4x — and the STORAGE
-    # KIND is the cluster-robustness knob: lineage_cut="persist" keeps
-    # lineage (lost executors recompute) and "reliable" checkpoints to
-    # the job store, either one removing the localCheckpoint
-    # executor-loss hazard on preemptible clusters (ADVICE r10).
+    # Materialize the TAGGED frame once.  The funnel's stages assemble
+    # as four independent join branches PLUS the final assembly, and
+    # Spark does not dedupe common subplans across branches —
+    # unmaterialized, the whole stage-A Arrow pass re-executes per
+    # consumer (round 12 cut only the survivor slice, which still left
+    # the final assembly re-running the battery over every row —
+    # observed as a second clean_text+rules pass in the q74 plan).  At
+    # scale this is the standard iterative-pipeline trade: storage for
+    # the tagged corpus vs recomputing the row-local battery per
+    # branch — and the STORAGE KIND is the cluster-robustness knob:
+    # lineage_cut="persist" keeps lineage (lost executors recompute)
+    # and "reliable" checkpoints to the job store, either one removing
+    # the localCheckpoint executor-loss hazard on preemptible clusters
+    # (ADVICE r10).
     from lsd2_spark.operators.common import cut_lineage
 
-    survivors = cut_lineage(
-        tagged.filter(F.col("quality_pass") & F.col("lang_pass")).select(
-            id_col, text_col, "quality"
+    tagged = cut_lineage(
+        tagged, mode=lineage_cut, eager=False, allow_persist=True
+    )
+    # the survivor slice is now a cheap filter+project over the
+    # materialized frame — no second materialization needed
+    survivors = tagged.filter(
+        F.col("quality_pass") & F.col("lang_pass")
+    ).select(id_col, text_col, "quality")
+
+    # --- stage B: exact dedup — ONE shuffle on the content hash ------
+    # The annotation is consumed by the final assembly AND by the
+    # exact-survivor slice that stages C/D re-derive several times;
+    # cut the (id, flag) frame so the content-hash window runs once.
+    from lsd2_spark.operators.dedup import exact_dedup
+
+    exact_flag = cut_lineage(
+        exact_dedup(survivors, text_col, id_col).select(
+            id_col, (F.col("is_canonical") == 1).alias("exact_canonical")
         ),
         mode=lineage_cut,
         eager=False,
         allow_persist=True,
-    )
-
-    # --- stage B: exact dedup — ONE shuffle on the content hash ------
-    from lsd2_spark.operators.dedup import exact_dedup
-
-    exact_flag = exact_dedup(survivors, text_col, id_col).select(
-        id_col, (F.col("is_canonical") == 1).alias("exact_canonical")
     )
 
     # --- stage C: fuzzy dedup over exact survivors, keep-best-quality

@@ -413,13 +413,21 @@ def fuzzy_decontaminate(
         )
         .filter(F.col("_j") >= float(min_jaccard))
     )
-    # per-train argmax, ties to the smaller eval id — two partial-agg
-    # groupBys over the (small) verified set, id-type-generic
-    best_j = verified.groupBy("_tid").agg(F.max("_j").alias("_j"))
+    # per-train argmax, ties to the smaller eval id — ONE windowed
+    # top-1 over the (small) verified set.  A window, not the former
+    # max-aggregate + join-back: that shape consumed `verified` twice,
+    # and Spark re-executes a common subplan per consumer — the whole
+    # signature + candidate + verify pipeline (16 salted-md5 passes
+    # over the train corpus) ran once per branch.  The rank<=1 filter
+    # plans as WindowGroupLimit with a map-side Partial phase, so the
+    # shuffle moves at most one row per (train doc, partition).
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_tid").orderBy(F.desc("_j"), F.asc("_eid"))
     best = (
-        verified.join(best_j, on=["_tid", "_j"])
-        .groupBy("_tid", "_j")
-        .agg(F.min("_eid").alias("_eid"))
+        verified.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
     out = train.select(F.col(id_col)).join(
         best, train[id_col] == best["_tid"], "left"

@@ -145,6 +145,18 @@ def lsh_candidate_pairs(
     tagged = sig.withColumn("_band", F.explode(F.array(*band_cols))).select(
         F.col(id_col), *[f"mh{i}" for i in range(k)], "_band.band", "_band.bucket"
     )
+    # NOTE: deliberately NOT repartitioned on (band, bucket) before the
+    # self-join.  An exchange there would let AQE compute the signature
+    # stage once for both sides — but hashpartitioning on the bucket
+    # key CLUSTERS each near-dup bucket into one partition, and a
+    # boilerplate mega-cluster then emits its ~n² candidate pairs from
+    # a single straggler task (measured: q32 6.5 -> 9+ s).  The
+    # broadcast self-join keeps the stream side round-robin, so pair
+    # emission stays evenly spread; the duplicated signature pass on
+    # the build side is one linear corpus pass and the cheaper side of
+    # that trade (hamming_band_candidates takes the opposite branch —
+    # its upstream simhash is far heavier per row and its band values
+    # do not concentrate mass the way min-hash buckets do).
     l = tagged.alias("l")
     r = tagged.alias("r")
     pairs = l.join(
@@ -264,6 +276,14 @@ def connected_components(
     sym = edges.select(
         F.col("id1").alias("a"), F.col("id2").alias("b")
     ).unionByName(edges.select(F.col("id2").alias("a"), F.col("id1").alias("b")))
+    # Materialize the edge list ONCE: every round joins `sym`, and the
+    # union's two branches each re-derive `edges` — for LSH-proposed
+    # edges that is the whole signature + band-join pipeline, re-run
+    # 2x per round without the cut (the labels are already cut per
+    # round; the edges were not).  The cut stores two ids per edge row;
+    # its reliable-mode file is deleted after the fixpoint (the
+    # returned labels are their own checkpoint and never re-read sym).
+    sym = cut_lineage(sym, mode=cut_mode, eager=False)
     labels = vertices.select(
         F.col(id_col).alias("v"), F.col(id_col).cast("long").alias("cluster_id")
     )
@@ -311,6 +331,13 @@ def connected_components(
         if changed == 0:
             converged = True
             break
+    if cut_mode == "reliable" and rounds > 0:
+        # the fixpoint is done and the returned labels never re-read
+        # the edge list — reclaim its checkpoint files now instead of
+        # leaving one edge-scale snapshot per call in the job store
+        sym_ckpt = checkpoint_file_of(sym, expect_reliable=True)
+        if sym_ckpt:
+            remove_checkpoint_file(spark, sym_ckpt)
     if stats is not None:
         stats["rounds"] = rounds
         stats["converged"] = converged
@@ -367,19 +394,19 @@ def dedup_clusters(
             (F.col(id_col) == F.col("cluster_id")).cast("int").alias("is_canonical"),
         )
     scored = cc.join(df.select(id_col, score_col), id_col)
-    # argmax(score, then min id) per cluster via one max(struct) —
-    # negate the id so the struct max prefers the SMALLER id on ties
-    best = scored.groupBy("cluster_id").agg(
-        F.max(
-            F.struct(
-                F.col(score_col).alias("s"), (-F.col(id_col)).alias("negid")
-            )
-        ).alias("_m")
-    ).select("cluster_id", (-F.col("_m.negid")).alias("_best_id"))
-    return scored.join(best, "cluster_id").select(
+    # argmax(score, then min id) per cluster via one windowed
+    # max(struct) — negate the id so the struct max prefers the SMALLER
+    # id on ties.  A window, not the former groupBy-argmax + join-back:
+    # that shape consumed `scored` TWICE (Spark re-executes a common
+    # subplan per consumer — the cc-labels join and everything feeding
+    # it ran once per branch), where the window is a single-consumer
+    # pass with one shuffle on the cluster id and identical verdicts.
+    key = F.struct(F.col(score_col).alias("s"), (-F.col(id_col)).alias("negid"))
+    best = F.max(key).over(Window.partitionBy("cluster_id"))
+    return scored.select(
         F.col(id_col),
         "cluster_id",
-        (F.col(id_col) == F.col("_best_id")).cast("int").alias("is_canonical"),
+        (key == best).cast("int").alias("is_canonical"),
     )
 
 
@@ -514,14 +541,21 @@ def ngram_jaccard_pairs(
         cand = candidates.select(
             F.least(F.col("id1"), F.col("id2")).alias("id1"),
             F.greatest(F.col("id1"), F.col("id2")).alias("id2"),
-        ).dropDuplicates(["id1", "id2"])
+        )
         # a degenerate (x, x) candidate (symmetric-join input) would
         # survive normalization and score itself at jaccard 1.0; the
         # unrestricted path excludes self-pairs structurally (id1<id2)
         cand = cand.filter(F.col("id1") != F.col("id2"))
         # group-bound FIRST with slim (id, group) projections — gram
         # arrays must never ride a shuffle for a pair the group bound
-        # drops (measured 79x pair reduction on the bench corpus)
+        # drops (measured 79x pair reduction on the bench corpus).
+        # The broadcast joins + group filter are pipelined (no
+        # exchange), so the pair-set DEDUP below shuffles only the
+        # group-bounded survivors: deduping before bounding shuffled
+        # the RAW candidate multiset — 9.7M rows vs 124k at sf0.1,
+        # measured 4.2 s -> 0.9 s on the q32 ngram half.  The slim
+        # tables are unique per id, so joining cannot multiply rows
+        # and dedup-after-bound keeps the pair set identical.
         s1 = df.select(
             F.col(id_col).alias("id1"),
             *[F.col(c).alias(f"_l_{c}") for c in group_cols],
@@ -533,7 +567,19 @@ def ngram_jaccard_pairs(
         bounded = cand.join(s1, "id1").join(s2, "id2")
         for c in group_cols:
             bounded = bounded.filter(F.col(f"_l_{c}") == F.col(f"_r_{c}"))
-        bounded = bounded.select("id1", "id2")
+        # explicit partition count: the deduped pair set is small in
+        # BYTES (two ids per row), and an AQE-coalescable exchange
+        # under it shrinks to one partition — which would serialize
+        # the per-pair array_intersect stage above (measured 5x on the
+        # q32 ngram half).  The pair key is near-unique, so hash
+        # partitioning on it cannot skew.
+        bounded = (
+            bounded.select("id1", "id2")
+            .repartition(
+                df.sparkSession.sparkContext.defaultParallelism, "id1", "id2"
+            )
+            .dropDuplicates(["id1", "id2"])
+        )
         src = df
         if prune_members:
             # gram arrays ONLY for candidate participants: distinct()
@@ -685,6 +731,15 @@ def hamming_band_candidates(
     ).select(
         F.col(id_col), F.col(hash_col),
         F.col("_b.band").alias("band"), F.col("_b.val").alias("val"),
+    )
+    # one Exchange on the join keys -> AQE stage reuse computes the
+    # banded table (and everything below it, e.g. a simhash pipeline)
+    # once instead of once per self-join side; the join itself is then
+    # co-partitioned.  Explicit partition count, same rationale as
+    # lsh_candidate_pairs: an AQE-coalescable exchange would serialize
+    # the CPU-bound popcount join above it.
+    banded = banded.repartition(
+        hashes.sparkSession.sparkContext.defaultParallelism, "band", "val"
     )
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (

@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from lsd2_spark.functions.portable_hash import WS, hash64
 
 __all__ = [
+    "featurize_buckets",
     "hashed_ngram_counts",
     "train_dsir",
     "dsir_score",
@@ -78,20 +79,47 @@ def _bucket(ngram: Column, n_buckets: int) -> Column:
     return (hash64(ngram) % int(n_buckets)).alias("bucket")
 
 
-def hashed_ngram_counts(
-    df: DataFrame, text_col: str, n_buckets: int = 10_000
+def featurize_buckets(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int = 10_000
 ) -> DataFrame:
-    """Corpus-level hashed-ngram histogram: ``(bucket, n)`` with at
-    most ``n_buckets`` rows.  ONE shuffle, map-side combined."""
+    """The shared DSIR featurization: one ``(_did, bucket)`` row per
+    hashed ngram INSTANCE of every document.  Every other DSIR stage
+    (target counts, raw counts, scoring) is a cheap aggregation over
+    this frame — compute it once, cut its lineage (``localCheckpoint``),
+    and feed it to :func:`train_dsir` / :func:`dsir_score` via their
+    ``buckets=`` parameters so the tokenize + portable-hash pass over
+    the corpus runs ONCE instead of once per consumer (train ran it
+    over both corpora and scoring again — ~3 full passes for the
+    standard train-then-score composition)."""
     from lsd2_spark.operators.common import spread_partitions
 
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     df = spread_partitions(df)
-    ex = df.select(
-        F.explode(_ngrams(F.col(text_col))).alias("_ng")
-    ).select(_bucket(F.col("_ng"), n_buckets))
-    return ex.groupBy("bucket").agg(F.count("*").alias("n"))
+    return df.select(
+        F.col(id_col).alias("_did"),
+        F.explode(_ngrams(F.col(text_col))).alias("_ng"),
+    ).select("_did", _bucket(F.col("_ng"), n_buckets))
+
+
+def hashed_ngram_counts(
+    df: DataFrame, text_col: str, n_buckets: int = 10_000,
+    buckets: DataFrame | None = None,
+) -> DataFrame:
+    """Corpus-level hashed-ngram histogram: ``(bucket, n)`` with at
+    most ``n_buckets`` rows.  ONE shuffle, map-side combined.
+    ``buckets``: a precomputed :func:`featurize_buckets` frame for this
+    corpus — skips the tokenize+hash pass (identical counts)."""
+    from lsd2_spark.operators.common import spread_partitions
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if buckets is None:
+        df = spread_partitions(df)
+        buckets = df.select(
+            F.explode(_ngrams(F.col(text_col))).alias("_ng")
+        ).select(_bucket(F.col("_ng"), n_buckets))
+    return buckets.groupBy("bucket").agg(F.count("*").alias("n"))
 
 
 def train_dsir(
@@ -100,6 +128,8 @@ def train_dsir(
     text_col: str,
     n_buckets: int = 10_000,
     smoothing: float = 1.0,
+    target_buckets: DataFrame | None = None,
+    raw_buckets: DataFrame | None = None,
 ) -> dict:
     """Fit the importance model: per hash bucket,
     ``log_ratio = log p_target(bucket) - log p_raw(bucket)`` with
@@ -107,11 +137,16 @@ def train_dsir(
     ``{"ratios": DataFrame(bucket, log_ratio), "n_buckets", "default"}``
     where ``default`` is the log-ratio of a bucket unseen in BOTH
     corpora (pure smoothing mass) — applied at scoring time to ngrams
-    that miss the ratio table."""
+    that miss the ratio table.
+
+    ``target_buckets``/``raw_buckets``: precomputed
+    :func:`featurize_buckets` frames for the two corpora — skip the
+    per-corpus tokenize+hash passes (counts, and therefore the model,
+    are identical; see featurize_buckets for when this pays)."""
     if smoothing <= 0.0:
         raise ValueError(f"smoothing must be > 0, got {smoothing}")
-    tc = hashed_ngram_counts(target, text_col, n_buckets)
-    rc = hashed_ngram_counts(raw, text_col, n_buckets)
+    tc = hashed_ngram_counts(target, text_col, n_buckets, buckets=target_buckets)
+    rc = hashed_ngram_counts(raw, text_col, n_buckets, buckets=raw_buckets)
     tot_t = tc.agg(F.sum("n")).collect()[0][0] or 0
     tot_r = rc.agg(F.sum("n")).collect()[0][0] or 0
     s, b = float(smoothing), int(n_buckets)
@@ -147,6 +182,7 @@ def dsir_score(
     model: dict,
     out_col: str = "dsir_logweight",
     normalize: str = "sum",
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document log importance weight: the sum of the model's
     bucket log-ratios over the document's hashed ngrams.  Returns the
@@ -161,6 +197,9 @@ def dsir_score(
 
     Plan: explode → broadcast join on the ≤n_buckets ratio table →
     one groupBy(doc) — the quadratic-free scoring pass of the paper.
+
+    ``buckets``: a precomputed :func:`featurize_buckets` frame for
+    ``df`` — skips the tokenize+hash pass (identical scores).
     """
     from lsd2_spark.operators.common import spread_partitions
 
@@ -171,7 +210,7 @@ def dsir_score(
     # whole map side) runs in a single task
     df = spread_partitions(df)
     ratios = F.broadcast(model["ratios"])
-    ex = df.select(
+    ex = buckets if buckets is not None else df.select(
         F.col(id_col).alias("_did"),
         F.explode(_ngrams(F.col(text_col))).alias("_ng"),
     ).select("_did", _bucket(F.col("_ng"), model["n_buckets"]))
@@ -206,6 +245,7 @@ def dsir_resample(
     n: int,
     temperature: float = 1.0,
     normalize: str = "sum",
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Gumbel-top-k importance resampling: a deterministic without-
     replacement sample of ``n`` documents with probability proportional
@@ -222,7 +262,9 @@ def dsir_resample(
         raise ValueError(f"n must be >= 1, got {n}")
     if temperature <= 0.0:
         raise ValueError(f"temperature must be > 0, got {temperature}")
-    scored = dsir_score(df, text_col, id_col, model, normalize=normalize)
+    scored = dsir_score(
+        df, text_col, id_col, model, normalize=normalize, buckets=buckets
+    )
     u = (hash64(F.col(id_col)) % 1_000_003 + 0.5) / 1_000_003.0
     key = F.col("dsir_logweight") / float(temperature) - F.log(-F.log(u))
     return (

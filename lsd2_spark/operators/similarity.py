@@ -187,6 +187,14 @@ def _bucket_udf(
                 res[i] = codes[j]
         return pd.Series(res, dtype="object")
 
+    # NOTE: deliberately NOT marked non-deterministic.  The guide-§4.4
+    # duplicate-evaluation hazard (a non-outer explode above this UDF
+    # infers a NotNull/size>0 constraint, pushes it below the
+    # projection, and evaluates the UDF twice) is avoided by using
+    # OUTER explodes at the call sites instead — because marking the
+    # UDF non-deterministic would de-canonicalize the self-join sides
+    # in embedding_neardup_candidates and break the AQE stage reuse
+    # that computes this UDF once for both.
     return buckets_of
 
 
@@ -218,18 +226,22 @@ def hyperplane_lsh_topk(
     queries = _valid_vectors(queries, vec_col, dim)
     buckets_of = _bucket_udf(spark, candidates, vec_col, n_bits, n_tables, dim)
 
+    # explode_outer on both sides: see embedding_neardup_candidates —
+    # the non-outer form duplicates the bucket UDF below the inferred
+    # non-null constraint; a null bucket row cannot survive the inner
+    # equi-join, so results are identical.
     cand = candidates.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("_cv"),
         _norm(F.col(vec_col)).alias("_cn"),
-        F.explode(buckets_of(F.col(vec_col))).alias("bucket"),
+        F.explode_outer(buckets_of(F.col(vec_col))).alias("bucket"),
     )
     q = F.broadcast(
         queries.select(
             F.col(qid).alias("query_id"),
             F.col(vec_col).alias("_qv"),
             _norm(F.col(vec_col)).alias("_qn"),
-            F.explode(buckets_of(F.col(vec_col))).alias("bucket"),
+            F.explode_outer(buckets_of(F.col(vec_col))).alias("bucket"),
         )
     )
     joined = (
@@ -513,8 +525,22 @@ def embedding_neardup_candidates(
         _norm(F.col(vec_col)).alias("_n"),
         buckets_of(F.col(vec_col)).alias("_bs"),
     ).select(
-        "_id", "_v", "_n", "_bs", F.posexplode(F.col("_bs")).alias("t", "bucket")
+        # OUTER posexplode: the non-outer form implies the array is
+        # non-null/non-empty, and the optimizer pushes that inferred
+        # constraint below the projection, evaluating the bucket UDF
+        # twice per row (guide §4.4).  Valid vectors always produce a
+        # bucket array, and a hypothetical null key row would not
+        # survive the inner equi-join — results are identical.
+        "_id", "_v", "_n", "_bs",
+        F.posexplode_outer(F.col("_bs")).alias("t", "bucket"),
     )
+    # NOTE: no repartition-for-stage-reuse here (unlike
+    # lsh_candidate_pairs): the two self-join sides prune differently
+    # (only the left consumes `t`), so their exchange subtrees never
+    # canonicalize equal and the added shuffles+sorts were measured
+    # pure loss (2.6 -> 3.5 s on q45).  The broadcast self-join keeps
+    # the pair scoring pipelined; the outer posexplode above already
+    # removed the duplicated UDF evaluation per side.
     l, r = tagged.alias("l"), tagged.alias("r")
     joined = l.join(
         r,
@@ -625,6 +651,14 @@ def ivf_topk(
         # equal rounded dists resolve to the smaller list id
         order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
         return pd.Series(list(order))
+
+    # pure functions, but the list-id equi-join infers IsNotNull on
+    # their outputs and pushes it below the projection, evaluating each
+    # UDF twice per row (observed: two ArrowEvalPython nodes on the
+    # candidate side of the q41 plan).  Non-deterministic marking pins
+    # a single evaluation (guide §4.4).
+    nearest_list = nearest_list.asNondeterministic()
+    probe_lists = probe_lists.asNondeterministic()
 
     # clustering distances use the same 6dp-rounded components the
     # centroids were trained on (oracle parity); scoring keeps raw vectors

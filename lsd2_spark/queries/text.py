@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from lsd2_spark.functions.numeric import round6, round6_sql
 from lsd2_spark.functions.portable_hash import MINHASH_PERMS, MOD, WS, hash64_sql, minhash_term_sql
 from lsd2_spark.operators import dedup, multimodal, text_analysis
+from lsd2_spark.operators.common import cut_lineage
 from lsd2_spark.queries import load_table, register
 
 _K = len(MINHASH_PERMS)
@@ -131,6 +132,11 @@ def q32_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-gram self-join never appears in the plan — pinned by
     tests/test_plans.py)."""
     docs = load_table(spark, sf_dir, "documents")
+    # cand feeds both union branches; deliberately NOT materialized —
+    # the candidate set is ~9.7M pair rows at sf0.1 and holding it
+    # (localCheckpoint) was measured slower than letting the branches
+    # recompute it concurrently inside one job (the banded-signature
+    # stage below it is shared via AQE exchange reuse either way).
     cand = dedup.lsh_candidate_pairs(docs, "text", "doc_id")
     lsh = cand.select(
         "id1",
@@ -1499,12 +1505,27 @@ _DSIR_BUCKETS = 10_000
 
 
 def q68_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from lsd2_spark.operators.dsir import dsir_score, train_dsir
+    from lsd2_spark.operators.dsir import (
+        dsir_score,
+        featurize_buckets,
+        train_dsir,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     target = docs.filter(F.col("doc_id") % 7 == 0)
-    model = train_dsir(target, docs, "text", n_buckets=_DSIR_BUCKETS)
-    out = dsir_score(docs, "text", "doc_id", model)
+    # featurize ONCE and cut lineage: target counts, raw counts, and
+    # scoring are all aggregations over the same (_did, bucket) frame,
+    # and they run in SEPARATE jobs (the model totals/ratios are
+    # collected), so without the cut the tokenize+hash pass over the
+    # corpus would run ~3x.  The cut is per-invocation — every call
+    # recomputes from the parquet input.
+    b = cut_lineage(featurize_buckets(docs, "text", "doc_id", _DSIR_BUCKETS))
+    model = train_dsir(
+        target, docs, "text", n_buckets=_DSIR_BUCKETS,
+        target_buckets=b.filter(F.col("_did") % 7 == 0),
+        raw_buckets=b,
+    )
+    out = dsir_score(docs, "text", "doc_id", model, buckets=b)
     return out.select(
         "doc_id",
         round6(F.col("dsir_logweight")).alias("dsir_logweight"),
