@@ -1102,7 +1102,11 @@ def main() -> None:
         ).count()
         extras["semdedup"] = round(time.perf_counter() - t0, 3)
 
-        from lsd2_spark.operators.dsir import dsir_resample, train_dsir
+        from lsd2_spark.operators.dsir import (
+            dsir_resample,
+            featurize_buckets,
+            train_dsir,
+        )
 
         t0 = time.perf_counter()
         dsir_target = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
@@ -1111,6 +1115,29 @@ def main() -> None:
             docs, "text", "doc_id", dsir_model, n=100, normalize="mean"
         ).count()
         extras["dsir_train_resample"] = round(time.perf_counter() - t0, 3)
+
+        # the same composition through the shared featurization (one
+        # tokenize+hash pass cut once, reused by train AND resample —
+        # the r13 recommended shape; the entry above keeps measuring
+        # the independent-passes form for round-over-round comparison)
+        from lsd2_spark.operators.common import cut_lineage
+
+        t0 = time.perf_counter()
+        dsir_b = cut_lineage(
+            featurize_buckets(docs, "text", "doc_id", 10_000)
+        )
+        dsir_model2 = train_dsir(
+            dsir_target, docs, "text", n_buckets=10_000,
+            target_buckets=dsir_b.filter(F.col("_did") % 7 == 0),
+            raw_buckets=dsir_b,
+        )
+        dsir_resample(
+            docs, "text", "doc_id", dsir_model2, n=100, normalize="mean",
+            buckets=dsir_b,
+        ).count()
+        extras["dsir_train_resample_shared"] = round(
+            time.perf_counter() - t0, 3
+        )
 
         from lsd2_spark.operators.quality_rules import gopher_quality_flags
 
