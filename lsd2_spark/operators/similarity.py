@@ -40,18 +40,117 @@ from lsd2_spark.functions.numeric import round6, round6_np
 from lsd2_spark.operators.common import spread_partitions as _spread
 
 
-def _dot(a: Column, b: Column) -> Column:
+# Above this dimensionality the unrolled expression chain falls back to
+# the higher-order fold: the analyzer/codegen cost of a ~3*dim-node tree
+# stops paying for itself somewhere past typical embedding widths, and
+# Spark's codegen would split >64KB methods anyway.  Both forms compute
+# the identical left-to-right double fold, so the switch never changes
+# results.
+_UNROLL_MAX_DIM = 512
+
+# The unrolled chain only pays above this many scored candidate pairs:
+# paired A/B at dim=64 measured the codegen'd chain 1.9x faster at 124M
+# pairs and 1.4x at 25M, but a LOSER below ~2M (fixed per-stage cost of
+# the ~600-statement generated method dominates small jobs).  The
+# switch reads Catalyst plan statistics (no extra jobs) and an estimate
+# error only changes speed — both expression forms are bit-identical.
+# Sized against ESTIMATES, which run ~3x high per side for parquet
+# scans (sizeInBytes/width overcounts vs actual rows), so 32M estimated
+# ~ 3-10M real pairs, right at the measured crossover.
+_UNROLL_MIN_PAIRS = int(
+    __import__("os").environ.get("SPARK_GRAFT_UNROLL_MIN_PAIRS", 32_000_000)
+)
+
+
+def _est_rows(df: DataFrame, row_width: int) -> int:
+    """Optimizer row-count estimate for ``df``: exact rowCount when the
+    plan stats carry one, else sizeInBytes / ``row_width``.  Driver-side
+    only (plan statistics — no job).  Feeds the unroll cost switch, so
+    an estimate that is off by even 4x only shifts which (bit-identical)
+    expression form runs."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        # py4j hands BigInt-valued stats back as plain Python ints and
+        # an empty Option as None
+        if rc is not None and hasattr(rc, "isDefined") and rc.isDefined():
+            return int(str(rc.get()))
+        return max(1, int(stats.sizeInBytes()) // max(row_width, 1))
+    except Exception:  # stats must never break a query path
+        return 0
+
+
+def _unroll_dim(dim: int, est_pairs: float) -> int | None:
+    """The ``dim`` to pass to :func:`_dot`/:func:`_norm`: the static
+    dim when the estimated pair volume clears the unroll threshold,
+    else None (HOF fold)."""
+    if 0 < dim <= _UNROLL_MAX_DIM and est_pairs >= _UNROLL_MIN_PAIRS:
+        return dim
+    return None
+
+
+def _sql_name(col: "Column | str") -> str | None:
+    """SQL-parseable reference for a column argument, or None if the
+    argument is a computed Column (those can't ride the F.expr path)."""
+    if not isinstance(col, str):
+        return None
+    return ".".join(f"`{p}`" for p in col.split("."))
+
+
+def _as_col(col: "Column | str") -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _dot(a: "Column | str", b: "Column | str", dim: int | None = None) -> Column:
+    """Left-to-right double fold of ``sum(a[i]*b[i])``.
+
+    With a static ``dim`` (every similarity operator probes it anyway)
+    and plain column names, the fold is unrolled into a flat
+    ``0.0 + a[0]*b[0] + a[1]*b[1] + …`` chain of
+    GetArrayItem/Multiply/Add nodes — plain scalar expressions that
+    WholeStageCodegen compiles, unlike the ``aggregate`` higher-order
+    function, which is evaluated by interpreted lambda-tree walking on
+    EVERY candidate pair (guide §4.1: that walk was the dominant cost
+    of the similarity family's pair scoring).  The chain is built as
+    ONE ``F.expr`` string: assembling it Column-by-Column cost ~600
+    py4j round-trips per expression (measured: +3 s of driver-side
+    DataFrame build per query).  Catalyst's ReorderAssociativeOperator
+    only reassociates integral types, so the double add chain keeps
+    its source order and every intermediate rounding is bit-identical
+    to the fold — verified empirically over adversarial magnitudes
+    before the unrolled form replaced the fold on the hot paths."""
+    an, bn = _sql_name(a), _sql_name(b)
+    if an is not None and bn is not None and dim is not None and 0 < dim <= _UNROLL_MAX_DIM:
+        # get() (NULL past the end), not [i] (throws under ANSI): the
+        # size==dim validity filter precedes every unroll site, but
+        # inferred IsNotNull constraints on downstream filters get
+        # substituted + combined below it (§4.4), where a thrown
+        # index error would kill the job on a ragged row
+        terms = " + ".join(
+            f"CAST(get({an}, {i}) AS DOUBLE) * CAST(get({bn}, {i}) AS DOUBLE)"
+            for i in range(dim)
+        )
+        return F.expr(f"CAST(0.0 AS DOUBLE) + {terms}")
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.zip_with(_as_col(a), _as_col(b), lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
 
 
-def _norm(a: Column) -> Column:
+def _norm(a: "Column | str", dim: int | None = None) -> Column:
+    """``sqrt`` of the left-to-right fold of ``sum(a[i]^2)`` — same
+    unrolling (and same bit-identity argument) as :func:`_dot`."""
+    an = _sql_name(a)
+    if an is not None and dim is not None and 0 < dim <= _UNROLL_MAX_DIM:
+        terms = " + ".join(
+            f"CAST(get({an}, {i}) AS DOUBLE) * CAST(get({an}, {i}) AS DOUBLE)"
+            for i in range(dim)
+        )
+        return F.sqrt(F.expr(f"CAST(0.0 AS DOUBLE) + {terms}"))
     return F.sqrt(
         F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.transform(_as_col(a), lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -68,6 +167,10 @@ def _valid_vectors(df: DataFrame, vec_col: str, dim: int | None = None) -> DataF
     any vector of a different dimensionality (the Arrow kernels stack
     batches into a dense matrix, so ragged inputs would crash).  Real
     corpora contain all of these; operators must be total over them."""
+    # deliberately the HOF (any-length) norm, NOT the unrolled form:
+    # this filter is what sees ragged vectors, and under ANSI mode an
+    # unrolled a[i] past the end would throw instead of filtering.
+    # Downstream projections may unroll because size==dim holds there.
     col = F.col(vec_col)
     cond = col.isNotNull() & (_norm(col) > 0)
     cond = cond & ((F.size(col) == dim) if dim is not None else (F.size(col) > 0))
@@ -121,21 +224,26 @@ def cosine_topk(
             f"exceeds 10k vectors ({probe}+); use ivf_topk or "
             "hyperplane_lsh_topk for large query sets"
         )
+    # cost switch: unroll the scoring fold only when the pair volume
+    # (every candidate x every query) clears the threshold
+    udim = _unroll_dim(dim, float(_est_rows(candidates, 4 * dim + 24)) * probe)
     # norms precomputed once per vector (not once per pair)
     q = F.broadcast(
         queries.select(
             F.col(qid).alias("query_id"),
             F.col(vec_col).alias("_qv"),
-            _norm(F.col(vec_col)).alias("_qn"),
+            _norm(vec_col, udim).alias("_qn"),
         )
     )
     cand = candidates.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("_cv"),
-        _norm(F.col(vec_col)).alias("_cn"),
+        _norm(vec_col, udim).alias("_cn"),
     )
     joined = cand.crossJoin(q).filter(F.col("cand_id") != F.col("query_id"))
-    sim = round6(_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")))
+    sim = round6(
+        _dot("_qv", "_cv", udim) / (F.col("_qn") * F.col("_cn"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
     return (
         joined.withColumn("sim", sim)
@@ -225,6 +333,14 @@ def hyperplane_lsh_topk(
     candidates = _spread(_valid_vectors(candidates, vec_col, dim))
     queries = _valid_vectors(queries, vec_col, dim)
     buckets_of = _bucket_udf(spark, candidates, vec_col, n_bits, n_tables, dim)
+    # cost switch: expected scored pairs ~ n_c * n_q * tables / 2^bits
+    udim = _unroll_dim(
+        dim,
+        float(_est_rows(candidates, 4 * dim + 24))
+        * _est_rows(queries, 4 * dim + 24)
+        * n_tables
+        / float(2 ** n_bits),
+    )
 
     # explode_outer on both sides: see embedding_neardup_candidates —
     # the non-outer form duplicates the bucket UDF below the inferred
@@ -233,14 +349,14 @@ def hyperplane_lsh_topk(
     cand = candidates.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("_cv"),
-        _norm(F.col(vec_col)).alias("_cn"),
+        _norm(vec_col, udim).alias("_cn"),
         F.explode_outer(buckets_of(F.col(vec_col))).alias("bucket"),
     )
     q = F.broadcast(
         queries.select(
             F.col(qid).alias("query_id"),
             F.col(vec_col).alias("_qv"),
-            _norm(F.col(vec_col)).alias("_qn"),
+            _norm(vec_col, udim).alias("_qn"),
             F.explode_outer(buckets_of(F.col(vec_col))).alias("bucket"),
         )
     )
@@ -249,7 +365,9 @@ def hyperplane_lsh_topk(
         .filter(F.col("cand_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "cand_id"])
     )
-    sim = round6(_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")))
+    sim = round6(
+        _dot("_qv", "_cv", udim) / (F.col("_qn") * F.col("_cn"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
     return (
         joined.withColumn("sim", sim)
@@ -510,19 +628,25 @@ def embedding_neardup_candidates(
     if dim is None:
         return spark.createDataFrame([], _PAIRS_SCHEMA)
     df = _valid_vectors(df, vec_col, dim)
+    n_est: float
     if n_bits == "auto":
         # count AFTER the validity filter: null/ragged-vector rows never
         # land in a bucket, so they must not inflate the density
         # estimate (and the count job scans only what buckets will see)
-        n_bits = _auto_bits(df.count(), n_tables)
+        n_est = df.count()
+        n_bits = _auto_bits(int(n_est), n_tables)
     elif not isinstance(n_bits, int):
         raise ValueError(f"n_bits must be an int or 'auto', got {n_bits!r}")
+    else:
+        n_est = float(_est_rows(df, 4 * dim + 24))
     df = _spread(df)
     buckets_of = _bucket_udf(spark, df, vec_col, n_bits, n_tables, dim)
+    # cost switch: expected scored pairs ~ n^2/2 * tables / 2^bits
+    udim = _unroll_dim(dim, n_est * n_est / 2.0 * n_tables / float(2 ** n_bits))
     tagged = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        _norm(F.col(vec_col)).alias("_n"),
+        _norm(vec_col, udim).alias("_n"),
         buckets_of(F.col(vec_col)).alias("_bs"),
     ).select(
         # OUTER posexplode: the non-outer form implies the array is
@@ -558,7 +682,8 @@ def embedding_neardup_candidates(
         F.col("l._id").alias("id1"),
         F.col("r._id").alias("id2"),
         round6(
-            _dot(F.col("l._v"), F.col("r._v")) / (F.col("l._n") * F.col("r._n"))
+            _dot("l._v", "r._v", udim)
+            / (F.col("l._n") * F.col("r._n"))
         ).alias("sim"),
     )
     return pairs
@@ -663,20 +788,35 @@ def ivf_topk(
     # clustering distances use the same 6dp-rounded components the
     # centroids were trained on (oracle parity); scoring keeps raw vectors
     vec_r = F.transform(F.col(vec_col), lambda x: round6(x.cast("double")))
+    # cost switch: each query probes nprobe of n_lists lists, so the
+    # expected scored pairs ~ n_c * n_q * nprobe / n_lists
+    udim = _unroll_dim(
+        dim,
+        float(_est_rows(candidates, 4 * dim + 24))
+        * _est_rows(queries, 4 * dim + 24)
+        * nprobe
+        / float(max(n_lists, 1)),
+    )
+    # norms precomputed once per vector (bit-identical to the per-pair
+    # recomputation this replaces: same vector, same unrolled fold)
     cand = candidates.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("_cv"),
+        _norm(vec_col, udim).alias("_cn"),
         nearest_list(vec_r).alias("list_id"),
     )
     q = queries.select(
         F.col(qid).alias("query_id"),
         F.col(vec_col).alias("_qv"),
+        _norm(vec_col, udim).alias("_qn"),
         F.explode(probe_lists(vec_r)).alias("list_id"),
     )
     joined = cand.join(F.broadcast(q), "list_id").filter(
         F.col("cand_id") != F.col("query_id")
     )
-    sim = round6(cosine_sim_col(F.col("_qv"), F.col("_cv")))
+    sim = round6(
+        _dot("_qv", "_cv", udim) / (F.col("_qn") * F.col("_cn"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
     return (
         joined.withColumn("sim", sim)
