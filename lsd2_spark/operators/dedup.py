@@ -96,12 +96,25 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    df: DataFrame, text_col: str, id_col: str, bands: int = 4
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bands: int = 4,
+    cut_signatures: bool = False,
 ) -> DataFrame:
     """Near-duplicate candidate pairs: documents sharing any minhash
     band bucket, with the estimated jaccard (signature agreement rate).
 
     Band buckets turn the O(n²) pair space into per-bucket equi-joins.
+
+    ``cut_signatures=True`` materializes the per-document signature
+    frame (``cut_lineage``) before the banded self-join, so the
+    md5-per-token minhash pass runs ONCE instead of once per consumer
+    of the returned frame times both self-join sides — the signature
+    frame is one narrow row per document (k ints), so the cut is
+    corpus-linear and tiny, unlike materializing the near-quadratic
+    candidate set (measured a loss).  The cut only materializes; row
+    content and therefore results are unchanged.
     """
     k = len(MINHASH_PERMS)
     if bands < 1:
@@ -123,6 +136,12 @@ def lsh_candidate_pairs(
             f"fits int64 only for <=2 rows/band (use bands >= {(k + 1) // 2})"
         )
     sig = minhash_signatures(spread_partitions(df), text_col, id_col)
+    if cut_signatures:
+        # localCheckpoint/checkpoint preserves the round-robin spread
+        # partitioning, so the self-join's stream side keeps emitting
+        # pairs evenly (the bucket-key repartition alternative clusters
+        # mega-buckets onto straggler tasks — see the NOTE below)
+        sig = cut_lineage(sig)
 
     def bucket_of(prefix: str, b: int):
         parts = [
@@ -380,9 +399,14 @@ def dedup_clusters(
     ``stats``, if given, receives the fixpoint's ``rounds``/
     ``converged`` — log it in production so an approaching ``n_steps``
     cap is visible before it warns."""
-    edges = lsh_candidate_pairs(df, text_col, id_col, bands).filter(
-        F.col("jaccard_est") >= min_jaccard
-    )
+    # cut_signatures: the sym edge frame below is itself cut once per
+    # fixpoint, but WITHIN that one materialization the union's two
+    # branches times the self-join's two sides re-ran the md5-per-token
+    # minhash pass up to 4x; cutting the narrow per-doc signature frame
+    # first makes it one corpus pass
+    edges = lsh_candidate_pairs(
+        df, text_col, id_col, bands, cut_signatures=True
+    ).filter(F.col("jaccard_est") >= min_jaccard)
     cc = connected_components(
         df.select(id_col), edges, id_col, n_steps, lineage_cut=lineage_cut,
         stats=stats,

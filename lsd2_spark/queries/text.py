@@ -135,9 +135,11 @@ def q32_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cand feeds both union branches; deliberately NOT materialized —
     # the candidate set is ~9.7M pair rows at sf0.1 and holding it
     # (localCheckpoint) was measured slower than letting the branches
-    # recompute it concurrently inside one job (the banded-signature
-    # stage below it is shared via AQE exchange reuse either way).
-    cand = dedup.lsh_candidate_pairs(docs, "text", "doc_id")
+    # recompute it concurrently inside one job.  cut_signatures cuts
+    # the NARROW per-doc signature frame instead: the md5-per-token
+    # minhash pass ran 8x across the branches and self-join sides
+    # (12 parquet scans), now once.
+    cand = dedup.lsh_candidate_pairs(docs, "text", "doc_id", cut_signatures=True)
     lsh = cand.select(
         "id1",
         "id2",
