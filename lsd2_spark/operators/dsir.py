@@ -207,13 +207,21 @@ def dsir_score(
         raise ValueError(f"normalize must be 'sum' or 'mean', got {normalize!r}")
     # single-file inputs arrive as ONE partition and the broadcast join
     # preserves it — without the spread, explode+join+partial-agg (the
-    # whole map side) runs in a single task
-    df = spread_partitions(df)
+    # whole map side) runs in a single task.  Only the exploding
+    # featurize branch needs the spread: routing the totality join
+    # below through it stacked a RoundRobin exchange under the join's
+    # hash exchange (the full-width frame shuffled twice), and with a
+    # precomputed ``buckets`` frame the spread had no consumer at all.
+    base = df
     ratios = F.broadcast(model["ratios"])
-    ex = buckets if buckets is not None else df.select(
-        F.col(id_col).alias("_did"),
-        F.explode(_ngrams(F.col(text_col))).alias("_ng"),
-    ).select("_did", _bucket(F.col("_ng"), model["n_buckets"]))
+    if buckets is not None:
+        ex = buckets
+    else:
+        df = spread_partitions(df)
+        ex = df.select(
+            F.col(id_col).alias("_did"),
+            F.explode(_ngrams(F.col(text_col))).alias("_ng"),
+        ).select("_did", _bucket(F.col("_ng"), model["n_buckets"]))
     per_doc = (
         ex.join(ratios, on="bucket", how="left")
         .groupBy("_did")
@@ -224,7 +232,7 @@ def dsir_score(
             F.count("*").alias("n_ngrams"),
         )
     )
-    out = df.join(per_doc, df[id_col] == per_doc["_did"], "left").drop("_did")
+    out = base.join(per_doc, base[id_col] == per_doc["_did"], "left").drop("_did")
     out = out.withColumn(out_col, F.coalesce(F.col(out_col), F.lit(0.0))).withColumn(
         "n_ngrams", F.coalesce(F.col("n_ngrams"), F.lit(0)).cast("bigint")
     )

@@ -258,6 +258,11 @@ def word_lm_score(
 
     hint_big = hint_if("bounded_bigram")
     hint_uni = hint_if("bounded_unigram")
+    # spread only the exploding grams side; the narrow totality join
+    # below reads the RAW frame — routing it through the spread stacked
+    # a RoundRobin exchange under the join's hash exchange, shuffling
+    # the full id set twice (lm_score above already has this shape)
+    base_ids = docs.select(F.col(id_col))
     docs = spread_partitions(docs)
     grams = docs.select(
         F.col(id_col), F.explode(_word_bigrams(text_col)).alias("bg")
@@ -282,7 +287,7 @@ def word_lm_score(
         round6(F.avg("logp")).alias("avg_logp"),
     )
     return (
-        docs.select(F.col(id_col))
+        base_ids
         .join(agg, id_col, "left")
         .select(
             F.col(id_col),
