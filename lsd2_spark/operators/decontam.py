@@ -392,19 +392,42 @@ def fuzzy_decontaminate(
     """
     if not 0.0 < min_jaccard <= 1.0:
         raise ValueError(f"min_jaccard must be in (0, 1], got {min_jaccard}")
+    from lsd2_spark.operators.common import cut_lineage
+
     shingles = F.array_distinct(word_ngrams(F.col(text_col), n))
-    cands = fuzzy_decontam_candidates(
-        train, eval_df, text_col, id_col,
-        n=n, bands=bands, rows_per_band=rows_per_band,
+    # the candidate pair list is cut because verification consumes it
+    # TWICE (the semi-join id filter below and the pair join) — without
+    # the cut each consumer re-runs the whole 16-salted-md5 signature
+    # pipeline over the train corpus; the list itself is the selective
+    # sliver banding exists to produce, so materializing it is cheap
+    cands = cut_lineage(
+        fuzzy_decontam_candidates(
+            train, eval_df, text_col, id_col,
+            n=n, bands=bands, rows_per_band=rows_per_band,
+        )
     )
 
-    # exact verify over the SAME shingle sets the signatures hashed
-    train_sh = train.select(F.col(id_col).alias("_tid"), shingles.alias("_tsh"))
+    # exact verify over the SAME shingle sets the signatures hashed.
+    # Semi-join first: only candidate train docs get their shingle
+    # array computed (at scale the candidate sliver is tiny against the
+    # train corpus), and broadcasting the pair list keeps the shingle
+    # arrays map-side — the former pair join shuffled the FULL train
+    # shingle-array frame into a sort-merge join against a
+    # thousands-of-rows candidate list
+    cand_ids = cands.select("_tid").distinct()
+    train_sh = (
+        train.join(
+            F.broadcast(cand_ids),
+            train[id_col] == cand_ids["_tid"],
+            "left_semi",
+        )
+        .select(F.col(id_col).alias("_tid"), shingles.alias("_tsh"))
+    )
     eval_sh = eval_df.select(F.col(id_col).alias("_eid"), shingles.alias("_esh"))
     inter = F.size(F.array_intersect(F.col("_tsh"), F.col("_esh")))
     union = F.size(F.array_union(F.col("_tsh"), F.col("_esh")))
     verified = (
-        cands.join(train_sh, "_tid")
+        train_sh.join(F.broadcast(cands), "_tid")
         .join(F.broadcast(eval_sh), "_eid")
         .select(
             "_tid",
