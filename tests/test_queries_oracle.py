@@ -168,7 +168,7 @@ def test_q75_substr_oracle_handles_null_text_documents(spark, tmp_path):
     import duckdb
     import pandas as pd
 
-    from lsd2_spark.queries.text import _q75_sql, _q75_substr_part
+    from lsd2_spark.queries.text import _VARIANT_OFF, _q75_sql, _q75_substr_part
     from tests.oracle_harness import canonical_hash
 
     pdf = pd.DataFrame(
@@ -192,5 +192,5 @@ def test_q75_substr_oracle_handles_null_text_documents(spark, tmp_path):
     assert canonical_hash(got) == canonical_hash(want)
     # the NULL-text variants reduce to the bare boilerplate, which is
     # itself repeated across variants — spans must exist on exactly one
-    null_variants = got[got.doc_id.isin([1000003, 1000023])]
+    null_variants = got[got.doc_id.isin([_VARIANT_OFF + 3, _VARIANT_OFF + 23])]
     assert (null_variants.n_spans > 0).sum() == 1
