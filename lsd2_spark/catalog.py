@@ -133,9 +133,9 @@ def spatial_index_col(order: int, ra: Column, dec: Column) -> Column:
     """Signed-safe spatial index: pix@19 << RANK_BITS + rank-within-pixel.
 
     Reference analogue: hipscat/util.py:14-69 (``compute_index``).
-    Standalone Column form (window shuffle); the ingest path instead
-    computes the index inside the write shuffle (see
-    ``_index_and_sort_kernel``) to avoid a second exchange.
+    Standalone Column form (its own window shuffle on pix@19); the
+    ingest path instead piggybacks the rank window on the write
+    exchange (see ``_with_spatial_index``) to avoid a second exchange.
     """
     pix = ang2pix_udf(SPATIAL_INDEX_ORDER, ra, dec)
     w = Window.partitionBy(pix).orderBy(ra.asc(), dec.asc())
@@ -143,37 +143,51 @@ def spatial_index_col(order: int, ra: Column, dec: Column) -> Column:
     return (pix * (1 << RANK_BITS) + rank).cast(LongType())
 
 
-def _index_and_sort_kernel(ra_col: str, dec_col: str):
-    """Per-cell kernel: compute _ID (pix@19 ‖ rank ordered by ra, dec —
-    the reference's lexsort, util.py:32) and return rows sorted by it.
-    pix@19 never spans two cells (leaves are ≤ order ``order_k`` < 19),
-    so per-cell ranking is globally correct."""
-    import numpy as np
-    import pandas as pd
+def _with_spatial_index(
+    df: DataFrame, ra_col: str, dec_col: str, p19_col: str | None = None
+) -> DataFrame:
+    """Attach ``_ID`` (pix@19 ‖ rank ordered by ra, dec — the
+    reference's lexsort, util.py:32) and leave each (Norder, Npix)
+    cell's rows sorted by it, entirely in the JVM.
 
-    from lsd2_spark import healpix as hpx
-
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pix = hpx.ang2pix(
-            SPATIAL_INDEX_ORDER, pdf[ra_col].to_numpy(), pdf[dec_col].to_numpy()
+    The rank window partitions by (Norder, Npix, pix@19); hash
+    partitioning on (Norder, Npix) already satisfies that clustered
+    distribution, so the window shares the single write exchange —
+    same shuffle count as the per-cell pandas kernel this replaces,
+    but the full row set no longer round-trips through the Python
+    boundary: the only Arrow traffic left is (ra, dec) → pix@19, and
+    callers that already carry pix@19 pass ``p19_col`` to skip even
+    that.  pix@19 never spans two cells (leaves are ≤ order
+    ``order_k`` < 19), so per-cell ranking is globally correct, and
+    the window's (cell, pix, ra, dec) sort leaves each cell's rows in
+    ``_ID`` order for the partitioned write, as the kernel's lexsort
+    did."""
+    out_cols = [c for c in df.columns if c != p19_col]
+    if p19_col is None:
+        p19_col = "_p19"
+        df = df.withColumn(
+            p19_col,
+            ang2pix_udf(SPATIAL_INDEX_ORDER, F.col(ra_col), F.col(dec_col)),
         )
-        order = np.lexsort((pdf[dec_col].to_numpy(), pdf[ra_col].to_numpy(), pix))
-        pix_sorted = pix[order]
-        first = np.zeros(len(pix_sorted), dtype=bool)
-        if len(first):
-            first[0] = True
-            first[1:] = pix_sorted[1:] != pix_sorted[:-1]
-        group_start = np.maximum.accumulate(
-            np.where(first, np.arange(len(pix_sorted)), 0)
-        )
-        rank = np.arange(len(pix_sorted)) - group_start
-        if len(rank) and rank.max() >= (1 << RANK_BITS):
-            raise ValueError("rank overflow in spatial index: cell too dense")
-        out = pdf.iloc[order].copy()
-        out["_ID"] = pix_sorted * (1 << RANK_BITS) + rank
-        return out
-
-    return kernel
+    w = Window.partitionBy("Norder", "Npix", p19_col).orderBy(
+        F.col(ra_col).asc(), F.col(dec_col).asc()
+    )
+    rank = F.row_number().over(w).cast("long") - 1
+    spatial_id = F.when(
+        rank < F.lit(1 << RANK_BITS),
+        F.col(p19_col) * F.lit(1 << RANK_BITS) + rank,
+    ).otherwise(
+        F.raise_error(F.lit("rank overflow in spatial index: cell too dense"))
+    )
+    # explicit partition count: an ENSURE_REQUIREMENTS exchange here
+    # would be AQE-coalesced by output bytes, serializing the window
+    # sort for narrow tables (the few-MB/CPU-heavy trap, guide §2)
+    p = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(p, "Norder", "Npix")
+        .withColumn("_ID", spatial_id.cast(LongType()))
+        .select(*out_cols, "_ID")
+    )
 
 
 def partition_catalog(
@@ -265,12 +279,21 @@ def partition_catalog(
     # shuffle (Arrow pixelization + probe join) otherwise runs in
     # however few tasks the input arrived as — a no-op at scale,
     # a 10× parallelism win for few-file local inputs
+    # pixelize ONCE at the index order; the probe pixel is an exact
+    # hierarchy shift of it (the same property _order_probes uses), so
+    # the write path pays a single narrow Arrow pass and the spatial
+    # index below reuses the pixel instead of re-deriving it
     assigned = (
         spread_partitions(df)
-        .withColumn("_kpix", ang2pix_udf(order_k, ra, dec))
+        .withColumn("_p19", ang2pix_udf(SPATIAL_INDEX_ORDER, ra, dec))
+        .withColumn(
+            "_kpix",
+            F.shiftright(F.col("_p19"), 2 * (SPATIAL_INDEX_ORDER - order_k)),
+        )
         .withColumn("_pr", F.explode(_order_probes(F.col("_kpix"), orders, order_k)))
         .select(
             *df.columns,
+            "_p19",
             F.col("_pr.Norder").alias("Norder"),
             F.col("_pr.Npix").alias("Npix"),
         )
@@ -278,14 +301,7 @@ def partition_catalog(
         # observed sky, so each row survives for exactly one probe
         .withColumn("Dir", _dir_of(F.col("Npix")))
     )
-    from pyspark.sql.types import StructField, StructType
-
-    out_schema = StructType(
-        list(assigned.schema.fields) + [StructField("_ID", LongType(), False)]
-    )
-    indexed = assigned.groupBy("Norder", "Npix").applyInPandas(
-        _index_and_sort_kernel(ra_col, dec_col), out_schema
-    )
+    indexed = _with_spatial_index(assigned, ra_col, dec_col, p19_col="_p19")
     (
         indexed.write.mode("overwrite")
         .partitionBy("Norder", "Dir", "Npix")
@@ -649,14 +665,7 @@ class Catalog:
                     ),
                 )
 
-        from pyspark.sql.types import StructField, StructType
-
-        out_schema = StructType(
-            list(merged.schema.fields) + [StructField("_ID", LongType(), False)]
-        )
-        indexed = merged.groupBy("Norder", "Npix").applyInPandas(
-            _index_and_sort_kernel(meta.ra_kw, meta.dec_kw), out_schema
-        )
+        indexed = _with_spatial_index(merged, meta.ra_kw, meta.dec_kw)
         prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
@@ -975,14 +984,7 @@ class Catalog:
             ),
         )
 
-        from pyspark.sql.types import StructField, StructType
-
-        out_schema = StructType(
-            list(keep.schema.fields) + [StructField("_ID", LongType(), False)]
-        )
-        indexed = keep.groupBy("Norder", "Npix").applyInPandas(
-            _index_and_sort_kernel(meta.ra_kw, meta.dec_kw), out_schema
-        )
+        indexed = _with_spatial_index(keep, meta.ra_kw, meta.dec_kw)
         survivors = {(int(r["Norder"]), int(r["Npix"])) for r in keep_counts}
         prev_mode = spark.conf.get(
             "spark.sql.sources.partitionOverwriteMode", "static"
@@ -1397,14 +1399,23 @@ class Catalog:
         )
         rewritten = (
             rows.withColumn(
+                "_p19",
+                ang2pix_udf(
+                    SPATIAL_INDEX_ORDER, F.col(meta.ra_kw), F.col(meta.dec_kw)
+                ),
+            )
+            .withColumn(
                 "_kpix",
-                ang2pix_udf(max_order, F.col(meta.ra_kw), F.col(meta.dec_kw)),
+                F.shiftright(
+                    F.col("_p19"), 2 * (SPATIAL_INDEX_ORDER - max_order)
+                ),
             )
             .withColumn(
                 "_pr", F.explode(_order_probes(F.col("_kpix"), orders, max_order))
             )
             .select(
                 *data_cols,
+                "_p19",
                 F.col("_pr.Norder").alias("Norder"),
                 F.col("_pr.Npix").alias("Npix"),
             )
@@ -1413,15 +1424,8 @@ class Catalog:
             .withColumn("Norder", F.col("Norder").cast("int"))
             .withColumn("Npix", F.col("Npix").cast("long"))
         )
-
-        from pyspark.sql.types import StructField, StructType
-
-        out_schema = StructType(
-            list(rewritten.schema.fields)
-            + [StructField("_ID", LongType(), False)]
-        )
-        indexed = rewritten.groupBy("Norder", "Npix").applyInPandas(
-            _index_and_sort_kernel(meta.ra_kw, meta.dec_kw), out_schema
+        indexed = _with_spatial_index(
+            rewritten, meta.ra_kw, meta.dec_kw, p19_col="_p19"
         )
         prev_mode = spark.conf.get(
             "spark.sql.sources.partitionOverwriteMode", "static"
