@@ -27,7 +27,13 @@ from lsd2_spark.functions.portable_hash import WS
 
 from lsd2_spark.functions.numeric import round6
 
-__all__ = ["train_char_lm", "lm_score", "train_word_lm", "word_lm_score"]
+__all__ = [
+    "train_char_lm",
+    "lm_score",
+    "train_word_lm",
+    "word_lm_score",
+    "lm_score_combined",
+]
 
 # floor for unseen trigrams: log(1/(context_count + V)) bounded by the
 # global unseen penalty so scores stay finite and comparable
@@ -294,4 +300,82 @@ def word_lm_score(
             F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
             F.col("avg_logp"),
         )
+    )
+
+
+def lm_score_combined(
+    docs: DataFrame,
+    char_model: DataFrame,
+    word_model: dict,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Score every document under BOTH models in one aggregation pass:
+    the union of the char-trigram and word-bigram scored streams (each
+    tagged by null-padding the other's column) feeds a single per-doc
+    groupBy, so a caller that wants both scores pays ONE aggregation
+    exchange and ONE totality join instead of two of each plus a final
+    doc_id join.  Per-doc value multisets are exactly those of
+    :func:`lm_score` / :func:`word_lm_score` (count/avg ignore the
+    null pad), so results are identical.
+
+    Returns (id, n_grams, avg_logp, n_bigrams, word_avg_logp)."""
+    from lsd2_spark.operators.common import spread_partitions
+
+    lam, floor = word_model["lam"], word_model["floor"]
+
+    def hint_if(bounded_key: str):
+        bounded = word_model.get(bounded_key, word_model.get("bounded", False))
+        return F.broadcast if bounded else (lambda d: d)
+
+    base_ids = docs.select(F.col(id_col))
+    spread = spread_partitions(docs)
+    null_d = F.lit(None).cast("double")
+
+    cg = spread.select(
+        F.col(id_col), F.explode(_char_ngrams(text_col, n)).alias("gram")
+    )
+    c_scored = cg.join(F.broadcast(char_model), "gram", "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("logp"), F.lit(_UNSEEN_PENALTY)).alias("_c"),
+        null_d.alias("_w"),
+    )
+
+    wg = spread.select(
+        F.col(id_col), F.explode(_word_bigrams(text_col)).alias("bg")
+    ).withColumn("w2", F.split(F.col("bg"), " ").getItem(1))
+    w_scored = (
+        wg.join(hint_if("bounded_bigram")(word_model["bigram"]), "bg", "left")
+        .join(
+            hint_if("bounded_unigram")(word_model["unigram"]),
+            wg["w2"] == word_model["unigram"]["w"],
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            null_d.alias("_c"),
+            F.log(
+                F.lit(lam) * F.coalesce(F.col("p_ml"), F.lit(0.0))
+                + F.lit(1.0 - lam) * F.coalesce(F.col("p_uni"), F.lit(floor))
+            ).alias("_w"),
+        )
+    )
+
+    agg = (
+        c_scored.unionByName(w_scored)
+        .groupBy(id_col)
+        .agg(
+            F.count("_c").alias("n_grams"),
+            round6(F.avg("_c")).alias("avg_logp"),
+            F.count("_w").alias("n_bigrams"),
+            round6(F.avg("_w")).alias("word_avg_logp"),
+        )
+    )
+    return base_ids.join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+        F.col("avg_logp"),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        F.col("word_avg_logp"),
     )

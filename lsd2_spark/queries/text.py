@@ -1901,21 +1901,24 @@ _LM_FLOOR = -12.0  # keep in sync with operators.lm_score._UNSEEN_PENALTY
 
 def q73_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lsd2_spark.operators.lm_score import (
-        lm_score,
+        lm_score_combined,
         train_char_lm,
         train_word_lm,
-        word_lm_score,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     train = docs.filter(F.col("doc_id") % _LM_TRAIN_MOD == 0)
-    char_out = lm_score(
-        docs, train_char_lm(train, "text", n=_LM_N), "text", "doc_id", n=_LM_N
+    # fused scoring: one aggregation exchange + one totality join for
+    # both models, instead of (agg + totality) per model + a final
+    # doc_id join — identical per-doc value multisets, oracle-replayed
+    return lm_score_combined(
+        docs,
+        train_char_lm(train, "text", n=_LM_N),
+        train_word_lm(train, "text"),
+        "text",
+        "doc_id",
+        n=_LM_N,
     )
-    word_out = word_lm_score(
-        docs, train_word_lm(train, "text"), "text", "doc_id"
-    ).select("doc_id", "n_bigrams", F.col("avg_logp").alias("word_avg_logp"))
-    return char_out.join(word_out, "doc_id")
 
 
 def _q73_sql() -> str:

@@ -184,3 +184,61 @@ def test_word_lm_caps_bound_tables_and_back_off(spark):
     assert sorted(map(tuple, capped["bigram"].collect())) == sorted(
         map(tuple, again["bigram"].collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# fused char+word scoring (the q73 single-aggregation path)
+# ---------------------------------------------------------------------------
+
+
+def test_lm_score_combined_equals_split_pipelines(spark, sf_dir):
+    """lm_score_combined must return exactly what lm_score +
+    word_lm_score + a doc_id join return — including NULL text, empty
+    docs, and docs too short for one of the two gram kinds."""
+    from lsd2_spark.operators.lm_score import (
+        lm_score_combined,
+        train_word_lm,
+        word_lm_score,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+        .unionByName(
+            spark.createDataFrame(
+                [
+                    (900001, None),       # NULL text
+                    (900002, ""),         # empty
+                    (900003, "a"),        # word-bigram only (no trigram)
+                    (900004, "   "),      # whitespace only
+                    (900005, "the cat sat on the mat"),
+                ],
+                "doc_id long, text string",
+            )
+        )
+    )
+    train = docs.filter("doc_id % 5 = 0")
+    cm = train_char_lm(train, "text").cache()
+    wm = train_word_lm(train, "text")
+
+    split = (
+        lm_score(docs, cm, "text", "doc_id")
+        .join(
+            word_lm_score(docs, wm, "text", "doc_id").select(
+                "doc_id", "n_bigrams", F.col("avg_logp").alias("word_avg_logp")
+            ),
+            "doc_id",
+        )
+    )
+    fused = lm_score_combined(docs, cm, wm, "text", "doc_id")
+    assert fused.columns == split.columns
+
+    srows = {r["doc_id"]: tuple(r) for r in split.collect()}
+    frows = {r["doc_id"]: tuple(r) for r in fused.collect()}
+    assert srows == frows
+    # totality: every input row came back exactly once
+    assert len(frows) == docs.count()
+    # the adversarial rows really hit the asymmetric paths
+    assert frows[900003][1] == 0 and frows[900003][3] > 0
+    assert frows[900001][1] == 0 and frows[900001][3] == 0
