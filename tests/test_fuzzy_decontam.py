@@ -197,3 +197,27 @@ def test_plan_broadcast_no_cartesian(spark, data):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_jaccard_on_repetitious_docs(spark):
+    """Heavy internal shingle repetition (where array_distinct
+    collapses the most) and a strict-subset doc (|A∪B| = |B|) are the
+    inputs that would expose any multiset-vs-set drift in the verify
+    stage's intersect/union arithmetic — exact parity with the Python
+    set oracle pins both."""
+    doubled = EVAL_DOC + " " + EVAL_DOC  # every interior shingle twice
+    half = " ".join(EVAL_DOC.split()[: len(EVAL_DOC.split()) // 2])
+    train = spark.createDataFrame(
+        [(1, doubled), (2, half)], "doc_id long, text string"
+    )
+    eval_df = spark.createDataFrame([(100, EVAL_DOC)], "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in fuzzy_decontaminate(
+            train, eval_df, "text", "doc_id", min_jaccard=0.1
+        ).collect()
+    }
+    assert out[1]["fuzzy_contaminated"] is True
+    assert abs(out[1]["jaccard"] - _jaccard(doubled, EVAL_DOC)) < 1e-12
+    assert out[2]["fuzzy_contaminated"] is True  # subset doc: |A∪B| = |B|
+    assert abs(out[2]["jaccard"] - _jaccard(half, EVAL_DOC)) < 1e-12
