@@ -316,20 +316,51 @@ def fuzzy_decontam_candidates(
                 expr = expr * MOD + p  # fits: MOD^3 < 2^63
             return expr
 
+        # every band row CARRIES all of its document's band buckets
+        # (_bk0.._bk{bands-1}) so the join below can emit each pair
+        # only from its FIRST matching band — a map-side filter that
+        # replaces the former dropDuplicates exchange over the RAW
+        # collision multiset (the same in-stage dedup the minhash LSH
+        # self-join uses, dedup.py).  The extra columns never ride a
+        # shuffle: the eval side is broadcast and the train side is
+        # projected back to (_tid, _eid) in-stage.
+        sig = sig.select(
+            out_id, *[bucket_of(b).alias(f"_bk{b}") for b in range(bands)]
+        )
         band_cols = [
-            F.struct(F.lit(b).alias("band"), bucket_of(b).alias("bucket"))
+            F.struct(F.lit(b).alias("band"), F.col(f"_bk{b}").alias("bucket"))
             for b in range(bands)
         ]
         return sig.withColumn("_band", F.explode(F.array(*band_cols))).select(
-            out_id, "_band.band", "_band.bucket"
+            out_id,
+            "_band.band",
+            "_band.bucket",
+            *[f"_bk{b}" for b in range(bands)],
         )
 
-    tt = tag(spread_partitions(train), "_tid")
-    et = tag(eval_df, "_eid")
+    tt = tag(spread_partitions(train), "_tid").alias("t")
+    et = tag(eval_df, "_eid").alias("e")
+    # emit each (train, eval) pair only from its first matching band:
+    # band b survives iff no earlier band b' also collided.  A pair's
+    # buckets are all non-null whenever any band matched (the minima
+    # are all-or-nothing null per document), so the != tests below
+    # never see a NULL.
+    keep = F.when(F.col("t.band") == 0, F.lit(True))
+    for b in range(1, bands):
+        no_earlier = F.lit(True)
+        for bp in range(b):
+            no_earlier = no_earlier & (
+                F.col(f"t._bk{bp}") != F.col(f"e._bk{bp}")
+            )
+        keep = keep.when(F.col("t.band") == b, no_earlier)
     return (
-        tt.join(F.broadcast(et), on=["band", "bucket"])
+        tt.join(
+            F.broadcast(et),
+            (F.col("t.band") == F.col("e.band"))
+            & (F.col("t.bucket") == F.col("e.bucket")),
+        )
+        .filter(keep.otherwise(F.lit(False)))
         .select("_tid", "_eid")
-        .dropDuplicates(["_tid", "_eid"])
     )
 
 
