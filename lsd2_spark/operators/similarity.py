@@ -345,25 +345,46 @@ def hyperplane_lsh_topk(
     # explode_outer on both sides: see embedding_neardup_candidates —
     # the non-outer form duplicates the bucket UDF below the inferred
     # non-null constraint; a null bucket row cannot survive the inner
-    # equi-join, so results are identical.
+    # equi-join, so results are identical.  Both sides also CARRY their
+    # full per-table bucket array so the join can emit each
+    # (query, cand) pair only from its FIRST colliding table — the
+    # map-side dedup embedding_neardup_candidates uses, replacing the
+    # former dropDuplicates exchange that shuffled the raw collision
+    # pairs WITH both vectors riding every row (guide §8: never move
+    # payload bytes to make a decision a few ints can make).  Every
+    # duplicate row of a pair is value-identical (same vectors, same
+    # norms), so keeping the first-table row is result-identical.
     cand = candidates.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("_cv"),
         _norm(vec_col, udim).alias("_cn"),
-        F.explode_outer(buckets_of(F.col(vec_col))).alias("bucket"),
+        buckets_of(F.col(vec_col)).alias("_cbs"),
+    ).select(
+        "cand_id", "_cv", "_cn", "_cbs",
+        F.posexplode_outer(F.col("_cbs")).alias("_t", "bucket"),
     )
     q = F.broadcast(
         queries.select(
             F.col(qid).alias("query_id"),
             F.col(vec_col).alias("_qv"),
             _norm(vec_col, udim).alias("_qn"),
-            F.explode_outer(buckets_of(F.col(vec_col))).alias("bucket"),
+            buckets_of(F.col(vec_col)).alias("_qbs"),
+        ).select(
+            "query_id", "_qv", "_qn", "_qbs",
+            F.explode_outer(F.col("_qbs")).alias("bucket"),
         )
+    )
+    # bucket ids are table-tagged (table << n_bits), so a bucket match
+    # implies the same table and the zip_with position below is exactly
+    # the first table where the pair collides
+    first_match = F.array_position(
+        F.zip_with(F.col("_cbs"), F.col("_qbs"), lambda a, b: a == b),
+        F.lit(True),
     )
     joined = (
         cand.join(q, "bucket")
         .filter(F.col("cand_id") != F.col("query_id"))
-        .dropDuplicates(["query_id", "cand_id"])
+        .filter(first_match == F.col("_t") + 1)
     )
     sim = round6(
         _dot("_qv", "_cv", udim) / (F.col("_qn") * F.col("_cn"))
