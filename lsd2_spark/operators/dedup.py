@@ -731,21 +731,23 @@ def hamming_band_candidates(
     h = hashes.select(F.col(id_col), F.col(hash_col)).filter(
         F.col(hash_col).isNotNull()
     )
+
+    def band_val(col: Column, b: int) -> Column:
+        return F.shiftrightunsigned(col, b * band_bits).bitwiseAND(
+            F.lit(
+                -1  # final band absorbs remainder incl. bit 63
+                if b == n_bands - 1 and bits - b * band_bits >= 64
+                else (1 << (bits - b * band_bits)) - 1
+                if b == n_bands - 1
+                else (1 << band_bits) - 1
+            )
+        )
+
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col(hash_col), b * band_bits)
-                .bitwiseAND(
-                    F.lit(
-                        -1  # final band absorbs remainder incl. bit 63
-                        if b == n_bands - 1 and bits - b * band_bits >= 64
-                        else (1 << (bits - b * band_bits)) - 1
-                        if b == n_bands - 1
-                        else (1 << band_bits) - 1
-                    )
-                )
-                .alias("val"),
+                band_val(F.col(hash_col), b).alias("val"),
             )
             for b in range(n_bands)
         ]
@@ -766,6 +768,22 @@ def hamming_band_candidates(
         hashes.sparkSession.sparkContext.defaultParallelism, "band", "val"
     )
     l, r = banded.alias("l"), banded.alias("r")
+    # emit each pair only from its FIRST matching band — every earlier
+    # band's value is recomputable from the carried hashes with one
+    # shift+mask each, so the duplicate-drop is an in-stage filter on
+    # the join output instead of the former dropDuplicates exchange
+    # over the raw collision multiset (duplicate rows of a pair are
+    # value-identical — same ids, same hashes — so keeping the
+    # first-band row is result-identical; same device as
+    # lsh_candidate_pairs / embedding_neardup_candidates).
+    keep = F.when(F.col("band") == 0, F.lit(True))
+    for b in range(1, n_bands):
+        no_earlier = F.lit(True)
+        for bp in range(b):
+            no_earlier = no_earlier & (
+                band_val(F.col("h1"), bp) != band_val(F.col("h2"), bp)
+            )
+        keep = keep.when(F.col("band") == b, no_earlier)
     pairs = (
         l.join(
             r,
@@ -778,8 +796,10 @@ def hamming_band_candidates(
             F.col(f"r.{id_col}").alias("id2"),
             F.col(f"l.{hash_col}").alias("h1"),
             F.col(f"r.{hash_col}").alias("h2"),
+            F.col("l.band").alias("band"),
         )
-        .dropDuplicates(["id1", "id2"])
+        .filter(keep.otherwise(F.lit(False)))
+        .select("id1", "id2", "h1", "h2")
     )
     return pairs
 
