@@ -176,15 +176,44 @@ def main() -> None:
             derive_ra(F.col("l_orderkey")).alias("ra"),
             derive_dec(F.col("l_orderkey")).alias("dec"),
         )
-        t0 = time.perf_counter()
-        cat = partition_catalog(
-            li, f"{tmp}/cat", "bench", ra_col="ra", dec_col="dec", id_col="sid",
-            threshold=50_000, order_k=6, write_margins=False,
+        # min-of-REPEATS like every other row (measurement fix, r13):
+        # the single-shot ingest number mixed 3-7 s of first-run
+        # JIT/codegen warm-up into the one timing the driver reads
+        # (isolated: 12.2 -> 7.3 -> 5.1 s across three fresh-dir
+        # ingests in one session) while every query row reports a
+        # warmed min — the compact line's stat field said min_of_N
+        # either way.  The first (cold) run is kept in the detail
+        # sidecar as catalog_path_runs for round-over-round
+        # comparison with the old single-shot numbers.
+        ingest_samples, cone_samples = [], []
+        cat = None
+        for i in range(REPEATS):
+            cdir = f"{tmp}/cat" if i == 0 else f"{tmp}/cat_rerun{i}"
+            t0 = time.perf_counter()
+            cat_i = partition_catalog(
+                li, cdir, "bench", ra_col="ra", dec_col="dec", id_col="sid",
+                threshold=50_000, order_k=6, write_margins=False,
+            )
+            ingest_samples.append(time.perf_counter() - t0)
+            if i == 0:
+                cat = cat_i  # downstream (cone, streaming copies) uses run 0
+            else:
+                shutil.rmtree(cdir, ignore_errors=True)
+            t0 = time.perf_counter()
+            cat.cone_search(45.0, 10.0, 10.0).count()
+            cone_samples.append(time.perf_counter() - t0)
+        times["catalog_ingest"] = round(
+            sorted(ingest_samples)[len(ingest_samples) // 2], 3
         )
-        times["catalog_ingest"] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        cat.cone_search(45.0, 10.0, 10.0).count()
-        times["catalog_cone_pruned"] = round(time.perf_counter() - t0, 3)
+        times_min["catalog_ingest"] = round(min(ingest_samples), 3)
+        times["catalog_cone_pruned"] = round(
+            sorted(cone_samples)[len(cone_samples) // 2], 3
+        )
+        times_min["catalog_cone_pruned"] = round(min(cone_samples), 3)
+        catalog_path_runs = {
+            "ingest_sec_runs": [round(x, 3) for x in ingest_samples],
+            "cone_sec_runs": [round(x, 3) for x in cone_samples],
+        }
 
         # streaming ingest throughput: micro-batched foreachBatch append
         # into the standing catalog (exactly-once path), reported as
@@ -1271,6 +1300,7 @@ def main() -> None:
         "crossmatch_skew": xskew,
         "density_x10": density,
         "semdedup_recall": semdedup_recall,
+        "catalog_path_runs": catalog_path_runs,
         "extras": extras,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
@@ -1306,8 +1336,9 @@ def compact_headline(result: dict, detail_path: str | None = None) -> dict:
     probe.  Everything else (medians, per-stage breakdowns, extras,
     recall curves) lives in the detail sidecar this function's caller
     writes next to bench.py."""
-    # min-of-repeats where sampled; single-run entries (catalog ingest
-    # and pruned cone live only in the median dict) fall through
+    # min-of-repeats where sampled (every row including catalog ingest
+    # and the pruned cone since the r13 measurement fix); any entry
+    # living only in the median dict falls through
     qmin = dict(result.get("queries") or {})
     qmin.update(result.get("queries_min") or {})
     probes = {}
