@@ -112,9 +112,7 @@ def train_pq(
             for pdf in batches:
                 if not len(pdf):
                     continue
-                mat = np.stack(
-                    [np.asarray(x, dtype=np.float64) for x in pdf["_v"]]
-                )
+                mat = np.array(pdf["_v"].tolist(), dtype=np.float64)
                 micro = np.rint(mat * 1e6).astype(np.int64)
                 for j in range(m):
                     sl = slice(j * sub, (j + 1) * sub)
@@ -193,9 +191,7 @@ def pq_encode(
             ]
             idxs = [i for i, o in enumerate(ok) if o]
             if idxs:
-                mat = np.stack(
-                    [np.asarray(pdf["_v"].iloc[i], dtype=np.float64) for i in idxs]
-                )
+                mat = np.array(pdf["_v"].iloc[idxs].tolist(), dtype=np.float64)
                 codes = np.empty((len(idxs), m), dtype=np.int64)
                 for j in range(m):
                     d2 = _l2_assign(mat[:, j * sub : (j + 1) * sub], cb[j])
