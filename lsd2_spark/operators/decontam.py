@@ -426,11 +426,12 @@ def fuzzy_decontaminate(
     from lsd2_spark.operators.common import cut_lineage
 
     shingles = F.array_distinct(word_ngrams(F.col(text_col), n))
-    # the candidate pair list is cut because verification consumes it
-    # TWICE (the semi-join id filter below and the pair join) — without
-    # the cut each consumer re-runs the whole 16-salted-md5 signature
-    # pipeline over the train corpus; the list itself is the selective
-    # sliver banding exists to produce, so materializing it is cheap
+    # the candidate pair list is cut so the broadcast build below reads
+    # a materialized sliver instead of re-running the whole 16-salted-
+    # md5 signature pipeline inside a BroadcastExchange (a full-corpus
+    # scan inside a broadcast build would race spark.sql.broadcastTimeout
+    # at scale); the list itself is the selective sliver banding exists
+    # to produce, so materializing it is cheap
     cands = cut_lineage(
         fuzzy_decontam_candidates(
             train, eval_df, text_col, id_col,
@@ -439,27 +440,27 @@ def fuzzy_decontaminate(
     )
 
     # exact verify over the SAME shingle sets the signatures hashed.
-    # Semi-join first: only candidate train docs get their shingle
-    # array computed (at scale the candidate sliver is tiny against the
-    # train corpus), and broadcasting the pair list keeps the shingle
-    # arrays map-side — the former pair join shuffled the FULL train
-    # shingle-array frame into a sort-merge join against a
-    # thousands-of-rows candidate list
-    cand_ids = cands.select("_tid").distinct()
+    # ONE broadcast of the candidate list, grouped per train doc: the
+    # inner join both restricts train to candidate docs (the former
+    # separate distinct + semi-join) and attaches each doc's matched
+    # eval ids — only candidate train docs get their shingle array
+    # computed (at scale the candidate sliver is tiny against the
+    # train corpus), and it is computed ONCE per doc, below the
+    # explode.  The former shape built two broadcast exchanges (the
+    # distinct id list and the pair list) from the same cut frame.
+    per_doc = cands.groupBy("_tid").agg(F.collect_list("_eid").alias("_eids"))
     train_sh = (
-        train.join(
-            F.broadcast(cand_ids),
-            train[id_col] == cand_ids["_tid"],
-            "left_semi",
-        )
-        .select(F.col(id_col).alias("_tid"), shingles.alias("_tsh"))
+        train.join(F.broadcast(per_doc), train[id_col] == per_doc["_tid"])
+        .select("_tid", shingles.alias("_tsh"), "_eids")
+    )
+    pairs = train_sh.select(
+        "_tid", "_tsh", F.explode("_eids").alias("_eid")
     )
     eval_sh = eval_df.select(F.col(id_col).alias("_eid"), shingles.alias("_esh"))
     inter = F.size(F.array_intersect(F.col("_tsh"), F.col("_esh")))
     union = F.size(F.array_union(F.col("_tsh"), F.col("_esh")))
     verified = (
-        train_sh.join(F.broadcast(cands), "_tid")
-        .join(F.broadcast(eval_sh), "_eid")
+        pairs.join(F.broadcast(eval_sh), "_eid")
         .select(
             "_tid",
             "_eid",
