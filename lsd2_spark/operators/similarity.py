@@ -194,6 +194,72 @@ _TOPK_SCHEMA = "query_id long, cand_id long, sim double, rnk int"
 _PAIRS_SCHEMA = "id1 long, id2 long, sim double"
 
 
+#: slack rows collected past ``n_lists`` by the merged probe+init job:
+#: ragged rows among the first ``n_lists + slack`` ids are dropped
+#: driver-side; only a corpus with MORE than ``slack`` ragged rows in
+#: that prefix falls back to the two-job path (rare, and exact either
+#: way).
+_INIT_SLACK = 64
+
+
+def _probe_dim_and_init(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_lists: int,
+    sample_stride: int,
+) -> "tuple[int | None, np.ndarray | None]":
+    """ONE driver job replacing :func:`_probe_dim` + the k-means
+    ``init_order="id"`` collect (they were two sequential plan-sized
+    collects — pure scheduler latency on the q41 build path).  Branch A
+    reproduces ``_probe_dim`` exactly (first usable vector in scan
+    order); branch B collects the first ``n_lists + _INIT_SLACK``
+    candidate init rows by id with the SAME rounding expression the
+    k-means init uses, and the ``size == dim`` validity cut is applied
+    driver-side once branch A's dim is known.  Returns
+    ``(dim, init_cents)``; ``init_cents`` is None when the slack was
+    exhausted and the caller must fall back to the exact two-job path.
+    """
+    col = F.col(vec_col)
+    probe = (
+        df.filter(col.isNotNull() & (F.size(col) > 0))
+        .select(
+            F.lit(0).alias("_part"),
+            F.size(col).cast("long").alias("_d"),
+            F.lit(None).cast("array<double>").alias("_v"),
+        )
+        .limit(1)
+    )
+    init = df.filter(col.isNotNull() & (_norm(col) > 0) & (F.size(col) > 0))
+    if sample_stride > 1:
+        init = init.filter(F.col(id_col) % sample_stride == 0)
+    # ordered by the RAW id column (same sort key, same type semantics
+    # as the k-means init collect); the sorted-limit branch is a
+    # TakeOrdered, so its collected rows arrive in id order
+    init = (
+        init.select(
+            F.lit(1).alias("_part"),
+            F.size(col).cast("long").alias("_d"),
+            F.transform(col, lambda x: round6(x.cast("double"))).alias("_v"),
+            F.col(id_col).alias("_oid"),
+        )
+        .orderBy(F.col("_oid").asc())
+        .limit(n_lists + _INIT_SLACK)
+        .drop("_oid")
+    )
+    rows = probe.unionByName(init).collect()
+    probe_rows = [r for r in rows if r["_part"] == 0]
+    if not probe_rows:
+        return None, None
+    dim = int(probe_rows[0]["_d"])
+    init_rows = [r for r in rows if r["_part"] == 1]
+    valid = [r for r in init_rows if int(r["_d"]) == dim][:n_lists]
+    if len(valid) < n_lists and len(init_rows) >= n_lists + _INIT_SLACK:
+        # more rows may exist past the slack window — fall back
+        return dim, None
+    return dim, np.array([r["_v"] for r in valid], dtype=np.float64)
+
+
 def cosine_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -475,6 +541,7 @@ def kmeans_centroids(
     dim: int | None = None,
     init_order: str = "id",
     init_subsample: int = 4096,
+    init_cents: "np.ndarray | None" = None,
 ) -> np.ndarray:
     """Deterministic Lloyd's k-means over raw vectors — every step is
     engine-agnostic so a SQL oracle can replay it bit-for-bit:
@@ -524,7 +591,12 @@ def kmeans_centroids(
     # id — equally deterministic and SQL-replayable (hash64_sql), but
     # immune to id-order locality (crawl order, planted blocks), which
     # under "id" seeds every centroid inside one neighborhood
-    if init_order == "spread":
+    if init_cents is not None:
+        # precomputed by the caller's merged probe+init job
+        # (:func:`_probe_dim_and_init`) — identical rows/rounding to the
+        # ``init_order="id"`` collect below, one driver job instead of two
+        cents = init_cents
+    elif init_order == "spread":
         cents = _farthest_point_init(samp, n_lists, subsample=init_subsample)
     else:
         if init_order == "hash":
@@ -769,7 +841,17 @@ def ivf_topk(
     wastes a k-means pass over the corpus sample.
     """
     qid = query_id or id_col
-    dim = _probe_dim(candidates, vec_col)
+    init_cents = None
+    if centroids is None:
+        # merged probe+init: ONE driver job replaces the sequential
+        # dim-probe and k-means init collects (same rows, same rounding
+        # — _probe_dim_and_init falls back to None when its slack
+        # window is exhausted, and the exact two-job path runs below)
+        dim, init_cents = _probe_dim_and_init(
+            candidates, vec_col, id_col, n_lists, sample_stride
+        )
+    else:
+        dim = _probe_dim(candidates, vec_col)
     if dim is None:
         return candidates.sparkSession.createDataFrame([], _TOPK_SCHEMA)
     candidates = _spread(_valid_vectors(candidates, vec_col, dim))
@@ -778,7 +860,8 @@ def ivf_topk(
         centroids
         if centroids is not None
         else kmeans_centroids(
-            candidates, vec_col, id_col, n_lists, n_iters, sample_stride, dim=dim
+            candidates, vec_col, id_col, n_lists, n_iters, sample_stride,
+            dim=dim, init_cents=init_cents,
         )
     )
     spark = candidates.sparkSession

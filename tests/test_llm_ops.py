@@ -1141,3 +1141,48 @@ def test_cluster_balanced_sample_rejects_bad_args(spark):
         cluster_balanced_sample(
             df, "doc_id", text_col="text", vec_col="text", n_clusters=2, cap=1
         )
+
+
+def test_merged_probe_init_matches_two_job_path(spark):
+    """The merged dim-probe + k-means-init job (_probe_dim_and_init)
+    must return exactly the dim _probe_dim returns and exactly the
+    init centroids the init_order="id" collect returns — including over
+    ragged/null/zero-norm rows and with a sample stride."""
+    from lsd2_spark.functions.numeric import round6
+    from lsd2_spark.operators.similarity import (
+        _probe_dim,
+        _probe_dim_and_init,
+        _valid_vectors,
+    )
+
+    rows = [
+        (0, [1.0, 2.0, 3.0]),
+        (1, None),                      # null vector
+        (2, [0.0, 0.0, 0.0]),           # zero norm
+        (3, [1.0, 1.0]),                # ragged (wrong dim)
+        (4, [0.5, -0.25, 8.0]),
+        (5, []),                        # empty
+        (6, [2.0, 2.0, 2.0]),
+        (7, [1.0e-7, 0.0, 1.0]),        # rounding-sensitive component
+        (8, [3.0, 1.0, 2.0]),
+        (9, [4.0, 4.0, 4.0]),
+    ]
+    df = spark.createDataFrame(rows, "vid long, v array<double>")
+    for stride in (1, 2):
+        dim, cents = _probe_dim_and_init(df, "v", "vid", n_lists=3,
+                                         sample_stride=stride)
+        assert dim == _probe_dim(df, "v")
+        # the exact two-job init path
+        samp = _valid_vectors(df, "v", dim).select(
+            F.col("vid").alias("_vid"),
+            F.transform(F.col("v"), lambda x: round6(x.cast("double"))).alias("_v"),
+        )
+        if stride > 1:
+            samp = samp.filter(F.col("_vid") % stride == 0)
+        init_rows = samp.orderBy(F.col("_vid").asc()).limit(3).collect()
+        want = np.array([r["_v"] for r in init_rows], dtype=np.float64)
+        assert cents is not None and np.array_equal(cents, want)
+
+    # empty-input degenerate: no usable vector at all
+    empty = spark.createDataFrame([], "vid long, v array<double>")
+    assert _probe_dim_and_init(empty, "v", "vid", 3, 1) == (None, None)
