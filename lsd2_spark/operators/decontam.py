@@ -291,17 +291,20 @@ def fuzzy_decontam_candidates(
     salts = [f"fz{j}\x1f" for j in range(k)]
 
     def tag(df: DataFrame, out_id: str) -> DataFrame:
-        sig = df.select(F.col(id_col).alias(out_id), shingles.alias("_sh"))
-        for j, salt in enumerate(salts):
-            sig = sig.withColumn(
-                f"mh{j}",
-                F.array_min(
-                    F.transform(
-                        F.col("_sh"), lambda s: hash64(F.concat(F.lit(salt), s))
-                    )
-                ),
+        # ONE projection for all k salted-minimum rows (the former
+        # per-column withColumn loop re-analyzed the plan k times —
+        # pure driver latency, guide §7.3); expressions are identical
+        def salted_min(salt: str) -> Column:
+            return F.array_min(
+                F.transform(
+                    F.col("_sh"), lambda s: hash64(F.concat(F.lit(salt), s))
+                )
             )
-        sig = sig.drop("_sh")
+
+        sig = df.select(F.col(id_col).alias(out_id), shingles.alias("_sh")).select(
+            out_id,
+            *[salted_min(salt).alias(f"mh{j}") for j, salt in enumerate(salts)],
+        )
 
         def bucket_of(b: int):
             # 60-bit minima cannot be packed raw; reduce each to the

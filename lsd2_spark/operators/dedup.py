@@ -83,16 +83,21 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     sig_i = min over distinct tokens of (a_i * h(token) + b_i) mod MOD.
     """
     th = _token_hashes(F.col(text_col)).alias("_th")
-    out = df.select(F.col(id_col), th)
 
     def perm(a: int, b: int):
         return lambda h: (h * a + b) % MOD
 
-    for i, (a, b) in enumerate(MINHASH_PERMS):
-        out = out.withColumn(
-            f"mh{i}", F.array_min(F.transform(F.col("_th"), perm(a, b)))
-        )
-    return out.drop("_th")
+    # ONE projection for all k signature rows: the former per-column
+    # withColumn loop re-analyzed the whole plan k times (driver-side
+    # O(k·plan) latency per call — guide §7.3 planning cost); the
+    # expressions and output columns are identical
+    return df.select(F.col(id_col), th).select(
+        F.col(id_col),
+        *[
+            F.array_min(F.transform(F.col("_th"), perm(a, b))).alias(f"mh{i}")
+            for i, (a, b) in enumerate(MINHASH_PERMS)
+        ],
+    )
 
 
 def lsh_candidate_pairs(

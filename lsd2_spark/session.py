@@ -57,6 +57,14 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         # driver testdata stores TIMESTAMP(NANOS) parquet; read as long + convert
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Python-side call-site capture (DataFrame debugging) costs two
+        # extra py4j round-trips plus a stack inspection on EVERY
+        # DataFrame/Column API call — measured 40-60% of driver-side
+        # plan-construction wall on expression-heavy operators (16-way
+        # minhash tags, unrolled folds).  The feature only enriches
+        # error messages with Python line numbers; plans, results and
+        # JVM-side error handling are unchanged at any scale.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", os.environ.get("LSD2_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
