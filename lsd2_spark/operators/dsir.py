@@ -147,29 +147,41 @@ def train_dsir(
         raise ValueError(f"smoothing must be > 0, got {smoothing}")
     tc = hashed_ngram_counts(target, text_col, n_buckets, buckets=target_buckets)
     rc = hashed_ngram_counts(raw, text_col, n_buckets, buckets=raw_buckets)
-    tot_t = tc.agg(F.sum("n")).collect()[0][0] or 0
-    tot_r = rc.agg(F.sum("n")).collect()[0][0] or 0
     s, b = float(smoothing), int(n_buckets)
-    denom_t = math.log(tot_t + s * b)
-    denom_r = math.log(tot_r + s * b)
     joined = tc.withColumnRenamed("n", "n_t").join(
         rc.withColumnRenamed("n", "n_r"), on="bucket", how="full"
     )
-    ratios = joined.select(
+    # ONE collect replaces the former three (two total-count aggs +
+    # the ratio collect — each a full job over the same two corpus
+    # histograms, pure scheduler latency): the full join carries every
+    # non-empty bucket of BOTH corpora, so the totals are exact integer
+    # sums over the collected rows, and the per-bucket log() values are
+    # still computed JVM-side.  The final log-ratio arithmetic
+    # (((log_t - denom_t) - log_r) + denom_r) runs driver-side over the
+    # SAME IEEE doubles in the SAME left-to-right order the former
+    # Spark expression used, and denom_t/denom_r were already Python
+    # math.log values — bit-identical model, three jobs -> one.
+    rows = joined.select(
         "bucket",
-        (
-            F.log(F.coalesce(F.col("n_t"), F.lit(0)) + s)
-            - F.lit(denom_t)
-            - F.log(F.coalesce(F.col("n_r"), F.lit(0)) + s)
-            + F.lit(denom_r)
-        ).alias("log_ratio"),
-    )
+        F.coalesce(F.col("n_t"), F.lit(0)).alias("n_t"),
+        F.coalesce(F.col("n_r"), F.lit(0)).alias("n_r"),
+        F.log(F.coalesce(F.col("n_t"), F.lit(0)) + s).alias("log_t"),
+        F.log(F.coalesce(F.col("n_r"), F.lit(0)) + s).alias("log_r"),
+    ).collect()
+    tot_t = sum(r["n_t"] for r in rows)
+    tot_r = sum(r["n_r"] for r in rows)
+    denom_t = math.log(tot_t + s * b)
+    denom_r = math.log(tot_r + s * b)
     # Materialize: the table is plan-sized (<= n_buckets rows) but its
     # LINEAGE is two full corpus scans — without this, every scoring
     # action would re-read both corpora.
     spark = target.sparkSession
     ratios = spark.createDataFrame(
-        ratios.collect(), "bucket long, log_ratio double"
+        [
+            (r["bucket"], ((r["log_t"] - denom_t) - r["log_r"]) + denom_r)
+            for r in rows
+        ],
+        "bucket long, log_ratio double",
     )
     default = (math.log(s) - denom_t) - (math.log(s) - denom_r)
     return {"ratios": ratios, "n_buckets": b, "default": default}
