@@ -431,7 +431,7 @@ def hyperplane_lsh_topk(
         buckets_of(F.col(vec_col)).alias("_cbs"),
     ).select(
         "cand_id", "_cv", "_cn", "_cbs",
-        F.posexplode_outer(F.col("_cbs")).alias("_t", "bucket"),
+        F.explode_outer(F.col("_cbs")).alias("bucket"),
     )
     q = F.broadcast(
         queries.select(
@@ -444,17 +444,17 @@ def hyperplane_lsh_topk(
             F.explode_outer(F.col("_qbs")).alias("bucket"),
         )
     )
-    # bucket ids are table-tagged (table << n_bits), so a bucket match
-    # implies the same table and the zip_with position below is exactly
-    # the first table where the pair collides
-    first_match = F.array_position(
-        F.zip_with(F.col("_cbs"), F.col("_qbs"), lambda a, b: a == b),
-        F.lit(True),
-    )
+    # bucket ids are table-tagged (table << n_bits) and strictly
+    # increase with the table index, so the first table where the pair
+    # collides holds bucket array_min(array_intersect(...)) — the
+    # codegen-able spelling of the first-match dedup (the former
+    # zip_with + array_position probe was CodegenFallback: interpreted
+    # per raw collision row; see embedding_neardup_candidates)
+    first_bucket = F.array_min(F.array_intersect(F.col("_cbs"), F.col("_qbs")))
     joined = (
         cand.join(q, "bucket")
         .filter(F.col("cand_id") != F.col("query_id"))
-        .filter(first_match == F.col("_t") + 1)
+        .filter(first_bucket == F.col("bucket"))
     )
     sim = round6(
         _dot("_qv", "_cv", udim) / (F.col("_qn") * F.col("_cn"))
@@ -744,36 +744,43 @@ def embedding_neardup_candidates(
         _norm(vec_col, udim).alias("_n"),
         buckets_of(F.col(vec_col)).alias("_bs"),
     ).select(
-        # OUTER posexplode: the non-outer form implies the array is
+        # OUTER explode: the non-outer form implies the array is
         # non-null/non-empty, and the optimizer pushes that inferred
         # constraint below the projection, evaluating the bucket UDF
         # twice per row (guide §4.4).  Valid vectors always produce a
         # bucket array, and a hypothetical null key row would not
         # survive the inner equi-join — results are identical.
         "_id", "_v", "_n", "_bs",
-        F.posexplode_outer(F.col("_bs")).alias("t", "bucket"),
+        F.explode_outer(F.col("_bs")).alias("bucket"),
     )
     # NOTE: no repartition-for-stage-reuse here (unlike
-    # lsh_candidate_pairs): the two self-join sides prune differently
-    # (only the left consumes `t`), so their exchange subtrees never
-    # canonicalize equal and the added shuffles+sorts were measured
-    # pure loss (2.6 -> 3.5 s on q45).  The broadcast self-join keeps
-    # the pair scoring pipelined; the outer posexplode above already
-    # removed the duplicated UDF evaluation per side.
+    # lsh_candidate_pairs): the two self-join sides prune differently,
+    # so their exchange subtrees never canonicalize equal and the
+    # added shuffles+sorts were measured pure loss (2.6 -> 3.5 s on
+    # q45).  The broadcast self-join keeps the pair scoring pipelined;
+    # the outer explode above already removed the duplicated UDF
+    # evaluation per side.
     l, r = tagged.alias("l"), tagged.alias("r")
+    # emit each pair only from its FIRST colliding table, as a check in
+    # the join condition itself.  Bucket ids are table-tagged
+    # ((table << n_bits) | sign bits), so a value can only match at the
+    # same table and values strictly increase with the table index —
+    # the first colliding table's bucket is exactly
+    # array_min(array_intersect(...)).  This replaces the former
+    # zip_with + array_position probe: higher-order functions are
+    # CodegenFallback and their per-row interpreted lambda walk
+    # dominated the raw collision stage at x10 density (16.2 -> 8.2 s
+    # paired), while array_intersect/array_min are codegen'd collection
+    # ops.  Pair sets verified identical at sf0.1 (exact frame hash)
+    # and x10 (count + order-free pair checksums).
+    first_bucket = F.array_min(F.array_intersect(F.col("l._bs"), F.col("r._bs")))
     joined = l.join(
         r,
-        (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l._id") < F.col("r._id")),
+        (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col("l._id") < F.col("r._id"))
+        & (first_bucket == F.col("l.bucket")),
     )
-    # emit each pair only from its FIRST colliding table (an in-stage
-    # check on the carried bucket arrays) — replaces a dropDuplicates
-    # exchange over the pair set AND scores each pair exactly once.
-    # array_position over a zip_with keeps the expression tree small
-    # enough for codegen (a per-table CASE chain ran interpreted).
-    first_match = F.array_position(
-        F.zip_with(F.col("l._bs"), F.col("r._bs"), lambda a, b: a == b), F.lit(True)
-    )
-    pairs = joined.filter(first_match == F.col("l.t") + 1).select(
+    pairs = joined.select(
         F.col("l._id").alias("id1"),
         F.col("r._id").alias("id2"),
         round6(
